@@ -1,0 +1,76 @@
+"""Sources: parquet table registry + CSV staging ingest.
+
+Mirrors the reference's two ingest tiers (SURVEY.md §1.1):
+- typed tables      -> ``spark.read.parquet`` (columnar, pushdown-friendly)
+- staging tables    -> ``spark.read.csv`` with an all-StringType schema and
+  NO inference, matching the reference's all-TEXT staging DDL
+  (ref TablesCreated-Imported.sql:80-103).
+
+At scale, the parquet reader is the workhorse: column pruning and predicate
+pushdown reach the scan automatically as long as callers express filters and
+projections declaratively (checked in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """OP-SCAN: one parquet table -> DataFrame (lazy; scan-level pruning).
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which the vectorized Spark
+    reader rejects; read nanos as long and convert to a microsecond
+    timestamp (lossless here — the data has microsecond resolution).
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register temp views so ``spark.sql`` queries see the same tables the
+    DuckDB oracle sees (driver contract)."""
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)
+
+
+def all_string_schema(columns: list[str]) -> T.StructType:
+    """Schema for a staging table: every column StringType (TEXT tier)."""
+    return T.StructType([T.StructField(c, T.StringType(), True) for c in columns])
+
+
+def load_staging_csv(spark: SparkSession, path: str, columns: list[str]) -> DataFrame:
+    """OP-CSV-LOAD: CSV -> all-text staging DataFrame, no type inference.
+
+    Matches the reference's CSV landing zone semantics: everything arrives as
+    nullable text and is validated/cast later by the cleaning pipeline
+    (ref TablesCreated-Imported.sql:80-103).
+    """
+    return spark.read.csv(path, header=True, schema=all_string_schema(columns))

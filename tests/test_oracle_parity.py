@@ -1,0 +1,39 @@
+"""Golden tests: every CATALOG query with an oracle must match DuckDB.
+
+This is a local replica of the driver's t2 gate (sqllogictest-style,
+SURVEY.md §5 layer 3) run at sf0.001 for speed; the driver runs sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from amazon_fresh_sql_data_engineering_spark.queries import CATALOG
+from tests.oracle_compare import compare, duckdb_connect
+
+_WITH_ORACLE = sorted(n for n, s in CATALOG.items() if s.oracle is not None)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb_connect(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    spec = CATALOG[name]
+    df = spec.fn(spark, sf_dir)
+    problems = compare(df, duck, spec.oracle)
+    assert not problems, f"{name}: " + " | ".join(problems)
+
+
+def test_all_queries_return_rows(spark, sf_dir):
+    empties = []
+    for name, spec in CATALOG.items():
+        if spec.fn(spark, sf_dir).limit(1).count() == 0 and name != "q_no_orders":
+            empties.append(name)
+    # q_no_orders may legitimately be empty depending on data; everything else
+    # must discriminate (FIXTURES.md distribution requirements).
+    assert not empties, f"queries returning zero rows: {empties}"
