@@ -1,0 +1,122 @@
+"""Scalar cleaning expression kit (SURVEY.md §2.9).
+
+Every function returns a Column expression built from native
+``pyspark.sql.functions`` — JVM-side, whole-stage-codegen eligible, zero
+Python-per-row cost. This is the Spark re-expression of the reference's
+validate-then-cast SQL idioms; each cites the construct it reproduces
+(``T`` = TablesCreated-Imported.sql under /root/reference).
+
+Semantic traps handled (SURVEY §4):
+- PG ``to_date('MM/DD/YYYY')`` tolerates 1-2 digit fields -> Spark pattern
+  must be ``M/d/yyyy`` (T:174).
+- PG raises on bad casts, Spark yields NULL -> we regex-guard before every
+  cast exactly like the reference does (T:245-247), making the difference
+  unobservable.
+- PG uuid equality is case-insensitive -> normalize to lowercase (T:245).
+- PG boolean vocabulary: yes/y/true/1 -> true; no/n/false/0/'' -> false;
+  else NULL (T:175, T:497-501).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Shapes the reference validates with (T:245 uuid, T:174 date, T:169 int,
+# T:145 numeric).
+UUID_RE = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+DATE_MDY_RE = r"^\d{1,2}/\d{1,2}/\d{4}$"
+INT_RE = r"^-?\d+$"
+NUM_RE = r"^-?\d+(\.\d+)?$"
+
+TRUE_WORDS = ["yes", "y", "true", "1"]
+FALSE_WORDS = ["no", "n", "false", "0", ""]
+
+
+def _c(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def clean_text(c: Column | str) -> Column:
+    """trim + blank->NULL: ``NULLIF(trim(x), '')`` (T:111, T:145-146)."""
+    t = F.trim(_c(c))
+    return F.when(t == "", None).otherwise(t)
+
+
+def blank_to_null(c: Column | str) -> Column:
+    """``NULLIF(x, '')`` without trimming (T:169)."""
+    col = _c(c)
+    return F.when(col == "", None).otherwise(col)
+
+
+def is_valid_uuid(c: Column | str) -> Column:
+    """uuid shape predicate ``x ~* '^[0-9a-f]{8}-...'`` (T:245-247)."""
+    return F.trim(_c(c)).rlike(UUID_RE)
+
+
+def norm_uuid(c: Column | str) -> Column:
+    """Valid uuid -> lowercase canonical form, else NULL (T:245 + §1.2
+    case-insensitive equality)."""
+    t = F.trim(_c(c))
+    return F.when(t.rlike(UUID_RE), F.lower(t)).otherwise(F.lit(None))
+
+
+def parse_int(c: Column | str) -> Column:
+    """Guarded ``NULLIF(trim(x),'')::int`` (T:146, T:169)."""
+    t = F.trim(_c(c))
+    return F.when(t.rlike(INT_RE), t.cast("int")).otherwise(F.lit(None))
+
+
+def parse_decimal(c: Column | str, precision: int = 12, scale: int = 2) -> Column:
+    """Guarded ``NULLIF(trim(x),'')::numeric`` (T:145, T:230); HALF_UP
+    rounding to scale matches PG numeric cast."""
+    t = F.trim(_c(c))
+    return F.when(t.rlike(NUM_RE), t.cast(f"decimal({precision},{scale})")).otherwise(
+        F.lit(None)
+    )
+
+
+def parse_date_mdy(c: Column | str) -> Column:
+    """Regex-guarded ``to_date(x, 'MM/DD/YYYY')`` (T:174, T:227-228).
+
+    Spark pattern ``M/d/yyyy`` accepts 1-2 digit month/day like PG's
+    ``MM/DD/YYYY`` does. Shape-valid but impossible dates (13/45/2024)
+    yield NULL (non-ANSI cast), matching the reference's guarded CASE.
+    """
+    t = F.trim(_c(c))
+    return F.when(t.rlike(DATE_MDY_RE), F.try_to_timestamp(t, F.lit("M/d/yyyy")).cast("date"))
+
+
+def parse_bool(c: Column | str) -> Column:
+    """Boolean vocabulary parse (T:175, T:497-501): yes/y/true/1 -> true,
+    no/n/false/0/'' -> false, anything else -> NULL. Order matters: the
+    empty string is *false*, not NULL."""
+    t = F.lower(F.trim(_c(c)))
+    return (
+        F.when(t.isin(TRUE_WORDS), F.lit(True))
+        .when(t.isin(FALSE_WORDS), F.lit(False))
+        .otherwise(F.lit(None))
+    )
+
+
+def gen_uuid(deterministic_from: Column | None = None) -> Column:
+    """``gen_random_uuid()`` (T:254, T:740).
+
+    With ``deterministic_from`` set, derives a stable uuid-shaped id from
+    the given column (sha2-based) — the injectable-id hook SURVEY §7.4
+    requires for hash-matchable tests; nondeterministic ``F.uuid()``
+    otherwise.
+    """
+    if deterministic_from is None:
+        return F.uuid()
+    h = F.sha2(deterministic_from.cast("string"), 256)
+    return F.lower(
+        F.concat_ws(
+            "-",
+            h.substr(1, 8),
+            h.substr(9, 4),
+            h.substr(13, 4),
+            h.substr(17, 4),
+            h.substr(21, 12),
+        )
+    )

@@ -1,0 +1,175 @@
+"""Entity specs for the six reference tables + the full-pipeline
+orchestrator (parents before children, ref T ordering §3).
+
+Spec factories are lazy (Column expressions need a live SparkContext), one
+per entity, each citing the reference block it reproduces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import (
+    clean_text,
+    norm_uuid,
+    parse_bool,
+    parse_date_mdy,
+    parse_decimal,
+    parse_int,
+)
+from .cleaning import CleanResult, EntitySpec, FkSpec, clean_entity
+from ..operators.dml import upsert_ignore
+
+UNKNOWN_SUPPLIER = {"suppliername": "UNKNOWN SUPPLIER"}  # ref T:131-135
+UNKNOWN_CUSTOMER = {"name": "UNKNOWN CUSTOMER"}  # ref T:215-219
+UNKNOWN_PRODUCT = {"productname": "UNKNOWN PRODUCT"}  # ref T:862-869
+PLACEHOLDER_ORDER = {"shipmode": "PLACEHOLDER"}  # ref T:758-762
+
+
+def spec_suppliers() -> EntitySpec:
+    """PIPE-CLEAN-suppliers (ref T:378-408)."""
+    return EntitySpec(
+        name="suppliers",
+        pk="supplierid",
+        clean_exprs={
+            "suppliername": clean_text("suppliername"),
+            "contactperson": clean_text("contactperson"),
+            "phone": clean_text("phone"),
+            "city": clean_text("city"),
+            "state": clean_text("state"),
+        },
+    )
+
+
+def spec_products() -> EntitySpec:
+    """PIPE-CLEAN-products (ref T:413-455)."""
+    return EntitySpec(
+        name="products",
+        pk="productid",
+        clean_exprs={
+            "productname": clean_text("productname"),
+            "category": clean_text("category"),
+            "subcategory": clean_text("subcategory"),
+            "priceperunit": parse_decimal("priceperunit", 12, 2),
+            "stockquantity": parse_int("stockquantity"),
+            "supplierid": norm_uuid("supplierid"),
+        },
+        fks=[FkSpec("supplierid", "suppliers", UNKNOWN_SUPPLIER)],
+    )
+
+
+def spec_customers() -> EntitySpec:
+    """PIPE-CLEAN-customers (ref T:459-511)."""
+    return EntitySpec(
+        name="customers",
+        pk="customerid",
+        clean_exprs={
+            "name": clean_text("name"),
+            "age": parse_int("age"),
+            "gender": clean_text("gender"),
+            "city": clean_text("city"),
+            "state": clean_text("state"),
+            "country": clean_text("country"),
+            "signupdate": parse_date_mdy("signupdate"),
+            "primemember": parse_bool("primemember"),
+        },
+    )
+
+
+def spec_orders() -> EntitySpec:
+    """PIPE-CLEAN-orders (ref T:516-693)."""
+    return EntitySpec(
+        name="orders",
+        pk="orderid",
+        clean_exprs={
+            "customerid": norm_uuid("customerid"),
+            "orderdate": parse_date_mdy("orderdate"),
+            "shipdate": parse_date_mdy("shipdate"),
+            "shipmode": clean_text("shipmode"),
+            "totalamount": parse_decimal("totalamount", 12, 2),
+        },
+        fks=[FkSpec("customerid", "customers", UNKNOWN_CUSTOMER)],
+    )
+
+
+def spec_order_details() -> EntitySpec:
+    """PIPE-CLEAN-order_details (ref T:698-995)."""
+    return EntitySpec(
+        name="order_details",
+        pk="orderdetailid",
+        clean_exprs={
+            "orderid": norm_uuid("orderid"),
+            "productid": norm_uuid("productid"),
+            "quantity": parse_int("quantity"),
+            "unitprice": parse_decimal("unitprice", 12, 2),
+            "discount": parse_decimal("discount", 5, 2),
+        },
+        fks=[
+            FkSpec("orderid", "orders", PLACEHOLDER_ORDER),
+            FkSpec("productid", "products", UNKNOWN_PRODUCT),
+        ],
+    )
+
+
+def spec_reviews() -> EntitySpec:
+    """PIPE-CLEAN-reviews (ref T:1001-1122)."""
+    return EntitySpec(
+        name="reviews",
+        pk="reviewid",
+        clean_exprs={
+            "productid": norm_uuid("productid"),
+            "customerid": norm_uuid("customerid"),
+            "rating": parse_int("rating"),
+            "reviewtext": clean_text("reviewtext"),
+        },
+        fks=[
+            FkSpec("productid", "products", UNKNOWN_PRODUCT),
+            FkSpec("customerid", "customers", UNKNOWN_CUSTOMER),
+        ],
+    )
+
+
+SPEC_FACTORIES = {
+    "suppliers": spec_suppliers,
+    "products": spec_products,
+    "customers": spec_customers,
+    "orders": spec_orders,
+    "order_details": spec_order_details,
+    "reviews": spec_reviews,
+}
+
+# parents before children so FK guards see already-loaded parents (ref §3:
+# suppliers -> products -> customers -> orders -> order_details -> reviews)
+LOAD_ORDER = ["suppliers", "customers", "products", "orders", "order_details", "reviews"]
+
+
+def run_full_pipeline(
+    staging: dict[str, DataFrame], deterministic_ids: bool = True
+) -> tuple[dict[str, DataFrame], dict[str, CleanResult]]:
+    """Run every PIPE-CLEAN-* in dependency order, folding synthesized
+    placeholder parents back into their tables as each child loads.
+
+    Returns (final_tables, per-entity CleanResult). Quarantined rows are
+    left for an explicit ``remap_quarantined`` pass (PIPE-IDREMAP).
+    """
+    finals: dict[str, DataFrame] = {}
+    results: dict[str, CleanResult] = {}
+    for name in LOAD_ORDER:
+        if name not in staging:
+            continue
+        spec = SPEC_FACTORIES[name]()
+        res = clean_entity(
+            staging[name],
+            spec,
+            parents=finals,
+            existing=finals.get(name),
+            deterministic_ids=deterministic_ids,
+        )
+        finals[name] = res.final
+        for parent_name, ph in res.placeholders.items():
+            finals[parent_name] = upsert_ignore(
+                finals[parent_name], ph, SPEC_FACTORIES[parent_name]().pk
+            )
+        results[name] = res
+    return finals, results

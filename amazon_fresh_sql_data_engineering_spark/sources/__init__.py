@@ -1,3 +1,17 @@
-from .loaders import TABLE_NAMES, load_table, load_tables, register_views
+from .loaders import (
+    TABLE_NAMES,
+    all_string_schema,
+    load_staging_csv,
+    load_table,
+    load_tables,
+    register_views,
+)
 
-__all__ = ["TABLE_NAMES", "load_table", "load_tables", "register_views"]
+__all__ = [
+    "TABLE_NAMES",
+    "all_string_schema",
+    "load_staging_csv",
+    "load_table",
+    "load_tables",
+    "register_views",
+]

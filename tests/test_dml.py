@@ -1,0 +1,75 @@
+"""Tests for §2.3 DML-as-rewrite operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amazon_fresh_sql_data_engineering_spark.operators import dml
+
+
+def _people(spark):
+    return spark.createDataFrame(
+        [(1, "ann", 17), (2, "bob", 30), (3, "cat", None), (4, "ann", 25)],
+        "id int, name string, age int",
+    )
+
+
+def test_update_where(spark):
+    # repair UPDATE analog: age NULL or <= 18 -> 19 (ref A:51-53)
+    out = dml.update_where(
+        _people(spark),
+        F.col("age").isNull() | (F.col("age") <= 18),
+        {"age": F.lit(19)},
+    )
+    assert {r.id: r.age for r in out.collect()} == {1: 19, 2: 30, 3: 19, 4: 25}
+
+
+def test_update_from_mapping(spark):
+    mapping = spark.createDataFrame([(1, "ANN")], "id int, newname string")
+    out = dml.update_from_mapping(
+        _people(spark), mapping, on="id", assignments={"name": F.col("newname")}
+    )
+    got = {r.id: r.name for r in out.collect()}
+    assert got == {1: "ANN", 2: "bob", 3: "cat", 4: "ann"}
+    assert set(out.columns) == {"id", "name", "age"}
+
+
+def test_delete_where_null_safe(spark):
+    # NULL predicate rows must survive (SQL DELETE only removes TRUE rows)
+    out = dml.delete_where(_people(spark), F.col("age") < 20)
+    assert sorted(r.id for r in out.collect()) == [2, 3, 4]
+
+
+def test_dedup_keep_first(spark):
+    out = dml.dedup_keep_first(_people(spark), ["name"], [F.col("id")])
+    assert sorted(r.id for r in out.collect()) == [1, 2, 3]
+
+
+def test_upsert_ignore_idempotent(spark):
+    existing = _people(spark)
+    batch = spark.createDataFrame(
+        [(2, "BOB2", 99), (5, "eve", 40), (5, "eve-dup", 41)],
+        "id int, name string, age int",
+    )
+    once = dml.upsert_ignore(existing, batch, "id")
+    # conflict id=2 ignored (first-writer-wins), id=5 in-batch dup collapsed
+    assert once.count() == 5
+    assert once.filter(F.col("id") == 2).collect()[0].name == "bob"
+    twice = dml.upsert_ignore(once, batch, "id")
+    assert twice.count() == 5
+
+
+def test_cascade_delete(spark):
+    parent = spark.createDataFrame([(1, "x"), (2, "y")], "pid int, v string")
+    child = spark.createDataFrame([(10, 1), (11, 2), (12, None)], "cid int, pid int")
+    np, nc = dml.cascade_delete(parent, child, F.col("v") == "x", "pid", "pid")
+    assert [r.pid for r in np.collect()] == [2]
+    assert sorted(r.cid for r in nc.collect()) == [11, 12]
+
+
+def test_set_null_on_delete(spark):
+    parent = spark.createDataFrame([(1, "x"), (2, "y")], "pid int, v string")
+    child = spark.createDataFrame([(10, 1), (11, 2)], "cid int, pid int")
+    np, nc = dml.set_null_on_delete(parent, child, F.col("v") == "x", "pid", "pid")
+    got = {r.cid: r.pid for r in nc.collect()}
+    assert got == {10: None, 11: 2}
