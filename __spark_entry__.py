@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from amazon_fresh_sql_data_engineering_spark.queries import CATALOG
+from amazon_fresh_sql_data_engineering_spark.catalog import CATALOG
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -26,42 +26,13 @@ order_details→lineitem, products→part, suppliers→supplier).
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .sources.loaders import load_table
+from .registry import CATALOG, QuerySpec, dec, register
+from .registry import tables as _t
 
-
-@dataclass(frozen=True)
-class QuerySpec:
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
-    doc: str = ""
-
-
-CATALOG: dict[str, QuerySpec] = {}
-
-
-def register(name: str, oracle: str | None = None, doc: str = ""):
-    def deco(fn):
-        CATALOG[name] = QuerySpec(fn, oracle, doc)
-        return fn
-
-    return deco
-
-
-def _t(spark: SparkSession, sf_dir: str, *names: str):
-    dfs = [load_table(spark, sf_dir, n) for n in names]
-    return dfs[0] if len(dfs) == 1 else dfs
-
-
-def dec(c, scale: str = "18,2"):
-    """Exact-money cast: the engine-portable aggregation dtype."""
-    col = F.col(c) if isinstance(c, str) else c
-    return col.cast(f"decimal({scale})")
+__all__ = ["CATALOG", "QuerySpec", "dec", "register"]
 
 
 # ---------------------------------------------------------------------------

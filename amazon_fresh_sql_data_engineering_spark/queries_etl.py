@@ -1,0 +1,206 @@
+"""Driver-checkable ETL queries: cleaning kit, DML rewrites, 3NF
+normalization, and the integrity audit — each as a CATALOG entry with a
+DuckDB oracle (SURVEY.md §2.3, §2.9, §2.12).
+
+The dirty inputs are synthesized *deterministically from the driver's own
+tables* with expressions both engines can compute, so the oracle can state
+the expected clean values independently (the oracle never reuses the
+engine's cleaning code — it's a CASE-mapped expectation table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.cleaning import clean_text, parse_bool, parse_date_mdy, parse_int
+from .operators import constraints as C
+from .operators import dml
+from .pipelines.normalize import normalize_products
+from .registry import dec, register
+from .registry import tables as _t
+
+
+@register(
+    "q_clean_scalars",
+    oracle="""
+        SELECT c_custkey AS id,
+               c_name AS name,
+               CASE c_custkey % 5 WHEN 1 THEN CAST(c_custkey % 80 AS INT)
+                                  WHEN 3 THEN 42
+                                  WHEN 4 THEN -(CAST(c_custkey % 30 AS INT)) END AS age,
+               CASE c_custkey % 4 WHEN 0 THEN DATE '2024-01-05'
+                                  WHEN 1 THEN DATE '1999-12-31' END AS signupdate,
+               CASE c_custkey % 6 WHEN 0 THEN TRUE WHEN 1 THEN TRUE
+                                  WHEN 2 THEN FALSE WHEN 3 THEN FALSE
+                                  WHEN 4 THEN FALSE END AS primemember
+        FROM customer
+    """,
+    doc="PIPE-CLEAN scalar kit end-to-end: dirt synthesized from customer "
+    "(padded text, blank/garbage ints, M/D/YYYY + impossible dates, bool "
+    "vocabulary), cleaned by functions/cleaning.py; the oracle is an "
+    "independent CASE-mapped expectation (ref T:145-175, T:470-501).",
+)
+def q_clean_scalars(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dirty = c.select(
+        k.alias("id"),
+        F.concat(F.lit("  "), F.col("c_name"), F.lit("  ")).alias("name_raw"),
+        F.when(k % 5 == 0, "")
+        .when(k % 5 == 1, (k % 80).cast("string"))
+        .when(k % 5 == 2, "abc")
+        .when(k % 5 == 3, " 42 ")
+        .otherwise((-(k % 30)).cast("string"))
+        .alias("age_raw"),
+        F.when(k % 4 == 0, "1/5/2024")
+        .when(k % 4 == 1, "12/31/1999")
+        .when(k % 4 == 2, "2024-01-05")
+        .otherwise("13/45/2024")
+        .alias("date_raw"),
+        F.when(k % 6 == 0, "yes")
+        .when(k % 6 == 1, "Y")
+        .when(k % 6 == 2, "no ")
+        .when(k % 6 == 3, "0")
+        .when(k % 6 == 4, "")
+        .otherwise("junk")
+        .alias("bool_raw"),
+    )
+    return dirty.select(
+        "id",
+        clean_text("name_raw").alias("name"),
+        parse_int("age_raw").alias("age"),
+        parse_date_mdy("date_raw").alias("signupdate"),
+        parse_bool("bool_raw").alias("primemember"),
+    )
+
+
+@register(
+    "q_update_set",
+    oracle="""
+        SELECT c_custkey,
+               CAST(CASE WHEN c_acctbal < 0 THEN 0 ELSE c_acctbal END AS DECIMAL(18,2)) AS acctbal
+        FROM customer
+    """,
+    doc="OP-UPDATE-SET: conditional column rewrite = UPDATE ... WHERE "
+    "(ref T:470-480, A:51-53, A:110-112).",
+)
+def q_update_set(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    out = dml.update_where(c, F.col("c_acctbal") < 0, {"c_acctbal": F.lit(0)})
+    return out.select("c_custkey", dec("c_acctbal").alias("acctbal"))
+
+
+@register(
+    "q_delete",
+    oracle="""
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE NOT coalesce(s_acctbal < 0, FALSE)
+    """,
+    doc="OP-DELETE: anti-filter rewrite, NULL-predicate rows survive "
+    "(ref T:263-265, A:123-124).",
+)
+def q_delete(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    return dml.delete_where(s, F.col("s_acctbal") < 0).select("s_suppkey", "s_name")
+
+
+@register(
+    "q_upsert",
+    oracle="""
+        SELECT c_custkey AS id, c_name AS name FROM customer
+        UNION ALL
+        SELECT c_custkey + 10000000 AS id,
+               'ADDED-' || CAST(c_custkey AS VARCHAR) AS name
+        FROM customer WHERE c_custkey % 100 = 0
+    """,
+    doc="OP-UPSERT: INSERT ... ON CONFLICT DO NOTHING — conflicting keys "
+    "ignored (first-writer-wins), new keys appended (ref T:119, T:150).",
+)
+def q_upsert(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    existing = c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+    added = c.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("id"),
+        F.concat(F.lit("ADDED-"), F.col("c_custkey").cast("string")).alias("name"),
+    )
+    conflicts = c.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("id"), F.lit("CONFLICT").alias("name")
+    )
+    return dml.upsert_ignore(existing, added.unionByName(conflicts), "id")
+
+
+@register(
+    "q_cascade_delete",
+    oracle="""
+        SELECT (SELECT count(*) FROM orders WHERE NOT coalesce(o_totalprice > 450000, FALSE)) AS remaining_orders,
+               (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+                  (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)) AS remaining_lineitems
+    """,
+    doc="FK ON DELETE CASCADE as a rewrite: delete parents + their children "
+    "(ref T:53 orders FK, §2.3).",
+)
+def q_cascade_delete(spark, sf_dir):
+    o, l = _t(spark, sf_dir, "orders", "lineitem")
+    new_o, new_l = dml.cascade_delete(
+        o, l, F.col("o_totalprice") > 450000, "o_orderkey", "l_orderkey"
+    )
+    return new_o.agg(F.count(F.lit(1)).alias("remaining_orders")).crossJoin(
+        new_l.agg(F.count(F.lit(1)).alias("remaining_lineitems"))
+    )
+
+
+@register(
+    "q_normalize_3nf",
+    oracle="""
+        SELECT p_partkey,
+               substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-' || substr(hx, 13, 4)
+                 || '-' || substr(hx, 17, 4) || '-' || substr(hx, 21, 12) AS subcategoryid
+        FROM (
+            SELECT p_partkey,
+                   sha256('subcategory' || chr(31) || lower(p_brand) || chr(31) || lower(p_type)) AS hx
+            FROM part
+        )
+    """,
+    doc="PIPE-NORMALIZE: 3NF extraction — category/subcategory lookups with "
+    "content-addressed uuids, backfilled by case-insensitive join "
+    "(ref A:319-527; brand/type stand in for category/subcategory).",
+)
+def q_normalize_3nf(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    _, _, p3nf = normalize_products(
+        p, category_col="p_brand", subcategory_col="p_type"
+    )
+    return p3nf.select("p_partkey", "subcategoryid")
+
+
+@register(
+    "q_audit_report",
+    oracle="""
+        SELECT 'audit' AS report,
+               (SELECT count(*) FROM customer) AS customer_rows,
+               (SELECT count(c_custkey) - count(DISTINCT c_custkey) FROM customer) AS customer_dup_pks,
+               (SELECT count(*) FROM customer WHERE c_custkey IS NULL) AS customer_null_pks,
+               (SELECT count(*) FROM orders) AS orders_rows,
+               (SELECT count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders) AS orders_dup_pks,
+               (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS orders_null_pks,
+               (SELECT count(*) FROM lineitem) AS lineitem_rows,
+               (SELECT count(l_orderkey) - count(DISTINCT l_orderkey) FROM lineitem) AS lineitem_dup_pks,
+               (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS lineitem_null_pks,
+               (SELECT count(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                 WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS orders_o_custkey_orphans,
+               (SELECT count(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL) AS lineitem_l_orderkey_orphans
+    """,
+    doc="PIPE-AUDIT: one-row integrity report — counts, dup PKs, null PKs, "
+    "FK orphans (ref T:1130-1176).",
+)
+def q_audit_report(spark, sf_dir):
+    c, o, l = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return C.audit_report(
+        {"customer": c, "orders": o, "lineitem": l},
+        {"customer": "c_custkey", "orders": "o_orderkey", "lineitem": "l_orderkey"},
+        [
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ],
+    )

@@ -1,0 +1,48 @@
+"""Query-catalog registry shared by all query modules.
+
+``CATALOG`` maps query name -> :class:`QuerySpec` (Spark fn + DuckDB oracle
+SQL + doc). Modules ``queries`` (core relational), ``queries_etl``
+(DML/cleaning/normalize/audit) and ``queries_ext`` (LLM-pipeline extensions)
+register into it; ``catalog.py`` imports them all and is the single entry
+point for __spark_entry__ / bench.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources.loaders import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn):
+        CATALOG[name] = QuerySpec(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def tables(spark: SparkSession, sf_dir: str, *names: str):
+    dfs = [load_table(spark, sf_dir, n) for n in names]
+    return dfs[0] if len(dfs) == 1 else dfs
+
+
+def dec(c, scale: str = "18,2"):
+    """Exact-money cast: the engine-portable aggregation dtype (see
+    queries.py module docstring for the determinism rules)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal({scale})")

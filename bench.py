@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from amazon_fresh_sql_data_engineering_spark.queries import CATALOG
+from amazon_fresh_sql_data_engineering_spark.catalog import CATALOG
 from amazon_fresh_sql_data_engineering_spark.session import build_session
 
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import pytest
 
-from amazon_fresh_sql_data_engineering_spark.queries import CATALOG
+from amazon_fresh_sql_data_engineering_spark.catalog import CATALOG
 from tests.oracle_compare import compare, duckdb_connect
 
 _WITH_ORACLE = sorted(n for n, s in CATALOG.items() if s.oracle is not None)
