@@ -1,0 +1,125 @@
+"""Text-analysis expression kit for the training-data pipeline extensions
+(BASELINE.json scope: language-ID, quality scoring, token counting, document
+fingerprinting).
+
+Everything here is a native Column expression (JVM-side, codegen-eligible) —
+no Python UDFs in the hot path, so these run at full scan speed over a
+100 TB ``documents`` table. Heavier analyses (simhash bit-vote) live in
+operators/dedup.py as Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small embedded marker lists: enough for a deterministic n-gram/stopword
+# heuristic. Real pipelines would swap in fastText/CLD3 via a pandas UDF.
+EN_MARKERS = ["the", "a", "of", "and", "to", "in", "is"]
+ES_MARKERS = ["el", "la", "de", "y", "los", "en", "es"]
+STOPWORDS = EN_MARKERS + ["for", "on", "with", "as", "at", "by"]
+
+FP_MOD = 1_000_000_007
+FP_BASE = 131
+
+
+def _c(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text -> array<string>."""
+    return F.split(F.trim(_c(c)), r"\s+")
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokens(c))
+
+
+def word_tokens(c: Column | str) -> Column:
+    """BPE-ish regex tokenization: letter runs, digit runs, single
+    punctuation — the usual pre-tokenizer shape."""
+    t = F.trim(_c(c))
+    # split on boundaries between classes by first spacing them out
+    spaced = F.regexp_replace(t, r"([^A-Za-z0-9\s])", r" $1 ")
+    return F.filter(F.split(spaced, r"\s+"), lambda x: x != "")
+
+
+def _count_in(arr: Column, words: list[str]) -> Column:
+    lit_words = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(arr, lambda x: F.array_contains(lit_words, x)))
+
+
+def lang_scores(c: Column | str) -> tuple[Column, Column]:
+    """(en_score, es_score): marker-word hits over lowercased tokens."""
+    toks = tokens(F.lower(_c(c)))
+    return _count_in(toks, EN_MARKERS), _count_in(toks, ES_MARKERS)
+
+
+def lang_id(c: Column | str) -> Column:
+    """Deterministic marker-based language guess: 'en' | 'es' | 'und'.
+    Ties break toward 'en' (more markers usually fire for English)."""
+    en, es = lang_scores(c)
+    return (
+        F.when((en >= es) & (en > 0), F.lit("en"))
+        .when(es > en, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def stopword_ratio(c: Column | str) -> Column:
+    toks = tokens(F.lower(_c(c)))
+    n = F.size(toks)
+    return F.when(n > 0, _count_in(toks, STOPWORDS).cast("double") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(c: Column | str) -> Column:
+    t = _c(c)
+    n = F.length(t)
+    n_punct = n - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    return F.when(n > 0, n_punct.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def avg_word_len(c: Column | str) -> Column:
+    toks = tokens(_c(c))
+    n = F.size(toks)
+    total = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    low punctuation + sane word length. Deterministic, SQL-expressible —
+    the shape of a Gopher/C4-style quality filter."""
+    n_tok = token_count(c).cast("double")
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 1000), 1.0).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(c) >= 0.05, 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.0)
+    wl = avg_word_len(c)
+    wl_ok = F.when((wl >= 2) & (wl <= 12), 1.0).otherwise(0.0)
+    return (len_ok + stop_ok + punct_ok + wl_ok) / F.lit(4.0)
+
+
+def word_hashes(c: Column | str) -> Column:
+    """Cheap deterministic per-word code: len*31 + first-char codepoint —
+    portable to any SQL engine (the oracle replicates it)."""
+    return F.transform(
+        tokens(_c(c)),
+        lambda w: (F.length(w) * 31 + F.coalesce(F.ascii(F.substring(w, 1, 1)), F.lit(0))).cast(
+            "long"
+        ),
+    )
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Rolling polynomial hash over word codes, mod 1e9+7 (document
+    fingerprint for cheap change detection / exact-ish dedup)."""
+    return F.aggregate(
+        word_hashes(c),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FP_BASE + x) % FP_MOD,
+    )

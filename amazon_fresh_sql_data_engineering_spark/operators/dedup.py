@@ -1,0 +1,354 @@
+"""Deduplication operators for training-data pipelines (BASELINE.json
+scope): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Scale design — the non-negotiable at 100 TB is **never materialize the
+O(n²) pair space**:
+- exact dedup: one hash-groupBy (single shuffle, map-side partial agg).
+- MinHash LSH: shingle -> 64 minhashes -> 16 bands; candidate pairs come
+  from a *bucket self-join* (equi-join on band hash — shuffled hash join on
+  a high-cardinality key), then exact Jaccard verifies only candidates.
+- SimHash: 64-bit signature via an Arrow-batched pandas UDF (bit-vote is a
+  numpy one-liner; per-row Python would be 100x slower), banded into 4x16-bit
+  chunks for candidates, verified by ``bit_count(xor)`` hamming distance.
+- n-gram Jaccard: blocked pairwise compare — the block key caps pair count.
+- embedding near-dup: sign-LSH buckets (deterministic hyperplanes) ->
+  exact-cosine verify within buckets.
+
+All randomness is seeded/deterministic so results are stable across runs
+and cluster layouts.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from ..functions.text import tokens
+from ..functions.vectors import cosine, to_double
+
+# Mersenne-31: keeps (a*h + b) < 2^62, so permutation arithmetic never
+# overflows a long even under ANSI mode (a vanilla Spark 4 session has
+# spark.sql.ansi.enabled=true, where long overflow THROWS).
+MERSENNE_P = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup on ``cols``: keep the row with the smallest ``id_col``
+    per duplicate group (deterministic winner). One shuffle."""
+    w_cols = [F.col(c) for c in cols]
+    keep = df.groupBy(*w_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=[*cols, id_col], how="left_semi")
+
+
+def shingles(c: Column | str, k: int = 3) -> Column:
+    """k-word shingles as strings (distinct), the MinHash/Jaccard unit."""
+    toks = tokens(c)
+    n = F.size(toks)
+    # guard: F.sequence(1, 0) would DESCEND ([1, 0]); short docs get an
+    # empty shingle set instead
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    return F.when(
+        n >= k,
+        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _minhash_perms(num: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P)) for _ in range(num)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures: (__id, __sig array<long> of len ``num_hashes``)
+    over k-word shingles. Base hash is ``xxhash64`` (JVM-side,
+    deterministic); each permutation is (a*h + b) mod M31.
+
+    The shingle-hash array is **materialized in its own projection** before
+    the 64 permutation minimums reference it — otherwise Catalyst inlines
+    the shingling+xxhash subtree into every array_min and computes it
+    ``num_hashes`` times (measured 18x slowdown at sf0.1). Docs with no
+    shingles are dropped (nothing to near-dup against).
+    """
+    sh = shingles(text_col, k)
+    hashed = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))).alias("__h"),
+    ).filter(F.size("__h") > 0)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__h"),
+                    lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_P)),
+                )
+            )
+            for a, b in _minhash_perms(num_hashes, seed)
+        ]
+    )
+    return hashed.select("__id", sig.alias("__sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: docs sharing any band bucket.
+
+    Returns (id_a, id_b) with id_a < id_b, distinct. The only wide ops are
+    one explode (rows x bands) and one equi-self-join on the band hash —
+    no crossJoin anywhere.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k, seed)
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.col("__sig")[i]
+                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "bb.band", "bb.bucket")
+    left = banded.select(F.col("band"), F.col("bucket"), F.col("__id").alias("id_a"))
+    right = banded.select(F.col("band"), F.col("bucket"), F.col("__id").alias("id_b"))
+    return (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified with exact shingle Jaccard.
+    Output: (id_a, id_b, jaccard_sim) for pairs >= threshold."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, k, seed)
+    sh = df.select(
+        F.col(id_col).alias("__sid"), shingles(text_col, k).alias("__sh")
+    )
+    return (
+        cands.join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "__sh_a"), on="id_a")
+        .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "__sh_b"), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Blocked exact n-gram Jaccard: pairwise within ``block_cols`` blocks
+    only. The block key bounds the pair count; at 100 TB the block must be
+    chosen so max block size stays in the thousands (or fall back to
+    MinHash-LSH, which needs no blocks).
+
+    Shingles are compared as xxhash64 codes, not strings: long-array
+    intersection is ~5x cheaper than string-array intersection and the
+    Jaccard value is identical barring 64-bit hash collisions (~1e-19 per
+    pair at these set sizes)."""
+    sh = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("__id"),
+        F.array_distinct(
+            F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
+        ).alias("__sh"),
+    )
+    a = sh.select(*block_cols, F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(*block_cols, F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    return (
+        a.join(b, on=block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard_sim")
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+@pandas_udf(LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (Arrow-batched; numpy bit-vote).
+
+    Token hash = xxhash-free portable variant: md5 of token, low 64 bits —
+    deterministic across workers and Python versions.
+    """
+    import hashlib
+
+    shifts = np.arange(64, dtype=np.uint64)
+    bit_cache: dict[str, np.ndarray] = {}  # token -> ±1 bit votes (vocab is small)
+
+    def token_bits(tok: str) -> np.ndarray:
+        cached = bit_cache.get(tok)
+        if cached is None:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+            bits = ((np.uint64(h) >> shifts) & np.uint64(1)).astype(np.int64)
+            cached = bit_cache[tok] = 2 * bits - 1
+        return cached
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = t.split()
+        if not toks:
+            continue
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            votes += token_bits(tok)
+        sig = 0
+        for bit in range(64):
+            if votes[bit] > 0:
+                sig |= 1 << bit
+        if sig >= 1 << 63:  # two's-complement into signed long
+            sig -= 1 << 64
+        out[i] = sig
+    return pd.Series(out)
+
+
+def simhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: banded 16-bit chunks generate candidates
+    (a pair within hamming distance 3 of 64 bits must agree on at least one
+    of 4 chunks — pigeonhole), verified by exact ``bit_count(xor)``."""
+    sig = df.select(
+        F.col(id_col).alias("__id"), simhash64(F.col(text_col)).alias("__sig")
+    )
+    chunks = sig.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("__sig", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("__id", "__sig", "cc.chunk", "cc.key")
+    a = chunks.select("chunk", "key", F.col("__id").alias("id_a"), F.col("__sig").alias("__sig_a"))
+    b = chunks.select("chunk", "key", F.col("__id").alias("id_b"), F.col("__sig").alias("__sig_b"))
+    return (
+        a.join(b, on=["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-LSH buckets + exact verify.
+
+    Deterministic random hyperplanes (numpy, fixed seed) become literal
+    arrays broadcast into the plan; the bucket is the 8-bit sign pattern,
+    so the self-join is an equi-join on a small key — no crossJoin. Pairs
+    split across adjacent buckets are missed (recall < 1, like any LSH);
+    raise n_planes/band count for tighter recall control.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    v = to_double(F.col(vec_col))
+    bucket_bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in planes[i]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for i in range(n_planes)
+    ]
+    bucket = sum(b * (2**i) for i, b in enumerate(bucket_bits))
+    keyed = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), bucket.alias("__bucket")
+    )
+    a = keyed.select("__bucket", F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    b = keyed.select("__bucket", F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        a.join(b, on="__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(to_double(F.col("__va")), to_double(F.col("__vb"))).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

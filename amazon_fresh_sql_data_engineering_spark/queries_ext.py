@@ -1,0 +1,369 @@
+"""Extension queries: dedup, similarity search, text analysis, multimodal,
+streaming-shaped rollups (BASELINE.json scope — beyond the reference's own
+surface, designed for 100 TB training-data pipelines).
+
+Synthetic duplicates are unioned in deterministically (id + 1_000_000 /
+mutated text) so dedup operators have real work on the driver's otherwise
+duplicate-free tables, and the oracle can reproduce the same universe.
+
+Queries whose algorithms aren't SQL-expressible (pandas-UDF SimHash,
+numpy-seeded LSH planes) register without an oracle — the driver records a
+rows-only check; pytest validates them against brute-force ground truth
+(tests/test_extensions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions import text as TXT
+from .operators import dedup as D
+from .operators import multimodal as MM
+from .operators import similarity as S
+from .registry import register
+from .registry import tables as _t
+from .streaming.events import hourly_rollup, sessionize_batch
+
+# shared universe for text-dedup queries: documents + exact copies (id%10)
+# and suffix-mutated near-copies (id%20)
+_DUP_SUFFIX = " qq ww ee rr tt yy"
+
+
+def _docs_with_dups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    copies = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    mutated = (
+        d.filter(F.col("doc_id") % 20 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(_DUP_SUFFIX)))
+    )
+    return d.unionByName(copies).unionByName(mutated)
+
+
+_DOCS_DUPS_SQL = f"""
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang, source, n_chars
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text || '{_DUP_SUFFIX}', lang, source, n_chars
+        FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+        WITH all_docs AS ({_DOCS_DUPS_SQL})
+        SELECT d.doc_id, d.lang, d.source
+        FROM all_docs d
+        JOIN (SELECT text, min(doc_id) AS keep_id FROM all_docs GROUP BY text) k
+          ON d.text = k.text AND d.doc_id = k.keep_id
+    """,
+    doc="Exact dedup: hash-groupBy on text, keep min-id row per group "
+    "(one shuffle; the canonical 100 TB exact-dedup shape).",
+)
+def dedup_exact(spark, sf_dir):
+    docs = _docs_with_dups(spark, sf_dir)
+    return D.exact_dedup(docs, ["text"], "doc_id").select("doc_id", "lang", "source")
+
+
+_SHINGLE_SQL = """
+            SELECT doc_id, lang, n_chars // 100 AS blk,
+                   list_distinct(
+                     list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ) AS sh
+            FROM (SELECT doc_id, lang, n_chars,
+                         regexp_split_to_array(trim(text), '\\s+') AS toks
+                  FROM all_docs)
+            WHERE len(toks) >= 3
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH all_docs AS ({_DOCS_DUPS_SQL}),
+        sh AS ({_SHINGLE_SQL})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard_sim
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
+    doc="Blocked exact 3-gram Jaccard near-dup pairs; block key "
+    "(lang, n_chars bucket) bounds the pair space.",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = _docs_with_dups(spark, sf_dir).withColumn(
+        "blk", (F.col("n_chars") / 100).cast("long")
+    )
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_cols=["lang", "blk"], threshold=0.5, k=3
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+
+
+@register(
+    "dedup_minhash",
+    oracle=None,  # banded-LSH bucketing isn't portable SQL; pytest validates vs brute force
+    doc="MinHash(64)+LSH(16 bands) near-dup candidate pairs verified by "
+    "exact shingle Jaccard >= 0.6. No crossJoin: candidates come from an "
+    "equi-self-join on band buckets — the 100 TB-safe near-dedup.",
+)
+def dedup_minhash(spark, sf_dir):
+    docs = _docs_with_dups(spark, sf_dir)
+    return D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # pandas-UDF signature; pytest validates determinism + known dups
+    doc="SimHash64 near-dup pairs (Arrow-batched signature UDF, 16-bit "
+    "banded candidates, bit_count-verified hamming <= 3).",
+)
+def dedup_simhash(spark, sf_dir):
+    docs = _docs_with_dups(spark, sf_dir)
+    return D.simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _embeddings_with_dups(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    copies = e.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    return e.unionByName(copies)
+
+
+@register(
+    "dedup_embedding",
+    oracle=None,  # numpy-seeded hyperplanes; pytest checks recall vs brute force
+    doc="Embedding-cosine near-dup pairs (>=0.95) via sign-LSH buckets + "
+    "exact-cosine verify; exact duplicate vectors synthesized (vec_id%25).",
+)
+def dedup_embedding(spark, sf_dir):
+    e = _embeddings_with_dups(spark, sf_dir)
+    return D.embedding_dedup_pairs(e, "vec_id", "embedding", threshold=0.95).select(
+        "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
+@register(
+    "sim_cosine_topk",
+    oracle="""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                         6) AS cosine_sim
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 10
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-5 per query vector (10 queries broadcast "
+    "against the corpus, JVM-side zip_with dot product, per-query window "
+    "top-k). The exact baseline every ANN variant is measured against.",
+)
+def sim_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk_bruteforce(
+        e.filter(F.col("vec_id") < 10), e, "vec_id", "vec_id", "embedding", k=5
+    )
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=None,  # numpy-seeded planes; pytest measures recall vs brute force
+    doc="Approximate top-5 via sign-LSH (16 planes, 4 bands) candidates + "
+    "exact rerank — the scale path: no crossJoin, corpus joined only on "
+    "bucket keys.",
+)
+def sim_ann_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return S.lsh_topk(
+        e.filter(F.col("vec_id") < 10), e, "vec_id", "vec_id", "embedding", k=5
+    )
+
+
+@register(
+    "text_stats",
+    oracle=r"""
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               round(len(list_filter(lower_toks,
+                     x -> x IN ('the','a','of','and','to','in','is','for','on','with','as','at','by')))::DOUBLE
+                     / len(toks), 6) AS stopword_ratio,
+               round((length(t) - length(regexp_replace(t, '[^\w\s]', '', 'g')))::DOUBLE
+                     / length(t), 6) AS punct_ratio,
+               round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 6) AS avg_word_len
+        FROM (
+            SELECT doc_id, trim(text) AS t,
+                   regexp_split_to_array(trim(text), '\s+') AS toks,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS lower_toks
+            FROM documents
+        )
+    """,
+    doc="Per-document text statistics: token count, stopword ratio, "
+    "punctuation ratio, average word length — all native expressions, "
+    "full scan speed.",
+)
+def text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n = TXT.token_count("text")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(TXT.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(TXT.punct_ratio(F.trim(F.col("text"))), 6).alias("punct_ratio"),
+        F.round(TXT.avg_word_len("text"), 6).alias("avg_word_len"),
+    )
+
+
+@register(
+    "text_quality_langid",
+    oracle=r"""
+        SELECT doc_id, lang,
+               CASE WHEN en_score >= es_score AND en_score > 0 THEN 'en'
+                    WHEN es_score > en_score THEN 'es'
+                    ELSE 'und' END AS lang_pred,
+               round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END
+                      + CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END
+                      + CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END
+                      + CASE WHEN awl BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END) / 4.0,
+                     4) AS quality_score
+        FROM (
+            SELECT doc_id, lang,
+                   len(toks) AS n_tokens,
+                   len(list_filter(lower_toks, x -> x IN ('the','a','of','and','to','in','is'))) AS en_score,
+                   len(list_filter(lower_toks, x -> x IN ('el','la','de','y','los','en','es'))) AS es_score,
+                   len(list_filter(lower_toks,
+                       x -> x IN ('the','a','of','and','to','in','is','for','on','with','as','at','by')))::DOUBLE
+                     / len(toks) AS stop_ratio,
+                   (length(t) - length(regexp_replace(t, '[^\w\s]', '', 'g')))::DOUBLE / length(t) AS punct_ratio,
+                   list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) AS awl
+            FROM (
+                SELECT doc_id, lang, trim(text) AS t,
+                       regexp_split_to_array(trim(text), '\s+') AS toks,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS lower_toks
+                FROM documents
+            )
+        )
+    """,
+    doc="Language-ID (marker-word heuristic) + composite quality score "
+    "(length/stopword/punctuation/word-length bands) per document.",
+)
+def text_quality_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        TXT.lang_id("text").alias("lang_pred"),
+        F.round(TXT.quality_score(t), 4).alias("quality_score"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                 list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                w -> (length(w) * 31 + coalesce(ascii(substr(w, 1, 1)), 0))::BIGINT),
+                 (acc, x) -> (acc * 131 + x) % 1000000007
+               ) AS fp
+        FROM documents
+    """,
+    doc="Document fingerprint: rolling polynomial hash over word codes "
+    "mod 1e9+7 (cheap change-detection / bucketing key).",
+)
+def text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TXT.fingerprint("text").alias("fp"))
+
+
+@register(
+    "mm_decode",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               'image/fake' AS media_type,
+               CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+               CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height
+        FROM documents
+    """,
+    doc="Multimodal plumbing: binary media column + typed metadata, "
+    "decoded via Arrow-batched mapInPandas (deterministic fake decode — "
+    "codecs are stubbed, the Spark plumbing is real; SURVEY §7.5).",
+)
+def mm_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = MM.attach_fake_media(d, "doc_id", "text")
+    return MM.decode_media(media, fake=True).select(
+        "doc_id", "n_bytes", "media_type", "width", "height"
+    )
+
+
+@register(
+    "events_hourly",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="Tumbling 1-hour rollup per event_type (F.window; identical "
+    "transformation serves readStream with a watermark — "
+    "streaming/events.py).",
+)
+def events_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return hourly_rollup(e)
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+        WITH x AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR CAST(floor(epoch(ts)) AS BIGINT)
+                                - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 300
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        y AS (
+            SELECT user_id, ts, value,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM x
+        )
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        FROM y GROUP BY user_id, sid
+    """,
+    doc="Sessionization (5-min gap) via lag+cumsum gaps-and-islands — one "
+    "shuffle on user_id; the streaming twin uses session_window "
+    "(streaming/events.py).",
+)
+def events_sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return sessionize_batch(e, gap_minutes=5)

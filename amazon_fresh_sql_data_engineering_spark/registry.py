@@ -36,7 +36,24 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Pin the semantics-critical confs on whatever session the caller
+    (e.g. the external driver) hands us. The engine's contract is
+    PG-compatible cast-to-NULL (ANSI off, SURVEY §4 trap 2), CORRECTED
+    date parsing, and UTC timestamps for oracle determinism."""
+    for k, v in [
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.legacy.timeParserPolicy", "CORRECTED"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in some deployments; semantics then follow that deployment
+
+
 def tables(spark: SparkSession, sf_dir: str, *names: str):
+    ensure_engine_confs(spark)
     dfs = [load_table(spark, sf_dir, n) for n in names]
     return dfs[0] if len(dfs) == 1 else dfs
 

@@ -1,0 +1,102 @@
+"""Structured Streaming operators over the ``events`` table (SURVEY §7.5
+extension — the reference is batch-only; this is the engine's streaming
+surface).
+
+Transformations are defined once over a DataFrame and reused verbatim in
+batch and streaming (``readStream`` + the same function + ``writeStream``)
+— the Structured Streaming model. Watermarks bound state for late data.
+
+Scale: windowed aggs shuffle on (window, key); state store size is bounded
+by watermark horizon x key cardinality. ``sessionize_batch`` uses the
+lag+cumsum formulation (deterministic, oracle-checkable); streaming uses
+``session_window`` (state-store-backed merging sessions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import dec
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour counts + exact sums per event_type (batch or
+    stream; call .withWatermark upstream for streaming)."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("decimal(38,2)").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 5) -> DataFrame:
+    """Gaps-and-islands sessionization per user (batch, deterministic):
+    a new session starts when the gap to the previous event exceeds
+    ``gap_minutes``. Output: user_id, session_start, n_events, total_value.
+    """
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_sid = events.withColumn("__new", new_session).withColumn(
+        "__sid", F.sum("__new").over(by_user.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_sid.groupBy("user_id", "__sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("decimal(38,2)").alias("total_value"),
+        )
+        .drop("__sid")
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 5) -> DataFrame:
+    """Streaming sessionization via session_window (state-store merging)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )
+
+
+def stream_events_from_parquet(
+    spark: SparkSession, sf_dir: str, schema=None
+) -> DataFrame:
+    """readStream over the events parquet (file-source streaming). The
+    nanos timestamp is read as long (nanosAsLong) and converted, same as
+    the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(static.schema).parquet(f"{sf_dir}")
+    if dict(static.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_stream_to_memory(
+    spark: SparkSession, stream_df: DataFrame, table_name: str
+) -> None:
+    """Drain an availableNow stream into an in-memory sink (tests/demos)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,152 @@
+"""Ground-truth validation for extension operators without SQL oracles:
+MinHash/SimHash/embedding-LSH against brute force, multimodal stub
+behavior, and the streaming twin of the batch rollup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_fresh_sql_data_engineering_spark.operators import dedup as D
+from amazon_fresh_sql_data_engineering_spark.operators import multimodal as MM
+from amazon_fresh_sql_data_engineering_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " with a tiny suffix added"),  # near dup of 1
+        (4, "completely different words about spark shuffles and parquet files here"),
+        (5, "another unrelated document mentioning windows aggregates and joins etc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_known_dups_and_matches_bruteforce(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any({4, 5} & set(p) for p in pairs)
+    # verified jaccard must equal brute-force jaccard for reported pairs
+    sh = docs.select("doc_id", D.shingles("text").alias("sh"))
+    brute = {
+        (r.id_a, r.id_b): r.j
+        for r in sh.alias("a")
+        .crossJoin(sh.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            D.jaccard(F.col("a.sh"), F.col("b.sh")).alias("j"),
+        )
+        .collect()
+    }
+    for p, j in pairs.items():
+        assert abs(brute[p] - j) < 1e-12
+
+
+def test_simhash_deterministic_and_finds_dups(spark, docs):
+    sig1 = {r.doc_id: r.s for r in docs.select("doc_id", D.simhash64("text").alias("s")).collect()}
+    sig2 = {r.doc_id: r.s for r in docs.select("doc_id", D.simhash64("text").alias("s")).collect()}
+    assert sig1 == sig2  # deterministic across runs
+    assert sig1[1] == sig1[2]  # identical text -> identical signature
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             D.simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_embedding_lsh_recall_vs_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((20, 16)).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    rows += [(100 + i, base[i].tolist()) for i in range(5)]  # exact dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_dedup_pairs(df, "vec_id", "embedding", threshold=0.999).collect()
+    }
+    expected = {(i, 100 + i) for i in range(5)}
+    # identical vectors always share every LSH bucket -> full recall on exact dups
+    assert expected <= got
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    from amazon_fresh_sql_data_engineering_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    brute = S.cosine_topk_bruteforce(q, e, "vec_id", "vec_id", "embedding", k=5)
+    approx = S.lsh_topk(q, e, "vec_id", "vec_id", "embedding", k=5)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.4, f"LSH recall collapsed: {recall}"  # sanity floor
+
+
+def test_multimodal_stub_paths(spark, docs):
+    media = MM.attach_fake_media(docs, "doc_id", "text")
+    out = MM.decode_media(media, fake=True).collect()
+    assert len(out) == 5
+    row = {r.doc_id: r for r in out}[1]
+    n = len("the quick brown fox jumps over the lazy dog and runs far away today")
+    assert row.n_bytes == n and row.width == n % 640 + 1
+    assert row.checksum == sum(b"the quick brown fox jumps over the lazy dog and runs far away today"[:64])
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        MM.decode_media(media, fake=False).collect()
+
+
+def test_streaming_hourly_matches_batch(spark, sf_dir, tmp_path):
+    """The same hourly_rollup transformation over readStream(availableNow)
+    must equal the batch result — the unified-engine invariant."""
+    from amazon_fresh_sql_data_engineering_spark.sources import load_table
+    from amazon_fresh_sql_data_engineering_spark.streaming.events import hourly_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    # park a clean copy (micros ts) for the file stream source
+    stream_dir = str(tmp_path / "events_stream")
+    events.write.parquet(stream_dir)
+    batch = {tuple(r) for r in hourly_rollup(events).collect()}
+
+    stream = spark.readStream.schema(events.schema).parquet(stream_dir)
+    q = (
+        hourly_rollup(stream.withWatermark("ts", "2 hours"))
+        .writeStream.format("memory")
+        .queryName("hourly_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM hourly_test").collect()}
+    assert streamed == batch
+
+
+def test_sessionize_stream_runs(spark, sf_dir, tmp_path):
+    from amazon_fresh_sql_data_engineering_spark.sources import load_table
+    from amazon_fresh_sql_data_engineering_spark.streaming.events import (
+        sessionize_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    stream_dir = str(tmp_path / "events_sessions")
+    events.write.parquet(stream_dir)
+    stream = spark.readStream.schema(events.schema).parquet(stream_dir)
+    q = (
+        sessionize_stream(stream, gap_minutes=5)
+        .writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.sql("SELECT count(*) c FROM sessions_test").collect()[0].c
+    assert n > 0
