@@ -1,0 +1,73 @@
+"""Sinks: CTAS, partitioned and bucketed parquet writes (SURVEY §2.1
+OP-CTAS / OP-DROP; storage layout is the engine's main 100 TB lever).
+
+Layout guidance encoded here:
+- **date-partition** fact tables on their query predicate column
+  (orders by order month, events by day): partition pruning turns
+  half-open date-range scans (ref A:253-254) into directory pruning.
+- **bucket** the biggest join pairs on the join key (orders ⋈ lineitem on
+  the order key): both sides pre-shuffled at write time means the join
+  runs shuffle-free forever after.
+- **atomic swap**: write to a temp path then rename — the idempotency
+  contract replacing the reference's BEGIN/COMMIT (OP-TXN, SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def ctas(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CREATE TABLE AS SELECT -> parquet directory (ref T:242-247 CTAS
+    quarantine/mapping tables)."""
+    df.write.mode(mode).parquet(path)
+
+
+def ctas_partitioned(
+    df: DataFrame, path: str, partition_by: list[str], mode: str = "overwrite"
+) -> None:
+    """Date/key-partitioned CTAS: one directory per partition value; range
+    predicates on the partition column prune at the driver."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def ctas_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table_name: str,
+    bucket_by: str,
+    num_buckets: int = 32,
+    sort_by: str | None = None,
+) -> None:
+    """Bucketed managed table (saveAsTable — bucketing needs the catalog).
+    Joining two tables bucketed on the same key with the same bucket count
+    is shuffle-free (checked in tests/test_sinks.py)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")  # OP-DROP, idempotent setup
+    w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.format("parquet").saveAsTable(table_name)
+
+
+def atomic_swap_write(df: DataFrame, final_path: str) -> None:
+    """Rewrite-and-swap: materialize to a temp sibling, then atomically
+    replace ``final_path``. This is how OP-UPDATE/DELETE rewrites persist
+    without torn reads (SURVEY §2.3 OP-TXN non-goal note)."""
+    tmp = f"{final_path}.__tmp__{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{final_path}.__old__{uuid.uuid4().hex[:8]}"
+    if os.path.exists(final_path):
+        os.rename(final_path, old)
+    os.rename(tmp, final_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def drop_table_path(path: str) -> None:
+    """DROP TABLE IF EXISTS for path-based tables (ref T:3-15)."""
+    if os.path.exists(path):
+        shutil.rmtree(path)

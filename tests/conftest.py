@@ -17,7 +17,12 @@ def spark():
     # Modest parallelism for tiny test data: fewer shuffle partitions means
     # less per-stage task overhead. Scale-sensitive settings are asserted in
     # test_plans.py, not here.
-    s = build_session(app_name="tests", master="local[8]", shuffle_partitions=8)
+    s = build_session(
+        app_name="tests",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/spark-warehouse-tests"},
+    )
     yield s
 
 

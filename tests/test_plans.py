@@ -1,0 +1,93 @@
+"""Plan-quality gates (SURVEY.md §4): these tests pin the physical-plan
+properties that make the engine viable at 100 TB — filter pushdown to the
+parquet scan, column pruning, broadcast of small dimensions, distributed
+top-k, and no shuffle explosions. A regression here is a performance bug
+even when results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_fresh_sql_data_engineering_spark.catalog import CATALOG
+from amazon_fresh_sql_data_engineering_spark.plans import explain as X
+from amazon_fresh_sql_data_engineering_spark.sources import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = CATALOG["op_filter_eq"].fn(spark, sf_dir)
+    pf = X.pushed_filters(df)
+    assert "c_mktsegment" in pf and ("EqualTo" in pf or "=" in pf), pf
+
+
+def test_range_filter_pushdown(spark, sf_dir):
+    df = CATALOG["op_filter_range"].fn(spark, sf_dir)
+    pf = X.pushed_filters(df)
+    assert "l_quantity" in pf and "l_shipdate" in pf, pf
+
+
+def test_column_pruning(spark, sf_dir):
+    # 2-column projection from the 11-column lineitem must scan <= 4 cols
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    rs = X.read_schema(df)
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_extendedprice" not in rs and "l_shipdate" not in rs, rs
+
+
+def test_small_dim_broadcasts(spark, sf_dir):
+    df = CATALOG["op_join_multi"].fn(spark, sf_dir)
+    assert X.has_broadcast_join(df), X.physical_plan(df)[:2000]
+
+
+def test_topk_is_take_ordered_not_full_sort(spark, sf_dir):
+    df = CATALOG["op_topk"].fn(spark, sf_dir)
+    assert X.has_take_ordered(df), X.physical_plan(df)[:2000]
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    # partial+final hash agg -> exactly one exchange
+    df = CATALOG["q1_pricing_summary"].fn(spark, sf_dir)
+    assert X.shuffle_count(df) <= 1, X.physical_plan(df)[:3000]
+
+
+def test_semi_anti_join_planned(spark, sf_dir):
+    plan = X.physical_plan(CATALOG["q_no_orders"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan or "left_anti" in plan.lower()
+    plan = X.physical_plan(CATALOG["op_join_semi"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # AQE wraps the plan pre-execution, hiding codegen subtrees; build the
+    # same plan with AQE off to introspect codegen, then restore.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = CATALOG["q1_pricing_summary"].fn(spark, sf_dir)
+        assert X.codegen_stage_count(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_vectorized_scan_and_partial_agg(spark, sf_dir):
+    df = CATALOG["q1_pricing_summary"].fn(spark, sf_dir)
+    assert X.vectorized_scan(df), "parquet scan fell out of the vectorized reader"
+    assert X.partial_aggregation_present(df), "no map-side partial aggregation"
+
+
+def test_events_scan_prunes_columns(spark, sf_dir):
+    df = CATALOG["events_hourly"].fn(spark, sf_dir)
+    rs = X.read_schema(df)
+    assert "props" not in rs, rs  # unused wide column must not be read
+
+
+@pytest.mark.parametrize(
+    "name", ["q_high_value", "q_order_revenue", "q_top_categories", "op_join_multi"]
+)
+def test_no_cartesian_in_catalog_joins(spark, sf_dir, name):
+    plan = X.physical_plan(CATALOG[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+
+
+def test_broadcast_hint_respected_in_corr_subquery(spark, sf_dir):
+    df = CATALOG["op_corr_scalar_subquery"].fn(spark, sf_dir)
+    assert X.has_broadcast_join(df)

@@ -1,0 +1,68 @@
+"""Sink/layout tests: partition pruning, shuffle-free bucketed joins,
+atomic swap semantics — the storage-side 100 TB levers."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from amazon_fresh_sql_data_engineering_spark.plans import explain as X
+from amazon_fresh_sql_data_engineering_spark.sources import load_table, sinks
+
+
+def test_ctas_roundtrip(spark, sf_dir, tmp_path):
+    p = str(tmp_path / "region_copy")
+    region = load_table(spark, sf_dir, "region")
+    sinks.ctas(region, p)
+    assert spark.read.parquet(p).count() == region.count()
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    p = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, sf_dir, "orders")
+    sinks.ctas_partitioned(orders, p, ["o_orderstatus"])
+    assert os.path.isdir(f"{p}/o_orderstatus=F")
+    pruned = spark.read.parquet(p).filter(F.col("o_orderstatus") == "F")
+    plan = X.physical_plan(pruned)
+    # partition filter must appear as PartitionFilters, not a post-scan Filter
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    assert pruned.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sinks.ctas_bucketed(spark, orders, "orders_b", "o_orderkey", 8)
+    sinks.ctas_bucketed(
+        spark,
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b",
+        "o_orderkey",
+        8,
+    )
+    ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ob.join(lb, on="o_orderkey").groupBy("o_orderstatus").count()
+        plan = X.physical_plan(joined)
+        # bucketing pre-shuffled both sides: the ONLY Exchange left is the
+        # one under the post-join groupBy — none feeding the join
+        assert "SortMergeJoin" in plan
+        assert X.shuffle_count(joined) == 1, plan[:3000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_atomic_swap_write(spark, sf_dir, tmp_path):
+    p = str(tmp_path / "swap_target")
+    region = load_table(spark, sf_dir, "region")
+    sinks.atomic_swap_write(region, p)
+    assert spark.read.parquet(p).count() == 5
+    # swap again with modified data; old data fully replaced
+    sinks.atomic_swap_write(region.filter(F.col("r_regionkey") < 2), p)
+    assert spark.read.parquet(p).count() == 2
+    leftovers = [d for d in os.listdir(tmp_path) if "__tmp__" in d or "__old__" in d]
+    assert not leftovers
