@@ -117,7 +117,11 @@ def minhash_lsh_candidates(
     no crossJoin anywhere.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k, seed)
+    # persist the signatures: CollapseProject would otherwise inline the
+    # 64-permutation signature expression into EVERY band's bucket hash
+    # (16x recompute — measured 10s of 14s at sf0.1). At scale, persisted
+    # signatures are also what the verify step and incremental runs reuse.
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k, seed).persist()
     banded = sig.select(
         "__id",
         F.explode(

@@ -174,6 +174,58 @@ def q_normalize_3nf(spark, sf_dir):
 
 
 @register(
+    "q_insert_values",
+    oracle="""
+        SELECT r_regionkey, r_name FROM region
+        UNION ALL
+        SELECT * FROM (VALUES (100, 'ATLANTIS'), (101, 'LEMURIA')) v(r_regionkey, r_name)
+    """,
+    doc="OP-INSERT-VALUES: literal multi-row insert as createDataFrame + "
+    "unionByName (ref A:95-99).",
+)
+def q_insert_values(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    new_rows = spark.createDataFrame(
+        [(100, "ATLANTIS"), (101, "LEMURIA")], r.schema
+    )
+    return r.unionByName(new_rows)
+
+
+@register(
+    "q_sql_interface",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, s.total,
+               (SELECT n.n_name FROM nation n WHERE n.n_nationkey = c.c_nationkey) AS nation_name
+        FROM customer c JOIN spend s ON s.o_custkey = c.c_custkey
+        WHERE s.total > 5000000
+    """,
+    doc="Spark SQL entry path: the same CTE + correlated scalar subquery "
+    "text runs through spark.sql over registered views — the engine's "
+    "second API surface (SURVEY §2.10; Catalyst decorrelates).",
+)
+def q_sql_interface(spark, sf_dir):
+    from .sources.loaders import register_views
+
+    register_views(spark, sf_dir, ["orders", "customer", "nation"])
+    return spark.sql(
+        """
+        WITH spend AS (
+            SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, s.total,
+               (SELECT n.n_name FROM nation n WHERE n.n_nationkey = c.c_nationkey) AS nation_name
+        FROM customer c JOIN spend s ON s.o_custkey = c.c_custkey
+        WHERE s.total > 5000000
+        """
+    )
+
+
+@register(
     "q_audit_report",
     oracle="""
         SELECT 'audit' AS report,

@@ -39,7 +39,13 @@ def _docs_with_dups(spark, sf_dir):
         .withColumn("doc_id", F.col("doc_id") + 2000000)
         .withColumn("text", F.concat(F.col("text"), F.lit(_DUP_SUFFIX)))
     )
-    return d.unionByName(copies).unionByName(mutated)
+    # the parquet arrives in a handful of splits; spread the (CPU-bound)
+    # shingling/signature work across all cores
+    return (
+        d.unionByName(copies)
+        .unionByName(mutated)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 _DOCS_DUPS_SQL = f"""

@@ -71,3 +71,15 @@ def drop_table_path(path: str) -> None:
     """DROP TABLE IF EXISTS for path-based tables (ref T:3-15)."""
     if os.path.exists(path):
         shutil.rmtree(path)
+
+
+def analyze_table(spark: SparkSession, table_name: str, columns: list[str] | None = None) -> None:
+    """OP-VACUUM analog: ``VACUUM ANALYZE`` (ref T:1122) -> ``ANALYZE TABLE
+    ... COMPUTE STATISTICS`` so the cost-based optimizer has row counts /
+    NDVs for join reordering. Mostly subsumed by AQE's runtime stats, but
+    kept for parity and for static plan quality on managed tables."""
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table_name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    else:
+        spark.sql(f"ANALYZE TABLE {table_name} COMPUTE STATISTICS")

@@ -40,6 +40,18 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_rollup(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding-window counts per event_type: each event lands in
+    window/slide overlapping windows (batch or stream)."""
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 5) -> DataFrame:
     """Gaps-and-islands sessionization per user (batch, deterministic):
     a new session starts when the gap to the previous event exceeds

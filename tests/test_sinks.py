@@ -56,6 +56,20 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+def test_analyze_table_populates_stats(spark, sf_dir):
+    region = load_table(spark, sf_dir, "region")
+    region.write.mode("overwrite").saveAsTable("region_stats_t")
+    try:
+        sinks.analyze_table(spark, "region_stats_t", ["r_regionkey"])
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE TABLE EXTENDED region_stats_t").collect()
+        }
+        assert "Statistics" in desc and "rows" in desc["Statistics"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS region_stats_t")
+
+
 def test_atomic_swap_write(spark, sf_dir, tmp_path):
     p = str(tmp_path / "swap_target")
     region = load_table(spark, sf_dir, "region")

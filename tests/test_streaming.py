@@ -1,0 +1,91 @@
+"""Streaming semantics tests: sliding windows, and watermark-driven
+late-data dropping across checkpointed restarts (the stateful behavior a
+batch test can't show)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from amazon_fresh_sql_data_engineering_spark.streaming.events import (
+    hourly_rollup,
+    sliding_rollup,
+)
+
+TS = datetime.datetime  # all naive UTC
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_sliding_window_batch_each_event_in_two_windows(spark):
+    df = _events_df(spark, [(1, TS(2024, 1, 1, 10, 15), 1, "click", 1.0)])
+    out = sliding_rollup(df, "1 hour", "30 minutes").collect()
+    starts = sorted(r.window_start for r in out)
+    assert starts == [TS(2024, 1, 1, 9, 30), TS(2024, 1, 1, 10, 0)]
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir)
+
+    # batch 1: events at 10:00-10:04 and 11:00 (the 11:00 event advances the
+    # watermark to 10:50, closing + emitting the 10:00 window)
+    _events_df(
+        spark,
+        [
+            (1, TS(2024, 1, 1, 10, 0), 1, "click", 1.0),
+            (2, TS(2024, 1, 1, 10, 3), 1, "click", 1.0),
+            (3, TS(2024, 1, 1, 11, 0), 1, "click", 1.0),
+        ],
+    ).write.mode("append").parquet(src)
+    res = run_once()
+    first = {(r.ws, r.n) for r in res.collect()}
+    assert (TS(2024, 1, 1, 10, 0), 2) in first
+
+    # batch 2: a LATE event for the already-closed 10:00 window (behind the
+    # 10:50 watermark) plus a fresh one; the late row must be dropped
+    _events_df(
+        spark,
+        [
+            (4, TS(2024, 1, 1, 10, 1), 1, "click", 1.0),  # late -> dropped
+            (5, TS(2024, 1, 1, 12, 0), 1, "click", 1.0),  # advances watermark
+        ],
+    ).write.mode("append").parquet(src)
+    res = run_once()
+    rows = res.filter(F.col("ws") == TS(2024, 1, 1, 10, 0)).collect()
+    # the 10:00 window was emitted once with n=2 and never re-emitted/updated
+    assert [(r.ws, r.n) for r in rows] == [(TS(2024, 1, 1, 10, 0), 2)]
+
+
+def test_hourly_rollup_schema_stable_batch_vs_stream_def(spark):
+    df = _events_df(spark, [(1, TS(2024, 1, 1, 10, 15), 1, "click", 2.5)])
+    out = hourly_rollup(df)
+    assert out.columns == ["window_start", "event_type", "n_events", "total_value"]
+    row = out.collect()[0]
+    assert row.window_start == TS(2024, 1, 1, 10, 0) and row.n_events == 1
