@@ -74,6 +74,129 @@ def q_clean_scalars(spark, sf_dir):
     )
 
 
+_UUIDIFY = (
+    "substr({h}, 1, 8) || '-' || substr({h}, 9, 4) || '-' || substr({h}, 13, 4)"
+    " || '-' || substr({h}, 17, 4) || '-' || substr({h}, 21, 12)"
+)
+_UUID_RE = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+
+# staged dirt for the full-pipeline oracle (same CASEs on both sides)
+_CUST_STAGED_SQL = f"""
+        SELECT
+          CASE c_custkey % 20
+            WHEN 0 THEN ''
+            WHEN 1 THEN 'BAD-' || CAST(c_custkey AS VARCHAR)
+            WHEN 2 THEN upper({_UUIDIFY.format(h="sha256('cust' || CAST(c_custkey AS VARCHAR))")})
+            ELSE {_UUIDIFY.format(h="sha256('cust' || CAST(c_custkey AS VARCHAR))")}
+          END AS customerid,
+          '  ' || c_name || '  ' AS name,
+          CASE c_custkey % 5 WHEN 0 THEN '' WHEN 1 THEN CAST(c_custkey % 80 AS VARCHAR)
+                             WHEN 2 THEN 'abc' WHEN 3 THEN ' 42 '
+                             ELSE CAST(-(c_custkey % 30) AS VARCHAR) END AS age,
+          CASE c_custkey % 2 WHEN 0 THEN 'M' ELSE ' F ' END AS gender,
+          ' ' || c_mktsegment || ' ' AS city,
+          '' AS state,
+          'XX' AS country,
+          CASE c_custkey % 4 WHEN 0 THEN '1/5/2024' WHEN 1 THEN '12/31/1999'
+                             WHEN 2 THEN '2024-01-05' ELSE '13/45/2024' END AS signupdate,
+          CASE c_custkey % 6 WHEN 0 THEN 'yes' WHEN 1 THEN 'Y' WHEN 2 THEN 'no '
+                             WHEN 3 THEN '0' WHEN 4 THEN '' ELSE 'junk' END AS primemember
+        FROM customer
+"""
+
+_CUST_FP_SQL = (
+    "sha256(concat_ws(chr(31), 'customers.pk', "
+    + ", ".join(
+        f"coalesce({c}, chr(0))"
+        for c in [
+            "customerid",
+            "name",
+            "age",
+            "gender",
+            "city",
+            "state",
+            "country",
+            "signupdate",
+            "primemember",
+        ]
+    )
+    + "))"
+)
+
+
+@register(
+    "q_pipe_clean_customers",
+    oracle=f"""
+        WITH staged AS ({_CUST_STAGED_SQL})
+        SELECT
+          CASE WHEN regexp_matches(trim(customerid), '{_UUID_RE}')
+               THEN lower(trim(customerid))
+               ELSE {_UUIDIFY.format(h=_CUST_FP_SQL)} END AS customerid,
+          trim(name) AS name,
+          CASE WHEN regexp_matches(trim(age), '^-?\\d+$') THEN CAST(trim(age) AS INT) END AS age,
+          nullif(trim(gender), '') AS gender,
+          nullif(trim(city), '') AS city,
+          nullif(trim(state), '') AS state,
+          nullif(trim(country), '') AS country,
+          CASE WHEN regexp_matches(trim(signupdate), '^\\d{{1,2}}/\\d{{1,2}}/\\d{{4}}$')
+               THEN CAST(try_strptime(trim(signupdate), '%-m/%-d/%Y') AS DATE) END AS signupdate,
+          CASE WHEN lower(trim(primemember)) IN ('yes','y','true','1') THEN TRUE
+               WHEN lower(trim(primemember)) IN ('no','n','false','0','') THEN FALSE END AS primemember
+        FROM staged
+        WHERE nullif(trim(customerid), '') IS NOT NULL
+    """,
+    doc="PIPE-CLEAN-customers end-to-end as an oracle-checked query: dirty "
+    "staging synthesized from the customer table (blank PKs dropped, "
+    "garbage PKs repaired to content-addressed uuids, mixed-case uuids "
+    "normalized, every scalar cleaned); the oracle replays the whole "
+    "pipeline — including sha256 id repair — in DuckDB SQL "
+    "(ref T:459-511, SURVEY §2.12).",
+)
+def q_pipe_clean_customers(spark, sf_dir):
+    from .pipelines.cleaning import clean_entity
+    from .pipelines.entities import spec_customers
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    h = F.sha2(F.concat(F.lit("cust"), k.cast("string")), 256)
+    uuid_base = F.lower(
+        F.concat_ws(
+            "-", h.substr(1, 8), h.substr(9, 4), h.substr(13, 4), h.substr(17, 4), h.substr(21, 12)
+        )
+    )
+    staging = c.select(
+        F.when(k % 20 == 0, "")
+        .when(k % 20 == 1, F.concat(F.lit("BAD-"), k.cast("string")))
+        .when(k % 20 == 2, F.upper(uuid_base))
+        .otherwise(uuid_base)
+        .alias("customerid"),
+        F.concat(F.lit("  "), F.col("c_name"), F.lit("  ")).alias("name"),
+        F.when(k % 5 == 0, "")
+        .when(k % 5 == 1, (k % 80).cast("string"))
+        .when(k % 5 == 2, "abc")
+        .when(k % 5 == 3, " 42 ")
+        .otherwise((-(k % 30)).cast("string"))
+        .alias("age"),
+        F.when(k % 2 == 0, "M").otherwise(" F ").alias("gender"),
+        F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" ")).alias("city"),
+        F.lit("").alias("state"),
+        F.lit("XX").alias("country"),
+        F.when(k % 4 == 0, "1/5/2024")
+        .when(k % 4 == 1, "12/31/1999")
+        .when(k % 4 == 2, "2024-01-05")
+        .otherwise("13/45/2024")
+        .alias("signupdate"),
+        F.when(k % 6 == 0, "yes")
+        .when(k % 6 == 1, "Y")
+        .when(k % 6 == 2, "no ")
+        .when(k % 6 == 3, "0")
+        .when(k % 6 == 4, "")
+        .otherwise("junk")
+        .alias("primemember"),
+    )
+    return clean_entity(staging, spec_customers()).final
+
+
 @register(
     "q_update_set",
     oracle="""
@@ -88,6 +211,30 @@ def q_update_set(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     out = dml.update_where(c, F.col("c_acctbal") < 0, {"c_acctbal": F.lit(0)})
     return out.select("c_custkey", dec("c_acctbal").alias("acctbal"))
+
+
+@register(
+    "q_update_from",
+    oracle="""
+        SELECT c.c_custkey,
+               CASE WHEN m.c_custkey IS NOT NULL THEN 'SEGMENT-' || c.c_mktsegment
+                    ELSE c.c_name END AS name
+        FROM customer c
+        LEFT JOIN (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0) m
+          ON c.c_custkey = m.c_custkey
+    """,
+    doc="OP-UPDATE-FROM: UPDATE ... FROM mapping (join + conditional "
+    "assignment, unmatched rows untouched; ref T:778-787, A:366-372).",
+)
+def q_update_from(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    mapping = c.filter(F.col("c_custkey") % 50 == 0).select(
+        "c_custkey", F.concat(F.lit("SEGMENT-"), F.col("c_mktsegment")).alias("newname")
+    )
+    out = dml.update_from_mapping(
+        c, mapping, on="c_custkey", assignments={"c_name": F.col("newname")}
+    )
+    return out.select("c_custkey", F.col("c_name").alias("name"))
 
 
 @register(

@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis) for the cleaning kit: the Spark
+expressions must agree with an independent Python reference on arbitrary
+inputs — catching edge cases the fixture tables miss (SURVEY §5 layer 1)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from amazon_fresh_sql_data_engineering_spark.functions import cleaning as K
+
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FF),
+    max_size=30,
+)
+_SETTINGS = settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _batch(spark, expr, values):
+    df = spark.createDataFrame([(v,) for v in values], "x string")
+    return [r.y for r in df.select(expr.alias("y")).collect()]
+
+
+def _py_clean_text(v):
+    if v is None:
+        return None
+    t = v.strip()
+    return t or None
+
+
+def _py_parse_int(v):
+    if v is None:
+        return None
+    t = v.strip()
+    if re.fullmatch(r"-?\d+", t):
+        n = int(t)
+        if -(2**31) <= n < 2**31:
+            return n
+        return None  # overflow -> NULL under non-ANSI cast
+    return None
+
+
+def _py_parse_bool(v):
+    if v is None:
+        return None
+    t = v.strip().lower()
+    if t in ("yes", "y", "true", "1"):
+        return True
+    if t in ("no", "n", "false", "0", ""):
+        return False
+    return None
+
+
+@given(st.lists(st.one_of(st.none(), TEXT), min_size=1, max_size=20))
+@_SETTINGS
+def test_clean_text_matches_reference(spark, values):
+    got = _batch(spark, K.clean_text("x"), values)
+    want = [_py_clean_text(v) for v in values]
+    # Spark trim strips ASCII space only; python strip() strips more — feed
+    # both through the comparison only when they agree on the definition
+    for g, w, v in zip(got, want, values):
+        if v is not None and v.strip() != v.strip(" "):
+            continue  # non-space whitespace: definitions diverge by design
+        assert g == w, (v, g, w)
+
+
+@given(st.lists(st.one_of(st.none(), TEXT, st.integers(-(10**12), 10**12).map(str)), min_size=1, max_size=20))
+@_SETTINGS
+def test_parse_int_matches_reference(spark, values):
+    got = _batch(spark, K.parse_int("x"), values)
+    for g, v in zip(got, values):
+        if v is not None and v.strip() != v.strip(" "):
+            continue
+        assert g == _py_parse_int(v), (v, g)
+
+
+@given(st.lists(st.one_of(st.none(), TEXT, st.sampled_from(["yes", "Y", "no", "0", "1", "", " TRUE "])), min_size=1, max_size=20))
+@_SETTINGS
+def test_parse_bool_matches_reference(spark, values):
+    got = _batch(spark, K.parse_bool("x"), values)
+    for g, v in zip(got, values):
+        if v is not None and v.strip() != v.strip(" "):
+            continue
+        assert g == _py_parse_bool(v), (v, g)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 31), st.integers(1000, 9999)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_SETTINGS
+def test_parse_date_mdy_matches_reference(spark, mdy):
+    import datetime
+
+    values = [f"{m}/{d}/{y}" for m, d, y in mdy]
+    got = _batch(spark, K.parse_date_mdy("x"), values)
+    for g, (m, d, y) in zip(got, mdy):
+        try:
+            want = datetime.date(y, m, d)
+        except ValueError:
+            want = None  # impossible calendar date -> NULL
+        assert g == want, ((m, d, y), g)
+
+
+@given(st.lists(st.one_of(TEXT, st.uuids().map(str), st.uuids().map(lambda u: str(u).upper())), min_size=1, max_size=20))
+@_SETTINGS
+def test_norm_uuid_matches_reference(spark, values):
+    got = _batch(spark, K.norm_uuid("x"), values)
+    pat = re.compile(K.UUID_RE)
+    for g, v in zip(got, values):
+        if v.strip() != v.strip(" "):
+            continue
+        t = v.strip()
+        want = t.lower() if pat.fullmatch(t) else None
+        assert g == want, (v, g, want)
+
+
+@pytest.mark.parametrize("n", [0, 1, 2**31 - 1, 2**31, -(2**31) - 1])
+def test_parse_int_boundaries(spark, n):
+    got = _batch(spark, K.parse_int("x"), [str(n)])[0]
+    assert got == (n if -(2**31) <= n < 2**31 else None)
