@@ -1,0 +1,209 @@
+"""Analytics surface beyond the reference (SURVEY §2.6/§2.8 notes the
+reference uses only row_number/rank and no set ops — a Spark engine gets
+the full analytic toolbox, so it's part of this engine's surface and
+oracle-checked like everything else): lead/lag, moving frames, running
+totals, ntile, ROLLUP/CUBE, pivot, statistical aggregates.
+
+Determinism: every window ORDER BY carries a unique tiebreaker; decimal
+sums stay exact; double stats are computed over small-magnitude columns
+(quantity/discount) and rounded so engine-order effects stay below the
+rounding grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import dec, register
+from .registry import tables as _t
+
+
+@register(
+    "op_win_lead_lag",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(lag(o_totalprice)  OVER w AS DECIMAL(18,2)) AS prev_price,
+               CAST(lead(o_totalprice) OVER w AS DECIMAL(18,2)) AS next_price
+        FROM orders
+        WHERE o_custkey <= 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="LEAD/LAG over per-customer order history (deterministic tiebreak "
+    "on orderkey).",
+)
+def op_win_lead_lag(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).cast("decimal(18,2)").alias("prev_price"),
+        F.lead("o_totalprice").over(w).cast("decimal(18,2)").alias("next_price"),
+    )
+
+
+@register(
+    "op_win_running_total",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_spend
+        FROM orders WHERE o_custkey <= 100
+    """,
+    doc="Running total per customer (exact decimal cumulative frame).",
+)
+def op_win_running_total(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("decimal(38,2)").alias("running_spend"),
+    )
+
+
+@register(
+    "op_win_moving_avg",
+    oracle="""
+        SELECT o_orderkey,
+               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                     / COUNT(*) OVER w, 4) AS moving_avg
+        FROM orders WHERE o_custkey <= 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Moving average over a 3-row frame (exact decimal numerator, one "
+    "double division).",
+)
+def op_win_moving_avg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.sum(dec("o_totalprice")).over(w).cast("double") / F.count(F.lit(1)).over(w), 4
+        ).alias("moving_avg"),
+    )
+
+
+@register(
+    "op_win_ntile",
+    oracle="""
+        SELECT o_custkey, total_spend, ntile(4) OVER (ORDER BY total_spend DESC, o_custkey) AS quartile
+        FROM (
+            SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spend
+            FROM orders GROUP BY o_custkey
+        )
+    """,
+    doc="NTILE(4) spend quartiles (post-aggregation global window — small "
+    "input, SURVEY §7.4 hazard respected).",
+)
+def op_win_ntile(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("total_spend")
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), "o_custkey")
+    return spend.withColumn("quartile", F.ntile(4).over(w))
+
+
+@register(
+    "op_rollup",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="GROUP BY ROLLUP: hierarchical subtotals + grand total (engine "
+    "surface beyond the reference, SURVEY §2.5 'not present' list).",
+)
+def op_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("total"),
+    )
+
+
+@register(
+    "op_cube",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="GROUP BY CUBE: all grouping-set combinations.",
+)
+def op_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "op_pivot",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="PIVOT with a fixed value list (unbounded pivot needs two passes — "
+    "avoided by declaring values, which keeps it one shuffle).",
+)
+def op_pivot(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("f_cnt"),
+            F.coalesce("O", F.lit(0)).alias("o_cnt"),
+            F.coalesce("P", F.lit(0)).alias("p_cnt"),
+        )
+    )
+
+
+@register(
+    "op_agg_stats",
+    oracle="""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 6) AS qty_stddev,
+               round(var_samp(l_quantity), 6) AS qty_var,
+               round(min(l_quantity), 2) AS qty_min,
+               round(max(l_quantity), 2) AS qty_max
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates (stddev/variance) over a small-magnitude "
+    "column where double rounding at 1e-6 absorbs engine-order effects.",
+)
+def op_agg_stats(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.min("l_quantity"), 2).alias("qty_min"),
+        F.round(F.max("l_quantity"), 2).alias("qty_max"),
+    )
+
+
+@register(
+    "op_distinct_projection",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    doc="DISTINCT projection (ref A:5, T:132) — hash-agg without "
+    "aggregates.",
+)
+def op_distinct_projection(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", "c_nationkey").distinct()
