@@ -302,6 +302,70 @@ def simhash_dedup_pairs(
     )
 
 
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Cluster near-dup pairs into groups: iterative min-label propagation
+    (the standard large-graph connected-components loop — no driver-side
+    union-find, so it scales to edge sets that don't fit one machine).
+
+    Input: (id_a, id_b) undirected edges. Output: (id, cluster_id) where
+    cluster_id = min member id of the component. Converges in
+    O(diameter) joins; near-dup graphs are shallow (dup groups are
+    near-cliques), so 3-4 iterations typically suffice.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()  # drop the previous iteration's cache + lineage
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_corpus(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop near-duplicates: keep one canonical row (min id) per connected
+    component of the pair graph, plus every row that appears in no pair.
+    This is the operation a training-data pipeline actually runs after
+    MinHash/SimHash/embedding pair generation."""
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def embedding_dedup_pairs(
     df: DataFrame,
     id_col: str,

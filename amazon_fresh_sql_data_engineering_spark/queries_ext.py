@@ -163,6 +163,33 @@ def dedup_embedding(spark, sf_dir):
 
 
 @register(
+    "dedup_cluster_corpus",
+    oracle=None,  # iterative min-label propagation; pytest validates components
+    doc="End-to-end near-dedup: MinHash-LSH pairs -> connected components "
+    "(iterative min-label propagation, no driver union-find) -> keep one "
+    "canonical doc per cluster. The full 100 TB dedup recipe in one query.",
+)
+def dedup_cluster_corpus(spark, sf_dir):
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.6)
+    return D.dedup_corpus(docs, pairs, "doc_id").select("doc_id", "lang", "source")
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=None,  # centroid-sampled IVF; pytest measures recall vs brute force
+    doc="IVF-flat approximate top-5: corpus partitioned into 16 inverted "
+    "lists by sampled centroids, queries probe 8 lists, exact rerank.",
+)
+def sim_ann_ivf(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        e.filter(F.col("vec_id") < 10), e, "vec_id", "vec_id", "embedding",
+        k=5, n_clusters=16, n_probe=8,
+    )
+
+
+@register(
     "sim_cosine_topk",
     oracle="""
         WITH scored AS (

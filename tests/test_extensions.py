@@ -91,6 +91,31 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert recall >= 0.4, f"LSH recall collapsed: {recall}"  # sanity floor
 
 
+def test_connected_components_and_dedup_corpus(spark):
+    # components: {1,2,3} via chain 1-2, 2-3; {10,11}; 99 isolated (no pair)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comps = {r.id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    df = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id long")
+    kept = sorted(r.doc_id for r in D.dedup_corpus(df, pairs, "doc_id").collect())
+    assert kept == [1, 10, 99]
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from amazon_fresh_sql_data_engineering_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    brute = S.cosine_topk_bruteforce(q, e, "vec_id", "vec_id", "embedding", k=5)
+    ivf = S.ivf_topk(q, e, "vec_id", "vec_id", "embedding", k=5, n_clusters=16, n_probe=8)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+
+
 def test_multimodal_stub_paths(spark, docs):
     media = MM.attach_fake_media(docs, "doc_id", "text")
     out = MM.decode_media(media, fake=True).collect()
