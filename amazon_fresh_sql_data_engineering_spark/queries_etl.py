@@ -156,6 +156,10 @@ def q_pipe_clean_customers(spark, sf_dir):
     from .pipelines.cleaning import clean_entity
     from .pipelines.entities import spec_customers
 
+    return clean_entity(_staged_customers(spark, sf_dir), spec_customers()).final
+
+
+def _staged_customers(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
     h = F.sha2(F.concat(F.lit("cust"), k.cast("string")), 256)
@@ -164,7 +168,7 @@ def q_pipe_clean_customers(spark, sf_dir):
             "-", h.substr(1, 8), h.substr(9, 4), h.substr(13, 4), h.substr(17, 4), h.substr(21, 12)
         )
     )
-    staging = c.select(
+    return c.select(
         F.when(k % 20 == 0, "")
         .when(k % 20 == 1, F.concat(F.lit("BAD-"), k.cast("string")))
         .when(k % 20 == 2, F.upper(uuid_base))
@@ -194,7 +198,157 @@ def q_pipe_clean_customers(spark, sf_dir):
         .otherwise("junk")
         .alias("primemember"),
     )
-    return clean_entity(staging, spec_customers()).final
+
+
+_ORD_STAGED_SQL = f"""
+        SELECT
+          CASE o_orderkey % 20
+            WHEN 0 THEN ''
+            WHEN 1 THEN 'BAD#' || CAST(o_orderkey AS VARCHAR)
+            WHEN 2 THEN upper({_UUIDIFY.format(h="sha256('ord' || CAST(o_orderkey AS VARCHAR))")})
+            ELSE {_UUIDIFY.format(h="sha256('ord' || CAST(o_orderkey AS VARCHAR))")}
+          END AS orderid,
+          CASE o_orderkey % 15
+            WHEN 0 THEN 'CUST-' || CAST(o_custkey AS VARCHAR)
+            WHEN 1 THEN ''
+            WHEN 2 THEN {_UUIDIFY.format(h="sha256('ghost' || CAST(o_custkey AS VARCHAR))")}
+            ELSE {_UUIDIFY.format(h="sha256('cust' || CAST(o_custkey AS VARCHAR))")}
+          END AS customerid,
+          CASE o_orderkey % 4 WHEN 0 THEN '1/5/2024' WHEN 1 THEN '12/31/1999'
+                              WHEN 2 THEN '2024-01-05' ELSE '13/45/2024' END AS orderdate,
+          CASE o_orderkey % 3 WHEN 0 THEN '2/3/2024' WHEN 1 THEN ''
+                              ELSE '99/99/2024' END AS shipdate,
+          CASE o_orderkey % 3 WHEN 0 THEN ' Air ' WHEN 1 THEN '' ELSE 'Ground' END AS shipmode,
+          CASE o_orderkey % 4 WHEN 0 THEN '100.50' WHEN 1 THEN '' WHEN 2 THEN 'abc'
+                              ELSE '250' END AS totalamount
+        FROM orders
+"""
+
+_ORD_FP_SQL = (
+    "sha256(concat_ws(chr(31), 'orders.pk', "
+    + ", ".join(
+        f"coalesce({c}, chr(0))"
+        for c in ["orderid", "customerid", "orderdate", "shipdate", "shipmode", "totalamount"]
+    )
+    + "))"
+)
+
+
+def _staged_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    k, ck = F.col("o_orderkey"), F.col("o_custkey")
+
+    def uuidify(h):
+        return F.lower(
+            F.concat_ws(
+                "-", h.substr(1, 8), h.substr(9, 4), h.substr(13, 4), h.substr(17, 4), h.substr(21, 12)
+            )
+        )
+
+    ord_uuid = uuidify(F.sha2(F.concat(F.lit("ord"), k.cast("string")), 256))
+    cust_uuid = uuidify(F.sha2(F.concat(F.lit("cust"), ck.cast("string")), 256))
+    ghost_uuid = uuidify(F.sha2(F.concat(F.lit("ghost"), ck.cast("string")), 256))
+    return o.select(
+        F.when(k % 20 == 0, "")
+        .when(k % 20 == 1, F.concat(F.lit("BAD#"), k.cast("string")))
+        .when(k % 20 == 2, F.upper(ord_uuid))
+        .otherwise(ord_uuid)
+        .alias("orderid"),
+        F.when(k % 15 == 0, F.concat(F.lit("CUST-"), ck.cast("string")))
+        .when(k % 15 == 1, "")
+        .when(k % 15 == 2, ghost_uuid)
+        .otherwise(cust_uuid)
+        .alias("customerid"),
+        F.when(k % 4 == 0, "1/5/2024")
+        .when(k % 4 == 1, "12/31/1999")
+        .when(k % 4 == 2, "2024-01-05")
+        .otherwise("13/45/2024")
+        .alias("orderdate"),
+        F.when(k % 3 == 0, "2/3/2024").when(k % 3 == 1, "").otherwise("99/99/2024").alias("shipdate"),
+        F.when(k % 3 == 0, " Air ").when(k % 3 == 1, "").otherwise("Ground").alias("shipmode"),
+        F.when(k % 4 == 0, "100.50")
+        .when(k % 4 == 1, "")
+        .when(k % 4 == 2, "abc")
+        .otherwise("250")
+        .alias("totalamount"),
+    )
+
+
+@register(
+    "q_pipe_clean_orders",
+    oracle=f"""
+        WITH staged AS ({_ORD_STAGED_SQL})
+        SELECT
+          CASE WHEN regexp_matches(trim(orderid), '{_UUID_RE}')
+               THEN lower(trim(orderid))
+               ELSE {_UUIDIFY.format(h=_ORD_FP_SQL)} END AS orderid,
+          CASE WHEN regexp_matches(trim(customerid), '{_UUID_RE}')
+               THEN lower(trim(customerid)) END AS customerid,
+          CASE WHEN regexp_matches(trim(orderdate), '^\\d{{1,2}}/\\d{{1,2}}/\\d{{4}}$')
+               THEN CAST(try_strptime(trim(orderdate), '%-m/%-d/%Y') AS DATE) END AS orderdate,
+          CASE WHEN regexp_matches(trim(shipdate), '^\\d{{1,2}}/\\d{{1,2}}/\\d{{4}}$')
+               THEN CAST(try_strptime(trim(shipdate), '%-m/%-d/%Y') AS DATE) END AS shipdate,
+          nullif(trim(shipmode), '') AS shipmode,
+          CASE WHEN regexp_matches(trim(totalamount), '^-?\\d+(\\.\\d+)?$')
+               THEN CAST(trim(totalamount) AS DECIMAL(12,2)) END AS totalamount
+        FROM staged
+        WHERE nullif(trim(orderid), '') IS NOT NULL
+          AND NOT (nullif(trim(customerid), '') IS NOT NULL
+                   AND NOT regexp_matches(trim(customerid), '{_UUID_RE}'))
+    """,
+    doc="PIPE-CLEAN-orders with the FK-shape quarantine path: malformed "
+    "customerid text is quarantined (excluded pending id-remap), blank "
+    "FKs stay NULL (optional FK), garbage PKs repaired — oracle replays "
+    "everything incl. quarantine exclusion (ref T:516-693).",
+)
+def q_pipe_clean_orders(spark, sf_dir):
+    from .pipelines.cleaning import clean_entity
+    from .pipelines.entities import spec_orders
+
+    staging = _staged_orders(spark, sf_dir)
+    return clean_entity(staging, spec_orders()).final
+
+
+@register(
+    "q_pipe_placeholder_parents",
+    oracle=f"""
+        WITH cust_staged AS ({_CUST_STAGED_SQL}),
+        cust_pks AS (
+            SELECT CASE WHEN regexp_matches(trim(customerid), '{_UUID_RE}')
+                        THEN lower(trim(customerid))
+                        ELSE {_UUIDIFY.format(h=_CUST_FP_SQL)} END AS customerid
+            FROM cust_staged
+            WHERE nullif(trim(customerid), '') IS NOT NULL
+        ),
+        ord_staged AS ({_ORD_STAGED_SQL}),
+        ord_fks AS (
+            SELECT DISTINCT lower(trim(customerid)) AS customerid
+            FROM ord_staged
+            WHERE nullif(trim(orderid), '') IS NOT NULL
+              AND regexp_matches(trim(customerid), '{_UUID_RE}')
+        )
+        SELECT f.customerid, 'UNKNOWN CUSTOMER' AS name
+        FROM ord_fks f LEFT JOIN cust_pks c ON f.customerid = c.customerid
+        WHERE c.customerid IS NULL
+    """,
+    doc="PIPE-PLACEHOLDER oracle-checked: cleaned orders' valid FK uuids "
+    "with no parent in the cleaned customers table become synthesized "
+    "'UNKNOWN CUSTOMER' rows (ref T:215-219) — the cross-entity conform "
+    "step of the two-pipeline composition.",
+)
+def q_pipe_placeholder_parents(spark, sf_dir):
+    from .pipelines.cleaning import clean_entity
+    from .pipelines.entities import spec_customers, spec_orders
+
+    customers_final = clean_entity(
+        _staged_customers(spark, sf_dir), spec_customers()
+    ).final
+    res = clean_entity(
+        _staged_orders(spark, sf_dir),
+        spec_orders(),
+        parents={"customers": customers_final},
+    )
+    return res.placeholders["customers"].select("customerid", "name")
 
 
 @register(
