@@ -245,10 +245,14 @@ def op_join_inner_expr(spark, sf_dir):
 )
 def op_join_left(spark, sf_dir):
     n, c = _t(spark, sf_dir, "nation", "customer")
+    per_nation = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("__cnt"))
     return (
-        n.join(c, c.c_nationkey == n.n_nationkey, "left")
-        .groupBy("n_nationkey", "n_name")
-        .agg(F.count("c_custkey").alias("customer_cnt"))
+        n.join(F.broadcast(per_nation), per_nation.c_nationkey == n.n_nationkey, "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce(F.col("__cnt"), F.lit(0)).alias("customer_cnt"),
+        )
     )
 
 
@@ -427,13 +431,18 @@ def op_agg_having(spark, sf_dir):
 )
 def op_agg_sum_coalesce(spark, sf_dir):
     s, l = _t(spark, sf_dir, "supplier", "lineitem")
+    # aggregate-before-join: a left join with the FACT table on the right
+    # can't broadcast and would SMJ the whole fact; pre-aggregating turns
+    # it into suppliers LEFT JOIN |suppliers|-sized totals (broadcast)
+    per_supp = l.groupBy("l_suppkey").agg(
+        F.sum(dec("l_quantity")).alias("__qty")
+    )
     return (
-        s.join(l, l.l_suppkey == s.s_suppkey, "left")
-        .groupBy("s_suppkey", "s_name")
-        .agg(
-            F.sum(F.coalesce(dec("l_quantity"), F.lit(0)))
-            .cast("decimal(38,2)")
-            .alias("total_qty")
+        s.join(F.broadcast(per_supp), per_supp.l_suppkey == s.s_suppkey, "left")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.coalesce(F.col("__qty"), F.lit(0)).cast("decimal(38,2)").alias("total_qty"),
         )
     )
 
@@ -546,11 +555,14 @@ def op_win_rownum_dedup(spark, sf_dir):
 )
 def q_high_value(spark, sf_dir):
     o, c = _t(spark, sf_dir, "orders", "customer")
-    spend = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("total_spending"))
+    # aggregate-before-join: shuffle carries (custkey, partial sum), not the
+    # fact table's width; the name join then runs on |customers| rows
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("total_spending")
     )
+    spend = per_cust.join(
+        c.select("c_custkey", "c_name"), per_cust.o_custkey == c.c_custkey
+    ).select("c_custkey", "c_name", "total_spending")
     w = Window.orderBy(F.col("total_spending").desc())
     return (
         spend.withColumn("spending_rank", F.rank().over(w))
@@ -572,11 +584,12 @@ def q_high_value(spark, sf_dir):
 )
 def q_product_sales_rank(spark, sf_dir):
     p, l = _t(spark, sf_dir, "part", "lineitem")
-    agg = (
-        l.join(F.broadcast(p.select("p_partkey", "p_name")), l.l_partkey == p.p_partkey)
-        .groupBy("p_partkey", "p_name")
-        .agg(F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("total_sales"))
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("total_sales")
     )
+    agg = per_part.join(
+        F.broadcast(p.select("p_partkey", "p_name")), per_part.l_partkey == p.p_partkey
+    ).select("p_partkey", "p_name", "total_sales")
     w = Window.orderBy(F.col("total_sales").desc())
     return agg.withColumn("sales_rank", F.rank().over(w))
 
@@ -773,13 +786,13 @@ def q_order_revenue(spark, sf_dir):
 )
 def q_supplier_stock(spark, sf_dir):
     s, l = _t(spark, sf_dir, "supplier", "lineitem")
+    per_supp = l.groupBy("l_suppkey").agg(F.sum(dec("l_quantity")).alias("__qty"))
     return (
-        s.join(l, l.l_suppkey == s.s_suppkey, "left")
-        .groupBy("s_suppkey", "s_name")
-        .agg(
-            F.sum(F.coalesce(dec("l_quantity"), F.lit(0)))
-            .cast("decimal(38,2)")
-            .alias("total_qty")
+        s.join(F.broadcast(per_supp), per_supp.l_suppkey == s.s_suppkey, "left")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.coalesce(F.col("__qty"), F.lit(0)).cast("decimal(38,2)").alias("total_qty"),
         )
         .orderBy(F.col("total_qty").desc(), "s_suppkey")
         .limit(1)

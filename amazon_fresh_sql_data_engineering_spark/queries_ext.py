@@ -354,6 +354,43 @@ def mm_decode(spark, sf_dir):
 
 
 @register(
+    "events_funnel",
+    oracle="""
+        SELECT count(*) AS n_users,
+               count(*) FILTER (WHERE t_view IS NOT NULL) AS viewed,
+               count(*) FILTER (WHERE t_click > t_view) AS clicked_after_view,
+               count(*) FILTER (WHERE t_purchase > t_click AND t_click > t_view) AS purchased_after_click
+        FROM (
+            SELECT user_id,
+                   min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+                   min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+                   min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+            FROM events GROUP BY user_id
+        )
+    """,
+    doc="Event funnel: first view -> click after view -> purchase after "
+    "click, per user then rolled up — one shuffle on user_id, conditional "
+    "min aggregates (the product-analytics staple).",
+)
+def events_funnel(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = e.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("clicked_after_view"),
+        F.count(
+            F.when((F.col("t_purchase") > F.col("t_click")) & (F.col("t_click") > F.col("t_view")), 1)
+        ).alias("purchased_after_click"),
+    )
+
+
+@register(
     "events_hourly",
     oracle="""
         SELECT date_trunc('hour', ts) AS window_start, event_type,
