@@ -250,9 +250,12 @@ def simhash64(texts: pd.Series) -> pd.Series:
         toks = t.split()
         if not toks:
             continue
-        votes = np.zeros(64, dtype=np.int64)
-        for tok in toks:
-            votes += token_bits(tok)
+        # vote once per UNIQUE token weighted by count: turns O(n_tokens)
+        # tiny-array adds into O(n_unique) — synthetic/corpus vocab is far
+        # smaller than token count
+        uniq, cnt = np.unique(toks, return_counts=True)
+        bits = np.stack([token_bits(tok) for tok in uniq])
+        votes = (bits * cnt[:, None]).sum(axis=0)
         sig = 0
         for bit in range(64):
             if votes[bit] > 0:
@@ -302,16 +305,45 @@ def simhash_dedup_pairs(
     )
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
-    """Cluster near-dup pairs into groups: iterative min-label propagation
-    (the standard large-graph connected-components loop — no driver-side
-    union-find, so it scales to edge sets that don't fit one machine).
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20, driver_threshold: int = 2_000_000
+) -> DataFrame:
+    """Cluster near-dup pairs into groups.
 
     Input: (id_a, id_b) undirected edges. Output: (id, cluster_id) where
-    cluster_id = min member id of the component. Converges in
-    O(diameter) joins; near-dup graphs are shallow (dup groups are
-    near-cliques), so 3-4 iterations typically suffice.
+    cluster_id = min member id of the component.
+
+    Hybrid strategy: a near-dedup edge set is tiny relative to the corpus
+    (pairs survive LSH + verify), so below ``driver_threshold`` edges the
+    components are solved with driver-side union-find — one collect, zero
+    iterative joins. Above it, the standard distributed min-label
+    propagation loop runs (O(diameter) joins; dup groups are near-cliques
+    so 3-4 iterations typically converge). Both paths produce identical
+    labels (tested).
     """
+    n_edges = pairs.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        edges_local = pairs.select("id_a", "id_b").collect()
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges_local:
+            a, b = r.id_a, r.id_b
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id so the root IS the cluster label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(x, find(x)) for x in parent]
+        spark = pairs.sparkSession
+        return spark.createDataFrame(rows, "id long, cluster_id long")
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

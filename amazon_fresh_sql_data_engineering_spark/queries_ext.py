@@ -354,6 +354,28 @@ def mm_decode(spark, sf_dir):
 
 
 @register(
+    "events_props_json",
+    oracle="""
+        SELECT event_type,
+               count(CAST(json_extract(props, '$.k') AS INT)) AS n_with_k,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured column handling: JSON props parsed JVM-side "
+    "(get_json_object — no Python in the scan path), aggregated per type.",
+)
+def events_props_json(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
     "events_funnel",
     oracle="""
         SELECT count(*) AS n_users,

@@ -175,3 +175,16 @@ def test_sessionize_stream_runs(spark, sf_dir, tmp_path):
     q.awaitTermination()
     n = spark.sql("SELECT count(*) c FROM sessions_test").collect()[0].c
     assert n > 0
+
+
+def test_connected_components_distributed_path_matches_unionfind(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13), (5, 6)],
+        "id_a long, id_b long",
+    )
+    fast = {(r.id, r.cluster_id) for r in D.connected_components(pairs).collect()}
+    dist = {
+        (r.id, r.cluster_id)
+        for r in D.connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == dist
