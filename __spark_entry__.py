@@ -11,11 +11,15 @@ All real logic lives in ``amazon_fresh_sql_data_engineering_spark.queries``
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from amazon_fresh_sql_data_engineering_spark.catalog import CATALOG
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from amazon_fresh_sql_data_engineering_spark.catalog import CATALOG  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -199,6 +199,37 @@ def op_agg_stats(spark, sf_dir):
 
 
 @register(
+    "op_win_share_of_total",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS status_total,
+               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / CAST(SUM(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) OVER () AS DOUBLE) * 100, 4)
+                 AS pct_of_total
+        FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Share-of-total via an unpartitioned window over aggregates (runs "
+    "on |groups| rows post-agg — the safe place for a global window).",
+)
+def op_win_share_of_total(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("status_total")
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "o_orderstatus",
+        "status_total",
+        F.round(
+            F.col("status_total").cast("double")
+            / F.sum("status_total").over(w).cast("double")
+            * 100,
+            4,
+        ).alias("pct_of_total"),
+    )
+
+
+@register(
     "op_distinct_projection",
     oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
     doc="DISTINCT projection (ref A:5, T:132) — hash-agg without "
