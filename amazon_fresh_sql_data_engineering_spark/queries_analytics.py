@@ -230,6 +230,22 @@ def op_win_share_of_total(spark, sf_dir):
 
 
 @register(
+    "op_approx_count_distinct",
+    oracle=None,  # HLL sketch values are engine-specific; pytest bounds the error
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB distinct-count "
+    "tool — no exact-distinct shuffle explosion; error bounded vs exact "
+    "in pytest (SURVEY §2.5 notes the reference uses exact COUNT "
+    "DISTINCT only; the engine offers both).",
+)
+def op_approx_count_distinct(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+@register(
     "op_distinct_projection",
     oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
     doc="DISTINCT projection (ref A:5, T:132) — hash-agg without "

@@ -188,3 +188,16 @@ def test_connected_components_distributed_path_matches_unionfind(spark):
         for r in D.connected_components(pairs, driver_threshold=0).collect()
     }
     assert fast == dist
+
+
+def test_approx_count_distinct_error_bounded(spark, sf_dir):
+    from amazon_fresh_sql_data_engineering_spark.catalog import CATALOG
+    from amazon_fresh_sql_data_engineering_spark.sources import load_table
+
+    row = CATALOG["op_approx_count_distinct"].fn(spark, sf_dir).collect()[0]
+    l = load_table(spark, sf_dir, "lineitem")
+    exact = l.agg(
+        F.countDistinct("l_partkey").alias("p"), F.countDistinct("l_orderkey").alias("o")
+    ).collect()[0]
+    assert abs(row.approx_parts - exact.p) / exact.p < 0.1
+    assert abs(row.approx_orders - exact.o) / exact.o < 0.1
