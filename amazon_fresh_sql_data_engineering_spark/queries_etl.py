@@ -20,6 +20,19 @@ from .registry import dec, register
 from .registry import tables as _t
 
 
+def _fence(df):
+    """Materialization fence for synthesized dirty staging.
+
+    The staged columns are sha256/regex CASE expressions; Catalyst's
+    projection collapse + predicate pushdown would re-inline them into every
+    downstream filter/projection of the cleaning program (~4x recompute,
+    measured 26s -> 7s on lineitem-sized staging at sf0.1). A lazy local
+    checkpoint computes the staging once and feeds the pipeline plain
+    attributes — the same staging/clean stage boundary a real pipeline has.
+    """
+    return df.localCheckpoint(eager=False)
+
+
 @register(
     "q_clean_scalars",
     oracle="""
@@ -168,7 +181,7 @@ def _staged_customers(spark, sf_dir):
             "-", h.substr(1, 8), h.substr(9, 4), h.substr(13, 4), h.substr(17, 4), h.substr(21, 12)
         )
     )
-    return c.select(
+    return _fence(c.select(
         F.when(k % 20 == 0, "")
         .when(k % 20 == 1, F.concat(F.lit("BAD-"), k.cast("string")))
         .when(k % 20 == 2, F.upper(uuid_base))
@@ -197,7 +210,7 @@ def _staged_customers(spark, sf_dir):
         .when(k % 6 == 4, "")
         .otherwise("junk")
         .alias("primemember"),
-    )
+    ))
 
 
 _ORD_STAGED_SQL = f"""
@@ -248,7 +261,7 @@ def _staged_orders(spark, sf_dir):
     ord_uuid = uuidify(F.sha2(F.concat(F.lit("ord"), k.cast("string")), 256))
     cust_uuid = uuidify(F.sha2(F.concat(F.lit("cust"), ck.cast("string")), 256))
     ghost_uuid = uuidify(F.sha2(F.concat(F.lit("ghost"), ck.cast("string")), 256))
-    return o.select(
+    return _fence(o.select(
         F.when(k % 20 == 0, "")
         .when(k % 20 == 1, F.concat(F.lit("BAD#"), k.cast("string")))
         .when(k % 20 == 2, F.upper(ord_uuid))
@@ -271,7 +284,7 @@ def _staged_orders(spark, sf_dir):
         .when(k % 4 == 2, "abc")
         .otherwise("250")
         .alias("totalamount"),
-    )
+    ))
 
 
 @register(
@@ -349,6 +362,270 @@ def q_pipe_placeholder_parents(spark, sf_dir):
         parents={"customers": customers_final},
     )
     return res.placeholders["customers"].select("customerid", "name")
+
+
+def _fp_sql(salt: str, cols: list[str]) -> str:
+    return (
+        f"sha256(concat_ws(chr(31), '{salt}', "
+        + ", ".join(f"coalesce({c}, chr(0))" for c in cols)
+        + "))"
+    )
+
+
+def _uuidify_col(h):
+    return F.lower(
+        F.concat_ws(
+            "-", h.substr(1, 8), h.substr(9, 4), h.substr(13, 4), h.substr(17, 4), h.substr(21, 12)
+        )
+    )
+
+
+_PROD_STAGED_SQL = f"""
+        SELECT
+          CASE p_partkey % 20
+            WHEN 0 THEN ''
+            WHEN 1 THEN 'BAD~' || CAST(p_partkey AS VARCHAR)
+            WHEN 2 THEN upper({_UUIDIFY.format(h="sha256('prod' || CAST(p_partkey AS VARCHAR))")})
+            ELSE {_UUIDIFY.format(h="sha256('prod' || CAST(p_partkey AS VARCHAR))")}
+          END AS productid,
+          '  ' || p_name || '  ' AS productname,
+          CASE p_partkey % 3 WHEN 0 THEN 'Fruits' WHEN 1 THEN ' dairy ' ELSE '' END AS category,
+          CASE p_partkey % 2 WHEN 0 THEN 'Fresh' ELSE '' END AS subcategory,
+          CASE p_partkey % 4 WHEN 0 THEN '9.99' WHEN 1 THEN '' WHEN 2 THEN 'abc'
+                             ELSE '12' END AS priceperunit,
+          CASE p_partkey % 3 WHEN 0 THEN '5' WHEN 1 THEN '' ELSE '-2' END AS stockquantity,
+          CASE p_partkey % 15
+            WHEN 0 THEN 'SUP!' || CAST(p_partkey AS VARCHAR)
+            WHEN 1 THEN ''
+            ELSE {_UUIDIFY.format(h="sha256('sup' || CAST(p_partkey % 100 AS VARCHAR))")}
+          END AS supplierid
+        FROM part
+"""
+
+
+@register(
+    "q_pipe_clean_products",
+    oracle=f"""
+        WITH staged AS ({_PROD_STAGED_SQL})
+        SELECT
+          CASE WHEN regexp_matches(trim(productid), '{_UUID_RE}')
+               THEN lower(trim(productid))
+               ELSE {_UUIDIFY.format(h=_fp_sql("products.pk", ["productid", "productname", "category", "subcategory", "priceperunit", "stockquantity", "supplierid"]))} END AS productid,
+          trim(productname) AS productname,
+          nullif(trim(category), '') AS category,
+          nullif(trim(subcategory), '') AS subcategory,
+          CASE WHEN regexp_matches(trim(priceperunit), '^-?\\d+(\\.\\d+)?$')
+               THEN CAST(trim(priceperunit) AS DECIMAL(12,2)) END AS priceperunit,
+          CASE WHEN regexp_matches(trim(stockquantity), '^-?\\d+$')
+               THEN CAST(trim(stockquantity) AS INT) END AS stockquantity,
+          CASE WHEN regexp_matches(trim(supplierid), '{_UUID_RE}')
+               THEN lower(trim(supplierid)) END AS supplierid
+        FROM staged
+        WHERE nullif(trim(productid), '') IS NOT NULL
+          AND NOT (nullif(trim(supplierid), '') IS NOT NULL
+                   AND NOT regexp_matches(trim(supplierid), '{_UUID_RE}'))
+    """,
+    doc="PIPE-CLEAN-products: decimal/int casts + supplier-FK quarantine "
+    "(ref T:413-455).",
+)
+def q_pipe_clean_products(spark, sf_dir):
+    from .pipelines.cleaning import clean_entity
+    from .pipelines.entities import spec_products
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    prod_uuid = _uuidify_col(F.sha2(F.concat(F.lit("prod"), k.cast("string")), 256))
+    sup_uuid = _uuidify_col(F.sha2(F.concat(F.lit("sup"), (k % 100).cast("string")), 256))
+    staging = p.select(
+        F.when(k % 20 == 0, "")
+        .when(k % 20 == 1, F.concat(F.lit("BAD~"), k.cast("string")))
+        .when(k % 20 == 2, F.upper(prod_uuid))
+        .otherwise(prod_uuid)
+        .alias("productid"),
+        F.concat(F.lit("  "), F.col("p_name"), F.lit("  ")).alias("productname"),
+        F.when(k % 3 == 0, "Fruits").when(k % 3 == 1, " dairy ").otherwise("").alias("category"),
+        F.when(k % 2 == 0, "Fresh").otherwise("").alias("subcategory"),
+        F.when(k % 4 == 0, "9.99").when(k % 4 == 1, "").when(k % 4 == 2, "abc").otherwise("12").alias("priceperunit"),
+        F.when(k % 3 == 0, "5").when(k % 3 == 1, "").otherwise("-2").alias("stockquantity"),
+        F.when(k % 15 == 0, F.concat(F.lit("SUP!"), k.cast("string")))
+        .when(k % 15 == 1, "")
+        .otherwise(sup_uuid)
+        .alias("supplierid"),
+    )
+    return clean_entity(_fence(staging), spec_products()).final
+
+
+_OD_STAGED_SQL = f"""
+        SELECT
+          CASE (l_orderkey * 8 + l_linenumber) % 20
+            WHEN 0 THEN ''
+            WHEN 1 THEN 'OD&' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)
+            ELSE {_UUIDIFY.format(h="sha256('od_' || l_orderkey || '_' || l_linenumber || '_' || l_partkey || '_' || CAST(l_quantity AS BIGINT))")}
+          END AS orderdetailid,
+          CASE l_orderkey % 11
+            WHEN 0 THEN 'ORD?' || CAST(l_orderkey AS VARCHAR)
+            ELSE {_UUIDIFY.format(h="sha256('ord' || CAST(l_orderkey AS VARCHAR))")}
+          END AS orderid,
+          CASE l_partkey % 13
+            WHEN 0 THEN 'PRD*' || CAST(l_partkey AS VARCHAR)
+            WHEN 1 THEN ''
+            ELSE {_UUIDIFY.format(h="sha256('prod' || CAST(l_partkey AS VARCHAR))")}
+          END AS productid,
+          CASE l_linenumber % 3 WHEN 0 THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                                WHEN 1 THEN '' ELSE 'x' END AS quantity,
+          CASE l_linenumber % 2 WHEN 0 THEN '19.95' ELSE '' END AS unitprice,
+          CASE l_linenumber % 4 WHEN 0 THEN '0.05' WHEN 1 THEN '' ELSE '0' END AS discount
+        FROM lineitem
+"""
+
+
+@register(
+    "q_pipe_clean_order_details",
+    oracle=f"""
+        WITH staged AS ({_OD_STAGED_SQL})
+        SELECT DISTINCT
+          CASE WHEN regexp_matches(trim(orderdetailid), '{_UUID_RE}')
+               THEN lower(trim(orderdetailid))
+               ELSE {_UUIDIFY.format(h=_fp_sql("order_details.pk", ["orderdetailid", "orderid", "productid", "quantity", "unitprice", "discount"]))} END AS orderdetailid,
+          CASE WHEN regexp_matches(trim(orderid), '{_UUID_RE}')
+               THEN lower(trim(orderid)) END AS orderid,
+          CASE WHEN regexp_matches(trim(productid), '{_UUID_RE}')
+               THEN lower(trim(productid)) END AS productid,
+          CASE WHEN regexp_matches(trim(quantity), '^-?\\d+$')
+               THEN CAST(trim(quantity) AS INT) END AS quantity,
+          CASE WHEN regexp_matches(trim(unitprice), '^-?\\d+(\\.\\d+)?$')
+               THEN CAST(trim(unitprice) AS DECIMAL(12,2)) END AS unitprice,
+          CASE WHEN regexp_matches(trim(discount), '^-?\\d+(\\.\\d+)?$')
+               THEN CAST(trim(discount) AS DECIMAL(5,2)) END AS discount
+        FROM staged
+        WHERE nullif(trim(orderdetailid), '') IS NOT NULL
+          AND NOT ((nullif(trim(orderid), '') IS NOT NULL
+                    AND NOT regexp_matches(trim(orderid), '{_UUID_RE}'))
+                OR (nullif(trim(productid), '') IS NOT NULL
+                    AND NOT regexp_matches(trim(productid), '{_UUID_RE}')))
+    """,
+    doc="PIPE-CLEAN-order_details: DUAL-FK quarantine (a row with either "
+    "malformed FK is quarantined once — the multi-edge predicate, ref "
+    "T:698-995).",
+)
+def q_pipe_clean_order_details(spark, sf_dir):
+    from .pipelines.cleaning import clean_entity
+    from .pipelines.entities import spec_order_details
+
+    l = _t(spark, sf_dir, "lineitem")
+    odk = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    # PK seed spans every column the staged row derives from: rows that are
+    # identical on (orderkey, linenumber, partkey, quantity) — the synthetic
+    # lineitem DOES contain full duplicates — collapse to one PK on both
+    # engines; rows differing anywhere get distinct PKs
+    seed = F.concat(
+        F.lit("od_"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("_"),
+        F.col("l_linenumber").cast("string"),
+        F.lit("_"),
+        F.col("l_partkey").cast("string"),
+        F.lit("_"),
+        F.col("l_quantity").cast("bigint").cast("string"),
+    )
+    od_uuid = _uuidify_col(F.sha2(seed, 256))
+    ord_uuid = _uuidify_col(F.sha2(F.concat(F.lit("ord"), F.col("l_orderkey").cast("string")), 256))
+    prod_uuid = _uuidify_col(F.sha2(F.concat(F.lit("prod"), F.col("l_partkey").cast("string")), 256))
+    ln = F.col("l_linenumber")
+    staging = l.select(
+        F.when(odk % 20 == 0, "")
+        .when(odk % 20 == 1, F.concat(F.lit("OD&"), odk.cast("string")))
+        .otherwise(od_uuid)
+        .alias("orderdetailid"),
+        F.when(F.col("l_orderkey") % 11 == 0, F.concat(F.lit("ORD?"), F.col("l_orderkey").cast("string")))
+        .otherwise(ord_uuid)
+        .alias("orderid"),
+        F.when(F.col("l_partkey") % 13 == 0, F.concat(F.lit("PRD*"), F.col("l_partkey").cast("string")))
+        .when(F.col("l_partkey") % 13 == 1, "")
+        .otherwise(prod_uuid)
+        .alias("productid"),
+        F.when(ln % 3 == 0, F.col("l_quantity").cast("bigint").cast("string"))
+        .when(ln % 3 == 1, "")
+        .otherwise("x")
+        .alias("quantity"),
+        F.when(ln % 2 == 0, "19.95").otherwise("").alias("unitprice"),
+        F.when(ln % 4 == 0, "0.05").when(ln % 4 == 1, "").otherwise("0").alias("discount"),
+    )
+    return clean_entity(_fence(staging), spec_order_details()).final
+
+
+_REV_STAGED_SQL = f"""
+        SELECT
+          CASE o_orderkey % 20
+            WHEN 0 THEN ''
+            WHEN 1 THEN 'REV@' || CAST(o_orderkey AS VARCHAR)
+            ELSE {_UUIDIFY.format(h="sha256('rev' || CAST(o_orderkey AS VARCHAR))")}
+          END AS reviewid,
+          CASE o_orderkey % 9
+            WHEN 0 THEN 'P##' || CAST(o_orderkey AS VARCHAR)
+            ELSE {_UUIDIFY.format(h="sha256('prod' || CAST(o_orderkey % 2000 AS VARCHAR))")}
+          END AS productid,
+          CASE o_orderkey % 7
+            WHEN 0 THEN ''
+            ELSE {_UUIDIFY.format(h="sha256('cust' || CAST(o_custkey AS VARCHAR))")}
+          END AS customerid,
+          CASE o_orderkey % 5 WHEN 0 THEN '5' WHEN 1 THEN '1' WHEN 2 THEN ''
+                              WHEN 3 THEN 'bad' ELSE '3' END AS rating,
+          '  review of order ' || CAST(o_orderkey AS VARCHAR) || '  ' AS reviewtext
+        FROM orders
+"""
+
+
+@register(
+    "q_pipe_clean_reviews",
+    oracle=f"""
+        WITH staged AS ({_REV_STAGED_SQL})
+        SELECT
+          CASE WHEN regexp_matches(trim(reviewid), '{_UUID_RE}')
+               THEN lower(trim(reviewid))
+               ELSE {_UUIDIFY.format(h=_fp_sql("reviews.pk", ["reviewid", "productid", "customerid", "rating", "reviewtext"]))} END AS reviewid,
+          CASE WHEN regexp_matches(trim(productid), '{_UUID_RE}')
+               THEN lower(trim(productid)) END AS productid,
+          CASE WHEN regexp_matches(trim(customerid), '{_UUID_RE}')
+               THEN lower(trim(customerid)) END AS customerid,
+          CASE WHEN regexp_matches(trim(rating), '^-?\\d+$')
+               THEN CAST(trim(rating) AS INT) END AS rating,
+          trim(reviewtext) AS reviewtext
+        FROM staged
+        WHERE nullif(trim(reviewid), '') IS NOT NULL
+          AND NOT (nullif(trim(productid), '') IS NOT NULL
+                   AND NOT regexp_matches(trim(productid), '{_UUID_RE}'))
+    """,
+    doc="PIPE-CLEAN-reviews: optional customerid FK (blank -> NULL, ref "
+    "T:1075), rating guarded cast (ref T:1001-1122).",
+)
+def q_pipe_clean_reviews(spark, sf_dir):
+    from .pipelines.cleaning import clean_entity
+    from .pipelines.entities import spec_reviews
+
+    o = _t(spark, sf_dir, "orders")
+    k, ck = F.col("o_orderkey"), F.col("o_custkey")
+    rev_uuid = _uuidify_col(F.sha2(F.concat(F.lit("rev"), k.cast("string")), 256))
+    prod_uuid = _uuidify_col(F.sha2(F.concat(F.lit("prod"), (k % 2000).cast("string")), 256))
+    cust_uuid = _uuidify_col(F.sha2(F.concat(F.lit("cust"), ck.cast("string")), 256))
+    staging = o.select(
+        F.when(k % 20 == 0, "")
+        .when(k % 20 == 1, F.concat(F.lit("REV@"), k.cast("string")))
+        .otherwise(rev_uuid)
+        .alias("reviewid"),
+        F.when(k % 9 == 0, F.concat(F.lit("P##"), k.cast("string")))
+        .otherwise(prod_uuid)
+        .alias("productid"),
+        F.when(k % 7 == 0, "").otherwise(cust_uuid).alias("customerid"),
+        F.when(k % 5 == 0, "5")
+        .when(k % 5 == 1, "1")
+        .when(k % 5 == 2, "")
+        .when(k % 5 == 3, "bad")
+        .otherwise("3")
+        .alias("rating"),
+        F.concat(F.lit("  review of order "), k.cast("string"), F.lit("  ")).alias("reviewtext"),
+    )
+    return clean_entity(_fence(staging), spec_reviews()).final
 
 
 @register(
