@@ -30,7 +30,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
 from ..functions.text import tokens
-from ..functions.vectors import cosine, to_double
+from ..functions.vectors import cosine, sign_bits, to_double, with_const_matrix
 
 # Mersenne-31: keeps (a*h + b) < 2^62, so permutation arithmetic never
 # overflows a long even under ANSI mode (a vanilla Spark 4 session has
@@ -409,8 +409,8 @@ def embedding_dedup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via sign-LSH buckets + exact verify.
 
-    Deterministic random hyperplanes (numpy, fixed seed) become literal
-    arrays broadcast into the plan; the bucket is the 8-bit sign pattern,
+    Deterministic random hyperplanes (numpy, fixed seed) ride in as one
+    broadcast matrix column; the bucket is the 8-bit sign pattern,
     so the self-join is an equi-join on a small key — no crossJoin. Pairs
     split across adjacent buckets are missed (recall < 1, like any LSH);
     raise n_planes/band count for tighter recall control.
@@ -419,27 +419,16 @@ def embedding_dedup_pairs(
         dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
-    v = to_double(F.col(vec_col))
-    bucket_bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(float(x)) for x in planes[i]]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        for i in range(n_planes)
-    ]
-    bucket = sum(b * (2**i) for i, b in enumerate(bucket_bits))
-    keyed = df.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), bucket.alias("__bucket")
+    # planes as one broadcast matrix column, not n_planes*dim literal nodes
+    # (Catalyst planning is O(tree size) — see vectors.with_const_matrix);
+    # __bits gets its own projection so the dots aren't re-inlined per bit.
+    with_bits = with_const_matrix(df, "__planes", planes).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        sign_bits(to_double(F.col(vec_col)), F.col("__planes")).alias("__bits"),
     )
+    bucket = sum(F.element_at(F.col("__bits"), i + 1) * (2**i) for i in range(n_planes))
+    keyed = with_bits.select("__id", "__v", bucket.alias("__bucket"))
     a = keyed.select("__bucket", F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
     b = keyed.select("__bucket", F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
     return (

@@ -17,7 +17,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, to_double
+from ..functions.vectors import cosine, sign_bits, to_double, with_const_matrix
 
 
 def cosine_topk_bruteforce(
@@ -60,30 +60,18 @@ def cosine_topk_bruteforce(
     )
 
 
-def _sign_buckets(vec_col, planes: np.ndarray, bands: int) -> list:
-    """Band the sign bits of plane projections into ``bands`` bucket keys."""
-    n_planes = planes.shape[0]
+def _band_keys(bits, n_planes: int, bands: int):
+    """Band an ``array<int>`` of sign bits into ``bands`` bucket keys
+    (band index folded into the key so buckets never collide across
+    bands)."""
     per_band = n_planes // bands
-    v = to_double(vec_col)
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(float(x)) for x in p]), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        for p in planes
-    ]
     keys = []
     for b in range(bands):
         key = F.lit(b * (1 << (per_band + 1)))
         for i in range(per_band):
-            key = key + bits[b * per_band + i] * F.lit(1 << i)
-        keys.append(key)
-    return keys
+            key = key + F.element_at(bits, b * per_band + i + 1) * F.lit(1 << i)
+        keys.append(key.cast("long"))
+    return F.array(*keys)
 
 
 def ivf_topk(
@@ -114,20 +102,23 @@ def ivf_topk(
         .collect()
     )
     centroids = [(int(r.cid), [float(x) for x in r.v]) for r in cent_rows]
+    # one-row broadcast centroid table: keeps the k x dim matrix out of the
+    # expression tree (per-cell literals made Catalyst planning dominate —
+    # see functions/vectors.with_const_matrix) while assignment stays a
+    # narrow in-row pass, no shuffle.
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(centroids,)], "__cents array<struct<cluster:int, cvec:array<double>>>"
+    )
 
     def nearest_clusters(df, id_cols, n_take):
         v = to_double(F.col(vec_col))
-        dots = F.array(
-            *[
-                F.struct(
-                    cosine(v, F.array(*[F.lit(x) for x in cvec])).alias("sim"),
-                    F.lit(ci).alias("cluster"),
-                )
-                for ci, cvec in centroids
-            ]
+        dots = F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(cosine(v, c["cvec"]).alias("sim"), c["cluster"].alias("cluster")),
         )
         top = F.slice(F.reverse(F.array_sort(dots)), 1, n_take)
-        return df.select(
+        return df.crossJoin(F.broadcast(cent_df)).select(
             *id_cols, F.explode(F.transform(top, lambda s: s["cluster"])).alias("__cluster")
         )
 
@@ -138,11 +129,14 @@ def ivf_topk(
         queries.select(F.col(query_id).alias("query_id"), vec_col), ["query_id", vec_col], n_probe
     ).withColumnRenamed(vec_col, "__qv")
 
+    # no distinct needed: each corpus row lands in exactly one inverted list
+    # and a query's probe clusters are distinct, so a (query, neighbor) pair
+    # can surface at most once — skipping it saves a full shuffle of the
+    # embedding arrays.
     cand = (
         query_probes.join(corpus_assigned, on="__cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "__qv", "__cv")
-        .distinct()
     )
     scored = cand.select(
         "query_id",
@@ -181,27 +175,43 @@ def lsh_topk(
     planes = rng.standard_normal((n_planes, dim))
 
     def banded(df, id_alias):
-        keys = _sign_buckets(F.col(vec_col), planes, bands)
-        return df.select(
+        # planes ride in as one broadcast matrix column; bits land in their
+        # own projection so CollapseProject won't duplicate the 16 dot
+        # products per element_at in the band keys.
+        with_bits = with_const_matrix(df, "__planes", planes).select(
             F.col(id_alias[0]).alias(id_alias[1]),
-            F.col(vec_col).alias(id_alias[2]),
-            F.explode(F.array(*[key.cast("long") for key in keys])).alias("__bucket"),
+            sign_bits(to_double(F.col(vec_col)), F.col("__planes")).alias("__bits"),
+        )
+        return with_bits.select(
+            id_alias[1],
+            F.explode(_band_keys(F.col("__bits"), n_planes, bands)).alias("__bucket"),
         )
 
-    q = banded(queries, (query_id, "query_id", "__qv"))
-    c = banded(corpus, (corpus_id, "neighbor_id", "__cv"))
+    # candidates dedup on (query, neighbor) IDS ONLY — a pair colliding in
+    # several bands must rerank once, but shuffling the embedding arrays
+    # xbands through the join and distinct is the wrong plan at scale; the
+    # vectors re-attach afterwards via two equi-joins (AQE broadcasts the
+    # small sides).
+    q = banded(queries, (query_id, "query_id"))
+    c = banded(corpus, (corpus_id, "neighbor_id"))
     cand = (
         q.join(c, on="__bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(to_double(F.col("__qv")), to_double(F.col("__cv"))), 6).alias(
-            "cosine_sim"
-        ),
+    qv = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cv = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        cand.join(qv, on="query_id")
+        .join(cv, on="neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(to_double(F.col("__qv")), to_double(F.col("__cv"))), 6).alias(
+                "cosine_sim"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
