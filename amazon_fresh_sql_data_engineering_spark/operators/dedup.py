@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 from ..functions.text import tokens
 from ..functions.vectors import cosine, sign_bits, to_double, with_const_matrix
@@ -76,29 +76,37 @@ def minhash_signatures(
     over k-word shingles. Base hash is ``xxhash64`` (JVM-side,
     deterministic); each permutation is (a*h + b) mod M31.
 
-    The shingle-hash array is **materialized in its own projection** before
-    the 64 permutation minimums reference it — otherwise Catalyst inlines
-    the shingling+xxhash subtree into every array_min and computes it
-    ``num_hashes`` times (measured 18x slowdown at sf0.1). Docs with no
-    shingles are dropped (nothing to near-dup against).
+    The shingle hash stays JVM-side (``xxhash64`` builtin), but the 64
+    permutation minimums run in ONE Arrow-batched pandas UDF (numpy
+    broadcast ``(A*h + B) % M31`` then ``min`` per row): Spark evaluates
+    higher-order-function lambdas interpreted (per-element closure calls),
+    which made ``array_min(transform(...))`` x64 the hottest CPU path in
+    the catalog. The UDF sees each doc's hash array once (~8 bytes x
+    |shingles| over Arrow), is embarrassingly parallel per partition, and
+    produces bit-identical signature values to the lambda form (same
+    int64 arithmetic, all operands < 2^62). Docs with no shingles are
+    dropped (nothing to near-dup against).
     """
     sh = shingles(text_col, k)
     hashed = df.select(
         F.col(id_col).alias("__id"),
         F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))).alias("__h"),
     ).filter(F.size("__h") > 0)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("__h"),
-                    lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_P)),
-                )
-            )
-            for a, b in _minhash_perms(num_hashes, seed)
-        ]
-    )
-    return hashed.select("__id", sig.alias("__sig"))
+
+    perms = np.array(_minhash_perms(num_hashes, seed), dtype=np.int64)
+    a_col = perms[:, 0][:, None]
+    b_col = perms[:, 1][:, None]
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            hv = np.asarray(h, dtype=np.int64)
+            # a < 2^31, h < 2^31 -> a*h + b < 2^63: exact in int64
+            out.append((a_col * hv[None, :] + b_col) % MERSENNE_P)
+        return pd.Series([m.min(axis=1) for m in out])
+
+    return hashed.select("__id", _sig(F.col("__h")).alias("__sig"))
 
 
 def minhash_lsh_candidates(
