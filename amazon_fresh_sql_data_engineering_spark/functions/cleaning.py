@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 # Shapes the reference validates with (T:245 uuid, T:174 date, T:169 int,
 # T:145 numeric).
 UUID_RE = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+# groups a 64-hex sha2 digest into uuid shape with ONE reference to the input
+UUID_GROUPS_RE = r"^(.{8})(.{4})(.{4})(.{4})(.{12}).*$"
 DATE_MDY_RE = r"^\d{1,2}/\d{1,2}/\d{4}$"
 INT_RE = r"^-?\d+$"
 NUM_RE = r"^-?\d+(\.\d+)?$"
@@ -109,14 +111,9 @@ def gen_uuid(deterministic_from: Column | None = None) -> Column:
     """
     if deterministic_from is None:
         return F.uuid()
+    # Single reference to the sha2 subtree: five .substr() calls would embed
+    # the hash expression 5x, and subexpression elimination does NOT reach
+    # into CASE WHEN branches (where PK-repair puts this) — measured 5x the
+    # hash cost per row. One regexp_replace keeps sha2 evaluated once.
     h = F.sha2(deterministic_from.cast("string"), 256)
-    return F.lower(
-        F.concat_ws(
-            "-",
-            h.substr(1, 8),
-            h.substr(9, 4),
-            h.substr(13, 4),
-            h.substr(17, 4),
-            h.substr(21, 12),
-        )
-    )
+    return F.lower(F.regexp_replace(h, UUID_GROUPS_RE, "$1-$2-$3-$4-$5"))

@@ -21,6 +21,7 @@ and cluster layouts.
 from __future__ import annotations
 
 import random
+from zlib import crc32
 
 import numpy as np
 import pandas as pd
@@ -64,6 +65,81 @@ def _minhash_perms(num: int, seed: int) -> list[tuple[int, int]]:
     return [(rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P)) for _ in range(num)]
 
 
+def _shingle_hashes_np(text: str, k: int) -> np.ndarray:
+    """Distinct 31-bit k-word shingle hashes of ``text``, vectorized.
+
+    Tokenization matches ``functions.text.tokens`` (whitespace split of
+    trimmed text). Word hash = crc32; shingle hash = odd-constant linear
+    combine of the k word hashes mod M31 — same 31-bit hash space (and
+    within-doc collision profile) as the previous pmod(xxhash64) form.
+    """
+    ws = text.split() if text else []
+    if len(ws) < k:
+        return _EMPTY_I64
+    wh = np.array([crc32(w.encode("utf-8")) for w in ws], dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(wh, k)
+    # crc32 < 2^32, coeffs < 2^29 -> each product < 2^61, k<=3 sum < 2^63
+    sh = (win * _SHINGLE_COEF[:k]).sum(axis=1) % MERSENNE_P
+    return np.unique(sh)
+
+
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+# fixed odd coefficients (< 2^29) for the word-hash combine; position-
+# dependent so "a b c" and "c b a" shingle differently
+_SHINGLE_COEF = np.array([0x1000_0001, 0x0A5F_3C47, 0x1234_5671], dtype=np.int64)
+
+
+def minhash_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(__id, __sig, __h): MinHash signature AND distinct shingle hashes,
+    one Arrow-batched UDF pass per doc.
+
+    The whole text->features path runs in ONE pandas UDF (tokenize, crc32
+    word hashes, numpy rolling shingle combine, numpy broadcast
+    ``(A*h + B) % M31`` + min): Spark evaluates higher-order-function
+    lambdas interpreted (per-element closure calls), which made the
+    JVM-side ``transform(slice+concat_ws)`` shingling ~1 ms/doc — the
+    hottest CPU path in the catalog (4.6 s of the 7.5 s query at sf0.1).
+    Emitting the shingle-hash set alongside the signature means the
+    downstream Jaccard verify re-uses this pass instead of re-shingling
+    the corpus (a second full-corpus UDF pass at 100 TB) or semi-join
+    pruning it (2 extra shuffle stages). All arithmetic is int64-exact
+    (operands < 2^63) and seeded, so features are deterministic across
+    runs and cluster layouts. Docs with no shingles (< k words) are
+    dropped (nothing to near-dup against).
+    """
+    if k > len(_SHINGLE_COEF):
+        raise ValueError(f"k={k} exceeds supported shingle width {len(_SHINGLE_COEF)}")
+    perms = np.array(_minhash_perms(num_hashes, seed), dtype=np.int64)
+    a_col = perms[:, 0][:, None]
+    b_col = perms[:, 1][:, None]
+
+    @pandas_udf("sig array<long>, h array<long>")
+    def _feat(texts: pd.Series) -> pd.DataFrame:
+        sigs, hs = [], []
+        for t in texts:
+            hv = _shingle_hashes_np(t, k)
+            if hv.size == 0:
+                sigs.append(None)
+                hs.append(None)
+                continue
+            # a < 2^31, h < 2^31 -> a*h + b < 2^63: exact in int64
+            sigs.append(((a_col * hv[None, :] + b_col) % MERSENNE_P).min(axis=1))
+            hs.append(hv)
+        return pd.DataFrame({"sig": sigs, "h": hs})
+
+    f = df.select(F.col(id_col).alias("__id"), _feat(F.col(text_col)).alias("__f"))
+    return f.select("__id", F.col("__f.sig").alias("__sig"), F.col("__f.h").alias("__h")).filter(
+        F.col("__sig").isNotNull()
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -73,63 +149,14 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """MinHash signatures: (__id, __sig array<long> of len ``num_hashes``)
-    over k-word shingles. Base hash is ``xxhash64`` (JVM-side,
-    deterministic); each permutation is (a*h + b) mod M31.
-
-    The shingle hash stays JVM-side (``xxhash64`` builtin), but the 64
-    permutation minimums run in ONE Arrow-batched pandas UDF (numpy
-    broadcast ``(A*h + B) % M31`` then ``min`` per row): Spark evaluates
-    higher-order-function lambdas interpreted (per-element closure calls),
-    which made ``array_min(transform(...))`` x64 the hottest CPU path in
-    the catalog. The UDF sees each doc's hash array once (~8 bytes x
-    |shingles| over Arrow), is embarrassingly parallel per partition, and
-    produces bit-identical signature values to the lambda form (same
-    int64 arithmetic, all operands < 2^62). Docs with no shingles are
-    dropped (nothing to near-dup against).
-    """
-    sh = shingles(text_col, k)
-    hashed = df.select(
-        F.col(id_col).alias("__id"),
-        F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))).alias("__h"),
-    ).filter(F.size("__h") > 0)
-
-    perms = np.array(_minhash_perms(num_hashes, seed), dtype=np.int64)
-    a_col = perms[:, 0][:, None]
-    b_col = perms[:, 1][:, None]
-
-    @pandas_udf(ArrayType(LongType()))
-    def _sig(hs: pd.Series) -> pd.Series:
-        out = []
-        for h in hs:
-            hv = np.asarray(h, dtype=np.int64)
-            # a < 2^31, h < 2^31 -> a*h + b < 2^63: exact in int64
-            out.append((a_col * hv[None, :] + b_col) % MERSENNE_P)
-        return pd.Series([m.min(axis=1) for m in out])
-
-    return hashed.select("__id", _sig(F.col("__h")).alias("__sig"))
+    over k-word shingles; each permutation is (a*h + b) mod M31.
+    See ``minhash_features`` for the execution strategy."""
+    return minhash_features(df, id_col, text_col, num_hashes, k, seed).select("__id", "__sig")
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_hashes: int = 64,
-    bands: int = 16,
-    k: int = 3,
-    seed: int = 42,
-) -> DataFrame:
-    """Candidate near-dup pairs via banded LSH: docs sharing any band bucket.
-
-    Returns (id_a, id_b) with id_a < id_b, distinct. The only wide ops are
-    one explode (rows x bands) and one equi-self-join on the band hash —
-    no crossJoin anywhere.
-    """
+def _candidates_from_sig(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Banded-LSH candidate pairs from a (persisted) signature frame."""
     rows_per_band = num_hashes // bands
-    # persist the signatures: CollapseProject would otherwise inline the
-    # 64-permutation signature expression into EVERY band's bucket hash
-    # (16x recompute — measured 10s of 14s at sf0.1). At scale, persisted
-    # signatures are also what the verify step and incremental runs reuse.
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k, seed).persist()
     banded = sig.select(
         "__id",
         F.explode(
@@ -160,6 +187,26 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: docs sharing any band bucket.
+
+    Returns (id_a, id_b) with id_a < id_b, distinct. The only wide ops are
+    one explode (rows x bands) and one equi-self-join on the band hash —
+    no crossJoin anywhere. Signatures are persisted first: CollapseProject
+    would otherwise inline the signature UDF into EVERY band's bucket hash.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k, seed).persist()
+    return _candidates_from_sig(sig, num_hashes, bands)
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two distinct-element arrays."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
@@ -178,14 +225,20 @@ def minhash_dedup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact shingle Jaccard.
-    Output: (id_a, id_b, jaccard_sim) for pairs >= threshold."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, k, seed)
-    sh = df.select(
-        F.col(id_col).alias("__sid"), shingles(text_col, k).alias("__sh")
-    )
+    Output: (id_a, id_b, jaccard_sim) for pairs >= threshold.
+
+    One UDF pass computes signatures + shingle-hash sets together
+    (``minhash_features``, persisted); banding reads ``__sig``, the exact-
+    Jaccard verify joins ``__h`` from the SAME persisted frame. Verifying
+    on 31-bit shingle-hash arrays instead of shingle strings makes the
+    intersection a long-array compare (~5x cheaper) with identical Jaccard
+    barring within-pair collisions (~1e-6 at these set sizes)."""
+    feats = minhash_features(df, id_col, text_col, num_hashes, k, seed).persist()
+    cands = _candidates_from_sig(feats.select("__id", "__sig"), num_hashes, bands)
+    sh = feats.select("__id", "__h")
     return (
-        cands.join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "__sh_a"), on="id_a")
-        .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "__sh_b"), on="id_b")
+        cands.join(sh.select(F.col("__id").alias("id_a"), F.col("__h").alias("__sh_a")), on="id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), F.col("__h").alias("__sh_b")), on="id_b")
         .select(
             "id_a",
             "id_b",

@@ -61,6 +61,13 @@ def build_session(
         # out because they are load-bearing for the 100 TB design).
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Small-file split parallelism: maxSplitBytes = min(maxPartitionBytes,
+        # max(openCostInBytes, totalBytes/defaultParallelism)). With the 4 MiB
+        # default open-cost an 11 MiB table scans as 3 splits and CPU-heavy
+        # projections (sha256 staging synthesis) run on 3 of 32 cores. 128 KiB
+        # lets totalBytes/parallelism govern instead; at cluster scale
+        # bytesPerCore >> maxPartitionBytes so splits stay 128 MiB — a no-op.
+        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
         # Quiet driver-side UI/log noise in test runs.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

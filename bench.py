@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from amazon_fresh_sql_data_engineering_spark.catalog import CATALOG
@@ -28,8 +30,18 @@ def main() -> None:
     spark = build_session(app_name="bench")
 
     # Warm-up: touch every table + run the flagship once (JIT, codegen,
-    # parquet footers). Not timed.
+    # parquet footers), and spin up the Python UDF workers + Arrow codepath
+    # with a synthetic one-column UDF (shares no plan/cache with any catalog
+    # query, so nothing timed below gets pre-computed). Not timed.
     CATALOG["q_high_value"].fn(spark, sf_dir).count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s * 1.0
+
+    spark.range(10000).select(_warm(F.col("id").cast("double"))).count()
 
     timings: dict[str, float] = {}
     for name, spec in CATALOG.items():
