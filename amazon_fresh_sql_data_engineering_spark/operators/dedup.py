@@ -31,7 +31,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
 from ..functions.text import tokens
-from ..functions.vectors import cosine, sign_bits, to_double, with_const_matrix
+from ..functions.vectors import cosine_pairs, matrix_dots_udf
 
 # Mersenne-31: keeps (a*h + b) < 2^62, so permutation arithmetic never
 # overflows a long even under ANSI mode (a vanilla Spark 4 session has
@@ -65,21 +65,28 @@ def _minhash_perms(num: int, seed: int) -> list[tuple[int, int]]:
     return [(rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P)) for _ in range(num)]
 
 
-def _shingle_hashes_np(text: str, k: int) -> np.ndarray:
-    """Distinct 31-bit k-word shingle hashes of ``text``, vectorized.
+def _shingle_hashes_np(text: str, k: int, mod: int | None = MERSENNE_P) -> np.ndarray:
+    """Distinct k-word shingle hashes of ``text``, vectorized.
 
     Tokenization matches ``functions.text.tokens`` (whitespace split of
     trimmed text). Word hash = crc32; shingle hash = odd-constant linear
-    combine of the k word hashes mod M31 — same 31-bit hash space (and
-    within-doc collision profile) as the previous pmod(xxhash64) form.
+    combine of the k word hashes. With ``mod=MERSENNE_P`` (default) hashes
+    are 31-bit — same hash space (and within-doc collision profile) as the
+    previous pmod(xxhash64) form, required by the minhash permutation
+    arithmetic. With ``mod=None`` the combine keeps full int64 width
+    (two's-complement wrap — deterministic) for ~2^63 collision odds where
+    exact-Jaccard parity with a string-shingle oracle matters.
     """
     ws = text.split() if text else []
     if len(ws) < k:
         return _EMPTY_I64
     wh = np.array([crc32(w.encode("utf-8")) for w in ws], dtype=np.int64)
     win = np.lib.stride_tricks.sliding_window_view(wh, k)
-    # crc32 < 2^32, coeffs < 2^29 -> each product < 2^61, k<=3 sum < 2^63
-    sh = (win * _SHINGLE_COEF[:k]).sum(axis=1) % MERSENNE_P
+    # crc32 < 2^32, coeffs < 2^29 -> each product < 2^61; the k<=3 sum may
+    # wrap int64, which numpy defines as two's complement — fine for mod=None
+    sh = (win * _SHINGLE_COEF[:k]).sum(axis=1)
+    if mod is not None:
+        sh = sh % mod
     return np.unique(sh)
 
 
@@ -261,17 +268,22 @@ def ngram_jaccard_pairs(
     chosen so max block size stays in the thousands (or fall back to
     MinHash-LSH, which needs no blocks).
 
-    Shingles are compared as xxhash64 codes, not strings: long-array
+    Shingles are compared as 31-bit hash codes, not strings (the same
+    vectorized UDF as ``minhash_features`` — the JVM transform/slice/
+    concat_ws shingling runs interpreted at ~1 ms/doc): long-array
     intersection is ~5x cheaper than string-array intersection and the
-    Jaccard value is identical barring 64-bit hash collisions (~1e-19 per
-    pair at these set sizes)."""
+    Jaccard value is identical barring within-pair hash collisions (~1e-6
+    at these set sizes)."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def _shs(texts: pd.Series) -> pd.Series:
+        return pd.Series([_shingle_hashes_np(t, k, mod=None) for t in texts])
+
     sh = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("__id"),
-        F.array_distinct(
-            F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
-        ).alias("__sh"),
-    )
+        _shs(F.col(text_col)).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
     a = sh.select(*block_cols, F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = sh.select(*block_cols, F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     return (
@@ -470,26 +482,28 @@ def embedding_dedup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via sign-LSH buckets + exact verify.
 
-    Deterministic random hyperplanes (numpy, fixed seed) ride in as one
-    broadcast matrix column; the bucket is the 8-bit sign pattern,
-    so the self-join is an equi-join on a small key — no crossJoin. Pairs
-    split across adjacent buckets are missed (recall < 1, like any LSH);
-    raise n_planes/band count for tighter recall control.
+    Deterministic random hyperplanes (numpy, fixed seed) ship inside the
+    plane-dots pandas UDF (one BLAS matmul per Arrow batch); the bucket is
+    the 8-bit sign pattern, so the self-join is an equi-join on a small
+    key — no crossJoin. Pairs split across adjacent buckets are missed
+    (recall < 1, like any LSH); raise n_planes/band count for tighter
+    recall control.
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
-    # planes as one broadcast matrix column, not n_planes*dim literal nodes
-    # (Catalyst planning is O(tree size) — see vectors.with_const_matrix);
-    # __bits gets its own projection so the dots aren't re-inlined per bit.
-    with_bits = with_const_matrix(df, "__planes", planes).select(
+    # __dots gets its own projection so the UDF isn't re-inlined per bit.
+    with_dots = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        sign_bits(to_double(F.col(vec_col)), F.col("__planes")).alias("__bits"),
+        matrix_dots_udf(planes)(F.col(vec_col)).alias("__dots"),
     )
-    bucket = sum(F.element_at(F.col("__bits"), i + 1) * (2**i) for i in range(n_planes))
-    keyed = with_bits.select("__id", "__v", bucket.alias("__bucket"))
+    bucket = sum(
+        F.when(F.element_at(F.col("__dots"), i + 1) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        for i in range(n_planes)
+    )
+    keyed = with_dots.select("__id", "__v", bucket.alias("__bucket"))
     a = keyed.select("__bucket", F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
     b = keyed.select("__bucket", F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
     return (
@@ -498,7 +512,7 @@ def embedding_dedup_pairs(
         .select(
             "id_a",
             "id_b",
-            cosine(to_double(F.col("__va")), to_double(F.col("__vb"))).alias("cosine_sim"),
+            cosine_pairs(F.col("__va"), F.col("__vb")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

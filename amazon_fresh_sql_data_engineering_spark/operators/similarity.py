@@ -17,7 +17,13 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, sign_bits, to_double, with_const_matrix
+from ..functions.vectors import (
+    cosine,
+    cosine_pairs,
+    matrix_cosine_top_udf,
+    matrix_dots_udf,
+    to_double,
+)
 
 
 def cosine_topk_bruteforce(
@@ -74,6 +80,23 @@ def _band_keys(bits, n_planes: int, bands: int):
     return F.array(*keys)
 
 
+def _band_keys_from_dots(dots, n_planes: int, bands: int):
+    """Same band keys, but straight from an ``array<double>`` of plane
+    dot products (sign >= 0 -> bit 1): keeps banding as flat codegen-able
+    element_at/CASE expressions over the UDF output column."""
+    per_band = n_planes // bands
+    keys = []
+    for b in range(bands):
+        key = F.lit(b * (1 << (per_band + 1)))
+        for i in range(per_band):
+            bit = F.when(F.element_at(dots, b * per_band + i + 1) >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+            key = key + bit
+        keys.append(key.cast("long"))
+    return F.array(*keys)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -91,9 +114,11 @@ def ivf_topk(
     vectors by id) — no Lloyd iterations, so assignment is reproducible
     and training-free; recall is tuned by n_probe (measured in tests).
     Centroids are collected to the driver (k x dim floats — metadata-sized)
-    and broadcast back as literals, so assignment is one narrow pass over
-    the corpus; at 100 TB the corpus would be *written* partitioned by
-    cluster id, making each probe a partition-pruned scan.
+    and ship inside the assign/probe pandas UDF (one BLAS matmul + argsort
+    per Arrow batch — the interpreted per-centroid cosine HOF was the
+    hottest path of this query); assignment stays one narrow pass over the
+    corpus, no shuffle. At 100 TB the corpus would be *written* partitioned
+    by cluster id, making each probe a partition-pruned scan.
     """
     cent_rows = (
         corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("v"))
@@ -101,33 +126,21 @@ def ivf_topk(
         .limit(n_clusters)
         .collect()
     )
-    centroids = [(int(r.cid), [float(x) for x in r.v]) for r in cent_rows]
-    # one-row broadcast centroid table: keeps the k x dim matrix out of the
-    # expression tree (per-cell literals made Catalyst planning dominate —
-    # see functions/vectors.with_const_matrix) while assignment stays a
-    # narrow in-row pass, no shuffle.
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
-        [(centroids,)], "__cents array<struct<cluster:int, cvec:array<double>>>"
+    labels = [int(r.cid) for r in cent_rows]
+    matrix = [[float(x) for x in r.v] for r in cent_rows]
+    assign1 = matrix_cosine_top_udf(matrix, labels, 1)
+    probe_n = matrix_cosine_top_udf(matrix, labels, n_probe)
+
+    corpus_assigned = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("__cluster"),
     )
-
-    def nearest_clusters(df, id_cols, n_take):
-        v = to_double(F.col(vec_col))
-        dots = F.transform(
-            F.col("__cents"),
-            lambda c: F.struct(cosine(v, c["cvec"]).alias("sim"), c["cluster"].alias("cluster")),
-        )
-        top = F.slice(F.reverse(F.array_sort(dots)), 1, n_take)
-        return df.crossJoin(F.broadcast(cent_df)).select(
-            *id_cols, F.explode(F.transform(top, lambda s: s["cluster"])).alias("__cluster")
-        )
-
-    corpus_assigned = nearest_clusters(
-        corpus.select(F.col(corpus_id).alias("neighbor_id"), vec_col), ["neighbor_id", vec_col], 1
-    ).withColumnRenamed(vec_col, "__cv")
-    query_probes = nearest_clusters(
-        queries.select(F.col(query_id).alias("query_id"), vec_col), ["query_id", vec_col], n_probe
-    ).withColumnRenamed(vec_col, "__qv")
+    query_probes = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probe_n(F.col(vec_col))).alias("__cluster"),
+    )
 
     # no distinct needed: each corpus row lands in exactly one inverted list
     # and a query's probe clusters are distinct, so a (query, neighbor) pair
@@ -141,9 +154,7 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(to_double(F.col("__qv")), to_double(F.col("__cv"))), 6).alias(
-            "cosine_sim"
-        ),
+        F.round(cosine_pairs(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -174,17 +185,20 @@ def lsh_topk(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
 
+    plane_dots = matrix_dots_udf(planes)
+
     def banded(df, id_alias):
-        # planes ride in as one broadcast matrix column; bits land in their
-        # own projection so CollapseProject won't duplicate the 16 dot
-        # products per element_at in the band keys.
-        with_bits = with_const_matrix(df, "__planes", planes).select(
+        # plane dot products come from one numpy matmul per Arrow batch
+        # (the interpreted per-plane HOF dot was the hot path); they land
+        # in their own projection so CollapseProject won't duplicate the
+        # UDF per element_at in the band keys.
+        with_dots = df.select(
             F.col(id_alias[0]).alias(id_alias[1]),
-            sign_bits(to_double(F.col(vec_col)), F.col("__planes")).alias("__bits"),
+            plane_dots(F.col(vec_col)).alias("__dots"),
         )
-        return with_bits.select(
+        return with_dots.select(
             id_alias[1],
-            F.explode(_band_keys(F.col("__bits"), n_planes, bands)).alias("__bucket"),
+            F.explode(_band_keys_from_dots(F.col("__dots"), n_planes, bands)).alias("__bucket"),
         )
 
     # candidates dedup on (query, neighbor) IDS ONLY — a pair colliding in
@@ -208,9 +222,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(to_double(F.col("__qv")), to_double(F.col("__cv"))), 6).alias(
-                "cosine_sim"
-            ),
+            F.round(cosine_pairs(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

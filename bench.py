@@ -41,7 +41,13 @@ def main() -> None:
     def _warm(s: pd.Series) -> pd.Series:
         return s * 1.0
 
-    spark.range(10000).select(_warm(F.col("id").cast("double"))).count()
+    @pandas_udf("array<long>")
+    def _warm_arr(s: pd.Series) -> pd.Series:
+        return pd.Series([[v] for v in s])
+
+    df = spark.range(10000)
+    df.select(_warm(F.col("id").cast("double"))).count()
+    df.select(F.explode(_warm_arr(F.col("id")))).count()
 
     timings: dict[str, float] = {}
     for name, spec in CATALOG.items():
