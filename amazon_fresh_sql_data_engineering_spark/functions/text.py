@@ -123,3 +123,37 @@ def fingerprint(c: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * FP_BASE + x) % FP_MOD,
     )
+
+
+def tfidf_terms(docs, id_col: str, text_col: str):
+    """(doc, term, tf, df, tfidf) over whitespace tokens, all-DataFrame:
+
+    - tf: one shuffle on (doc, term) — map-side partial counts first;
+    - df + N: one aggregation over the (doc, term) frame per term (already
+      distinct, so no count-distinct expansion) and one scalar N broadcast.
+
+    At 100 TB the token explode is the big intermediate (|tokens| rows);
+    it never materializes — both aggregations consume it streaming. Score
+    is tf * ln(N/df) with one double division then one multiply, the same
+    association the oracle uses.
+    """
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.countDistinct(id_col).alias("__n"))
+    return (
+        tf.join(df, on="term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df"))).alias("tfidf"),
+        )
+    )

@@ -254,3 +254,103 @@ def op_approx_count_distinct(spark, sf_dir):
 def op_distinct_projection(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "op_asof_join",
+    oracle="""
+        WITH p AS (
+            SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        v AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'view'
+        ),
+        ranked AS (
+            SELECT p.purchase_id, p.user_id, p.purchase_ts,
+                   v.event_id AS view_id, v.ts AS view_ts,
+                   v.value AS value_at_view,
+                   row_number() OVER (PARTITION BY p.purchase_id
+                                      ORDER BY v.ts DESC, v.event_id DESC) AS rn
+            FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.purchase_ts
+        )
+        SELECT purchase_id, user_id, purchase_ts, view_id, view_ts, value_at_view
+        FROM ranked WHERE rn = 1
+    """,
+    doc="ASOF JOIN (operators/asof.py): each purchase matched to the most "
+    "recent at-or-before view by the same user. Spark has no native ASOF; "
+    "the union-merge plan is ONE shuffle+sort of |L|+|R| with a running "
+    "last_value — never the O(pairs) range-join intermediate the oracle "
+    "uses (fine at sf0.01; fatal at 100 TB).",
+)
+def op_asof_join(spark, sf_dir):
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = e.filter(F.col("event_type") == "view")
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        payload={"view_id": "event_id", "view_ts": "ts", "value_at_view": "value"},
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "op_range_join",
+    oracle="""
+        WITH promos(promo, d_start, d_end) AS (
+            VALUES ('launch95',   DATE '1995-01-01', DATE '1996-06-30'),
+                   ('overlap96',  DATE '1996-01-01', DATE '1997-12-31'),
+                   ('millennium', DATE '1999-06-01', DATE '2001-01-01'),
+                   ('alltime',    DATE '1995-01-01', DATE '2001-12-31')
+        )
+        SELECT promo,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+        FROM orders JOIN promos
+          ON o_orderdate >= d_start AND o_orderdate <= d_end
+        GROUP BY promo
+        ORDER BY promo
+    """,
+    doc="Interval range join: orders x OVERLAPPING promo windows (a row "
+    "can match several promos, so no CASE rewrite exists). The promo side "
+    "is broadcast, so the non-equi predicate runs as a "
+    "BroadcastNestedLoopJoin — no shuffle, no O(|orders| x |promos|) "
+    "exchange; for big-big interval joins the engine buckets by "
+    "time-grain overlap first (see SCALE.md).",
+)
+def op_range_join(spark, sf_dir):
+    import datetime
+
+    o = _t(spark, sf_dir, "orders")
+    promos = spark.createDataFrame(
+        [
+            ("launch95", datetime.date(1995, 1, 1), datetime.date(1996, 6, 30)),
+            ("overlap96", datetime.date(1996, 1, 1), datetime.date(1997, 12, 31)),
+            ("millennium", datetime.date(1999, 6, 1), datetime.date(2001, 1, 1)),
+            ("alltime", datetime.date(1995, 1, 1), datetime.date(2001, 12, 31)),
+        ],
+        "promo string, d_start date, d_end date",
+    )
+    joined = o.join(
+        F.broadcast(promos),
+        (F.col("o_orderdate") >= F.col("d_start")) & (F.col("o_orderdate") <= F.col("d_end")),
+    )
+    return (
+        joined.groupBy("promo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("revenue"),
+        )
+        .orderBy("promo")
+    )

@@ -459,3 +459,43 @@ def events_hourly(spark, sf_dir):
 def events_sessionize(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return sessionize_batch(e, gap_minutes=5)
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lower(tok) AS term
+            FROM documents,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(tok)
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   round(tf.tf * ln(n.n::DOUBLE / df.df), 6) AS tfidf,
+                   row_number() OVER (PARTITION BY tf.doc_id
+                                      ORDER BY tf.tf * ln(n.n::DOUBLE / df.df) DESC,
+                                               tf.term) AS rn
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, tfidf
+        FROM scored WHERE rn <= 3 AND doc_id % 50 = 0
+    """,
+    doc="TF-IDF top-3 terms per doc (functions/text.tfidf_terms): tf and "
+    "df in two streaming aggregations over the token explode, scalar N "
+    "broadcast, deterministic tiebreak (score desc, term asc). The "
+    "training-data relevance/quality primitive.",
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = TXT.tfidf_terms(docs, "doc_id", "text")
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") % 50 == 0))
+        .select("doc_id", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"))
+    )
