@@ -499,3 +499,36 @@ def text_tfidf_top_terms(spark, sf_dir):
         .filter((F.col("rn") <= 3) & (F.col("doc_id") % 50 == 0))
         .select("doc_id", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"))
     )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=None,  # byte-slice stub; pytest pins frame layout + checksums
+    doc="Multimodal frame sampling: one media row -> N frame rows via "
+    "mapInPandas (the 1->N fan-out batch UDFs can't express); each frame "
+    "carries offset + binary payload + checksum. Decode is a deterministic "
+    "stub (no codecs in container); the Spark plumbing is real.",
+)
+def mm_frame_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    media = MM.attach_fake_media(docs, "doc_id", "text")
+    return (
+        MM.sample_frames(media)
+        .select("doc_id", "frame_idx", "byte_offset", "frame_checksum")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@register(
+    "mm_embed_ann",
+    oracle=None,  # pseudo-embedding stub; pytest pins determinism
+    doc="Multimodal -> vector-search bridge: media bytes -> deterministic "
+    "pseudo-embedding (mapInPandas; a model runtime would slot in) -> "
+    "exact cosine top-3 neighbors. Exercises the full embed+search path "
+    "on binary inputs.",
+)
+def mm_embed_ann(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    emb = MM.embed_media(MM.attach_fake_media(docs, "doc_id", "text"))
+    q = emb.filter(F.col("doc_id") % 50 == 0)
+    return S.cosine_topk_bruteforce(q, emb, "doc_id", "doc_id", "embedding", k=3)

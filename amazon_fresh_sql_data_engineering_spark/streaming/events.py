@@ -112,3 +112,49 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, total_value), re-emitted on every micro-batch that
+    touches the user.
+
+    Windowed aggregation can't express "running totals across ALL history,
+    emitted per update" (watermarks would eventually drop old state, and
+    append mode only emits closed windows) — this is exactly the arbitrary-
+    state shape. State per key is two scalars, so the state store stays
+    O(distinct users) regardless of event volume; at 100 TB the state is
+    RocksDB-backed and partitioned by the groupBy key.
+
+    The same function body works in batch tests by calling the grouped
+    ``applyInPandas`` twin (``user_totals_batch``) — parity is asserted in
+    tests/test_streaming.py.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def user_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of :func:`user_totals_stateful` (same output schema)."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value")), 2).alias("total_value"),
+    )

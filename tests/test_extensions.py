@@ -201,3 +201,29 @@ def test_approx_count_distinct_error_bounded(spark, sf_dir):
     ).collect()[0]
     assert abs(row.approx_parts - exact.p) / exact.p < 0.1
     assert abs(row.approx_orders - exact.o) / exact.o < 0.1
+
+
+def test_frame_sampling_layout_and_checksums(spark):
+    long_text = "x" * 100 + "yz" * 500  # 1100 bytes -> 4 frames (stride 256)
+    df = spark.createDataFrame([(1, long_text), (2, "tiny")], "doc_id long, text string")
+    media = MM.attach_fake_media(df, "doc_id", "text")
+    rows = {(r.doc_id, r.frame_idx): r for r in MM.sample_frames(media).collect()}
+    b = long_text.encode()
+    assert {(d, i) for d, i in rows} == {(1, 0), (1, 1), (1, 2), (1, 3), (2, 0)}
+    for i in range(4):
+        r = rows[(1, i)]
+        assert r.byte_offset == i * 256
+        assert bytes(r.frame_bytes) == b[i * 256 : i * 256 + 64]
+        assert r.frame_checksum == sum(b[i * 256 : i * 256 + 64])
+    assert bytes(rows[(2, 0)].frame_bytes) == b"tiny"  # short doc: 1 partial frame
+    with pytest.raises(Exception, match="NotImplementedError|frame sampling"):
+        MM.sample_frames(media, fake=False).collect()
+
+
+def test_embed_media_deterministic_and_bounded(spark, docs):
+    media = MM.attach_fake_media(docs, "doc_id", "text")
+    e1 = {r.doc_id: r.embedding for r in MM.embed_media(media).collect()}
+    e2 = {r.doc_id: r.embedding for r in MM.embed_media(media).collect()}
+    assert e1 == e2  # deterministic
+    assert e1[1] == e1[2]  # identical text -> identical embedding
+    assert all(len(v) == 16 and all(-1 <= x <= 1 for x in v) for v in e1.values())

@@ -89,3 +89,44 @@ def test_hourly_rollup_schema_stable_batch_vs_stream_def(spark):
     assert out.columns == ["window_start", "event_type", "n_events", "total_value"]
     row = out.collect()[0]
     assert row.window_start == TS(2024, 1, 1, 10, 0) and row.n_events == 1
+
+
+def test_stateful_user_totals_matches_batch(spark, tmp_path):
+    """applyInPandasWithState running totals == batch groupBy totals after
+    draining the stream. maxFilesPerTrigger=1 forces two micro-batches in
+    one run, so the second batch proves state carry-over; 'update' mode
+    re-emits per touched user, so keep the row with the highest n_events."""
+    from amazon_fresh_sql_data_engineering_spark.streaming.events import (
+        user_totals_batch,
+        user_totals_stateful,
+    )
+
+    src = str(tmp_path / "src")
+    rows1 = [(1, TS(2024, 1, 1, 10, 0), 1, "click", 1.5), (2, TS(2024, 1, 1, 10, 1), 2, "view", 2.0)]
+    rows2 = [(3, TS(2024, 1, 1, 10, 2), 1, "click", 3.0)]
+    _events_df(spark, rows1).write.mode("overwrite").parquet(src)
+    _events_df(spark, rows2).write.mode("append").parquet(src)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        user_totals_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("select * from stateful_totals").collect()
+    assert len(emitted) >= 3  # user 1 re-emitted at least twice across batches
+    got = {}
+    for r in emitted:  # last update per user = the one with most events seen
+        if r.user_id not in got or r.n_events > got[r.user_id][0]:
+            got[r.user_id] = (r.n_events, r.total_value)
+    want = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in user_totals_batch(_events_df(spark, rows1 + rows2)).collect()
+    }
+    assert got == want and got[1] == (2, 4.5)
