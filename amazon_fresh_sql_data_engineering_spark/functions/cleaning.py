@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 # Shapes the reference validates with (T:245 uuid, T:174 date, T:169 int,
 # T:145 numeric).
 UUID_RE = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
-# groups a 64-hex sha2 digest into uuid shape with ONE reference to the input
+# groups a hex digest (md5: exactly 32 chars) into uuid shape with ONE reference
 UUID_GROUPS_RE = r"^(.{8})(.{4})(.{4})(.{4})(.{12}).*$"
 DATE_MDY_RE = r"^\d{1,2}/\d{1,2}/\d{4}$"
 INT_RE = r"^-?\d+$"
@@ -105,15 +105,15 @@ def gen_uuid(deterministic_from: Column | None = None) -> Column:
     """``gen_random_uuid()`` (T:254, T:740).
 
     With ``deterministic_from`` set, derives a stable uuid-shaped id from
-    the given column (sha2-based) — the injectable-id hook SURVEY §7.4
+    the given column (md5-based; 32 hex chars = exactly one uuid, ~2x sha2 throughput, collision-irrelevant for content-addressing synthetic ids) — the injectable-id hook SURVEY §7.4
     requires for hash-matchable tests; nondeterministic ``F.uuid()``
     otherwise.
     """
     if deterministic_from is None:
         return F.uuid()
-    # Single reference to the sha2 subtree: five .substr() calls would embed
+    # Single reference to the hash subtree: five .substr() calls would embed
     # the hash expression 5x, and subexpression elimination does NOT reach
     # into CASE WHEN branches (where PK-repair puts this) — measured 5x the
-    # hash cost per row. One regexp_replace keeps sha2 evaluated once.
-    h = F.sha2(deterministic_from.cast("string"), 256)
+    # hash cost per row. One regexp_replace keeps the hash evaluated once.
+    h = F.md5(deterministic_from.cast("string"))
     return F.lower(F.regexp_replace(h, UUID_GROUPS_RE, "$1-$2-$3-$4-$5"))

@@ -354,3 +354,66 @@ def op_range_join(spark, sf_dir):
         )
         .orderBy("promo")
     )
+
+
+@register(
+    "op_percentiles",
+    oracle="""
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.9) AS p90,
+               quantile_cont(o_totalprice, 0.99) AS p99
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles per group (F.percentile == "
+    "quantile_cont bit-for-bit: same linear interpolation on the sorted "
+    "set). At 100 TB prefer op_approx_percentile — exact percentile "
+    "sorts every group.",
+)
+def op_percentiles(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.percentile("o_totalprice", 0.99).alias("p99"),
+    )
+
+
+@register(
+    "op_approx_percentile",
+    oracle=None,  # t-digest/GK sketch values are engine-specific; pytest bounds error
+    doc="approx_percentile (GK sketch): the 100 TB quantile tool — "
+    "mergeable partial sketches, no per-group global sort; error vs exact "
+    "bounded in pytest.",
+)
+def op_approx_percentile(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", 0.5, 10000).alias("ap50"),
+        F.approx_percentile("o_totalprice", 0.9, 10000).alias("ap90"),
+    )
+
+
+@register(
+    "op_histogram",
+    oracle="""
+        SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+               count(*) AS n,
+               CAST(min(o_totalprice) AS DECIMAL(18,2)) AS lo,
+               CAST(max(o_totalprice) AS DECIMAL(18,2)) AS hi
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    doc="Fixed-width histogram by floor-binning — one hash aggregation, "
+    "map-side partials; the distribution-profiling primitive.",
+)
+def op_histogram(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").cast("decimal(18,2)").alias("lo"),
+            F.max("o_totalprice").cast("decimal(18,2)").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

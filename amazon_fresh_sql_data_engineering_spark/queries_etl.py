@@ -23,7 +23,7 @@ from .registry import tables as _t
 def _fence(df):
     """Materialization fence for synthesized dirty staging.
 
-    The staged columns are sha256/regex CASE expressions; Catalyst's
+    The staged columns are md5/regex CASE expressions; Catalyst's
     projection collapse + predicate pushdown would re-inline them into every
     downstream filter/projection of the cleaning program (~4x recompute,
     measured 26s -> 7s on lineitem-sized staging at sf0.1). A lazy local
@@ -99,8 +99,8 @@ _CUST_STAGED_SQL = f"""
           CASE c_custkey % 20
             WHEN 0 THEN ''
             WHEN 1 THEN 'BAD-' || CAST(c_custkey AS VARCHAR)
-            WHEN 2 THEN upper({_UUIDIFY.format(h="sha256('cust' || CAST(c_custkey AS VARCHAR))")})
-            ELSE {_UUIDIFY.format(h="sha256('cust' || CAST(c_custkey AS VARCHAR))")}
+            WHEN 2 THEN upper({_UUIDIFY.format(h="md5('cust' || CAST(c_custkey AS VARCHAR))")})
+            ELSE {_UUIDIFY.format(h="md5('cust' || CAST(c_custkey AS VARCHAR))")}
           END AS customerid,
           '  ' || c_name || '  ' AS name,
           CASE c_custkey % 5 WHEN 0 THEN '' WHEN 1 THEN CAST(c_custkey % 80 AS VARCHAR)
@@ -118,7 +118,7 @@ _CUST_STAGED_SQL = f"""
 """
 
 _CUST_FP_SQL = (
-    "sha256(concat_ws(chr(31), 'customers.pk', "
+    "md5(concat_ws(chr(31), 'customers.pk', "
     + ", ".join(
         f"coalesce({c}, chr(0))"
         for c in [
@@ -162,7 +162,7 @@ _CUST_FP_SQL = (
     "staging synthesized from the customer table (blank PKs dropped, "
     "garbage PKs repaired to content-addressed uuids, mixed-case uuids "
     "normalized, every scalar cleaned); the oracle replays the whole "
-    "pipeline — including sha256 id repair — in DuckDB SQL "
+    "pipeline — including md5 id repair — in DuckDB SQL "
     "(ref T:459-511, SURVEY §2.12).",
 )
 def q_pipe_clean_customers(spark, sf_dir):
@@ -175,7 +175,7 @@ def q_pipe_clean_customers(spark, sf_dir):
 def _staged_customers(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
-    h = F.sha2(F.concat(F.lit("cust"), k.cast("string")), 256)
+    h = F.md5(F.concat(F.lit("cust"), k.cast("string")))
     uuid_base = F.lower(
         F.concat_ws(
             "-", h.substr(1, 8), h.substr(9, 4), h.substr(13, 4), h.substr(17, 4), h.substr(21, 12)
@@ -218,14 +218,14 @@ _ORD_STAGED_SQL = f"""
           CASE o_orderkey % 20
             WHEN 0 THEN ''
             WHEN 1 THEN 'BAD#' || CAST(o_orderkey AS VARCHAR)
-            WHEN 2 THEN upper({_UUIDIFY.format(h="sha256('ord' || CAST(o_orderkey AS VARCHAR))")})
-            ELSE {_UUIDIFY.format(h="sha256('ord' || CAST(o_orderkey AS VARCHAR))")}
+            WHEN 2 THEN upper({_UUIDIFY.format(h="md5('ord' || CAST(o_orderkey AS VARCHAR))")})
+            ELSE {_UUIDIFY.format(h="md5('ord' || CAST(o_orderkey AS VARCHAR))")}
           END AS orderid,
           CASE o_orderkey % 15
             WHEN 0 THEN 'CUST-' || CAST(o_custkey AS VARCHAR)
             WHEN 1 THEN ''
-            WHEN 2 THEN {_UUIDIFY.format(h="sha256('ghost' || CAST(o_custkey AS VARCHAR))")}
-            ELSE {_UUIDIFY.format(h="sha256('cust' || CAST(o_custkey AS VARCHAR))")}
+            WHEN 2 THEN {_UUIDIFY.format(h="md5('ghost' || CAST(o_custkey AS VARCHAR))")}
+            ELSE {_UUIDIFY.format(h="md5('cust' || CAST(o_custkey AS VARCHAR))")}
           END AS customerid,
           CASE o_orderkey % 4 WHEN 0 THEN '1/5/2024' WHEN 1 THEN '12/31/1999'
                               WHEN 2 THEN '2024-01-05' ELSE '13/45/2024' END AS orderdate,
@@ -238,7 +238,7 @@ _ORD_STAGED_SQL = f"""
 """
 
 _ORD_FP_SQL = (
-    "sha256(concat_ws(chr(31), 'orders.pk', "
+    "md5(concat_ws(chr(31), 'orders.pk', "
     + ", ".join(
         f"coalesce({c}, chr(0))"
         for c in ["orderid", "customerid", "orderdate", "shipdate", "shipmode", "totalamount"]
@@ -258,9 +258,9 @@ def _staged_orders(spark, sf_dir):
             )
         )
 
-    ord_uuid = uuidify(F.sha2(F.concat(F.lit("ord"), k.cast("string")), 256))
-    cust_uuid = uuidify(F.sha2(F.concat(F.lit("cust"), ck.cast("string")), 256))
-    ghost_uuid = uuidify(F.sha2(F.concat(F.lit("ghost"), ck.cast("string")), 256))
+    ord_uuid = uuidify(F.md5(F.concat(F.lit("ord"), k.cast("string"))))
+    cust_uuid = uuidify(F.md5(F.concat(F.lit("cust"), ck.cast("string"))))
+    ghost_uuid = uuidify(F.md5(F.concat(F.lit("ghost"), ck.cast("string"))))
     return _fence(o.select(
         F.when(k % 20 == 0, "")
         .when(k % 20 == 1, F.concat(F.lit("BAD#"), k.cast("string")))
@@ -366,7 +366,7 @@ def q_pipe_placeholder_parents(spark, sf_dir):
 
 def _fp_sql(salt: str, cols: list[str]) -> str:
     return (
-        f"sha256(concat_ws(chr(31), '{salt}', "
+        f"md5(concat_ws(chr(31), '{salt}', "
         + ", ".join(f"coalesce({c}, chr(0))" for c in cols)
         + "))"
     )
@@ -387,8 +387,8 @@ _PROD_STAGED_SQL = f"""
           CASE p_partkey % 20
             WHEN 0 THEN ''
             WHEN 1 THEN 'BAD~' || CAST(p_partkey AS VARCHAR)
-            WHEN 2 THEN upper({_UUIDIFY.format(h="sha256('prod' || CAST(p_partkey AS VARCHAR))")})
-            ELSE {_UUIDIFY.format(h="sha256('prod' || CAST(p_partkey AS VARCHAR))")}
+            WHEN 2 THEN upper({_UUIDIFY.format(h="md5('prod' || CAST(p_partkey AS VARCHAR))")})
+            ELSE {_UUIDIFY.format(h="md5('prod' || CAST(p_partkey AS VARCHAR))")}
           END AS productid,
           '  ' || p_name || '  ' AS productname,
           CASE p_partkey % 3 WHEN 0 THEN 'Fruits' WHEN 1 THEN ' dairy ' ELSE '' END AS category,
@@ -399,7 +399,7 @@ _PROD_STAGED_SQL = f"""
           CASE p_partkey % 15
             WHEN 0 THEN 'SUP!' || CAST(p_partkey AS VARCHAR)
             WHEN 1 THEN ''
-            ELSE {_UUIDIFY.format(h="sha256('sup' || CAST(p_partkey % 100 AS VARCHAR))")}
+            ELSE {_UUIDIFY.format(h="md5('sup' || CAST(p_partkey % 100 AS VARCHAR))")}
           END AS supplierid
         FROM part
 """
@@ -436,8 +436,8 @@ def q_pipe_clean_products(spark, sf_dir):
 
     p = _t(spark, sf_dir, "part")
     k = F.col("p_partkey")
-    prod_uuid = _uuidify_col(F.sha2(F.concat(F.lit("prod"), k.cast("string")), 256))
-    sup_uuid = _uuidify_col(F.sha2(F.concat(F.lit("sup"), (k % 100).cast("string")), 256))
+    prod_uuid = _uuidify_col(F.md5(F.concat(F.lit("prod"), k.cast("string"))))
+    sup_uuid = _uuidify_col(F.md5(F.concat(F.lit("sup"), (k % 100).cast("string"))))
     staging = p.select(
         F.when(k % 20 == 0, "")
         .when(k % 20 == 1, F.concat(F.lit("BAD~"), k.cast("string")))
@@ -462,16 +462,16 @@ _OD_STAGED_SQL = f"""
           CASE (l_orderkey * 8 + l_linenumber) % 20
             WHEN 0 THEN ''
             WHEN 1 THEN 'OD&' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)
-            ELSE {_UUIDIFY.format(h="sha256('od_' || l_orderkey || '_' || l_linenumber || '_' || l_partkey || '_' || CAST(l_quantity AS BIGINT))")}
+            ELSE {_UUIDIFY.format(h="md5('od_' || l_orderkey || '_' || l_linenumber || '_' || l_partkey || '_' || CAST(l_quantity AS BIGINT))")}
           END AS orderdetailid,
           CASE l_orderkey % 11
             WHEN 0 THEN 'ORD?' || CAST(l_orderkey AS VARCHAR)
-            ELSE {_UUIDIFY.format(h="sha256('ord' || CAST(l_orderkey AS VARCHAR))")}
+            ELSE {_UUIDIFY.format(h="md5('ord' || CAST(l_orderkey AS VARCHAR))")}
           END AS orderid,
           CASE l_partkey % 13
             WHEN 0 THEN 'PRD*' || CAST(l_partkey AS VARCHAR)
             WHEN 1 THEN ''
-            ELSE {_UUIDIFY.format(h="sha256('prod' || CAST(l_partkey AS VARCHAR))")}
+            ELSE {_UUIDIFY.format(h="md5('prod' || CAST(l_partkey AS VARCHAR))")}
           END AS productid,
           CASE l_linenumber % 3 WHEN 0 THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
                                 WHEN 1 THEN '' ELSE 'x' END AS quantity,
@@ -530,9 +530,9 @@ def q_pipe_clean_order_details(spark, sf_dir):
         F.lit("_"),
         F.col("l_quantity").cast("bigint").cast("string"),
     )
-    od_uuid = _uuidify_col(F.sha2(seed, 256))
-    ord_uuid = _uuidify_col(F.sha2(F.concat(F.lit("ord"), F.col("l_orderkey").cast("string")), 256))
-    prod_uuid = _uuidify_col(F.sha2(F.concat(F.lit("prod"), F.col("l_partkey").cast("string")), 256))
+    od_uuid = _uuidify_col(F.md5(seed))
+    ord_uuid = _uuidify_col(F.md5(F.concat(F.lit("ord"), F.col("l_orderkey").cast("string"))))
+    prod_uuid = _uuidify_col(F.md5(F.concat(F.lit("prod"), F.col("l_partkey").cast("string"))))
     ln = F.col("l_linenumber")
     staging = l.select(
         F.when(odk % 20 == 0, "")
@@ -561,15 +561,15 @@ _REV_STAGED_SQL = f"""
           CASE o_orderkey % 20
             WHEN 0 THEN ''
             WHEN 1 THEN 'REV@' || CAST(o_orderkey AS VARCHAR)
-            ELSE {_UUIDIFY.format(h="sha256('rev' || CAST(o_orderkey AS VARCHAR))")}
+            ELSE {_UUIDIFY.format(h="md5('rev' || CAST(o_orderkey AS VARCHAR))")}
           END AS reviewid,
           CASE o_orderkey % 9
             WHEN 0 THEN 'P##' || CAST(o_orderkey AS VARCHAR)
-            ELSE {_UUIDIFY.format(h="sha256('prod' || CAST(o_orderkey % 2000 AS VARCHAR))")}
+            ELSE {_UUIDIFY.format(h="md5('prod' || CAST(o_orderkey % 2000 AS VARCHAR))")}
           END AS productid,
           CASE o_orderkey % 7
             WHEN 0 THEN ''
-            ELSE {_UUIDIFY.format(h="sha256('cust' || CAST(o_custkey AS VARCHAR))")}
+            ELSE {_UUIDIFY.format(h="md5('cust' || CAST(o_custkey AS VARCHAR))")}
           END AS customerid,
           CASE o_orderkey % 5 WHEN 0 THEN '5' WHEN 1 THEN '1' WHEN 2 THEN ''
                               WHEN 3 THEN 'bad' ELSE '3' END AS rating,
@@ -607,9 +607,9 @@ def q_pipe_clean_reviews(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")
     k, ck = F.col("o_orderkey"), F.col("o_custkey")
-    rev_uuid = _uuidify_col(F.sha2(F.concat(F.lit("rev"), k.cast("string")), 256))
-    prod_uuid = _uuidify_col(F.sha2(F.concat(F.lit("prod"), (k % 2000).cast("string")), 256))
-    cust_uuid = _uuidify_col(F.sha2(F.concat(F.lit("cust"), ck.cast("string")), 256))
+    rev_uuid = _uuidify_col(F.md5(F.concat(F.lit("rev"), k.cast("string"))))
+    prod_uuid = _uuidify_col(F.md5(F.concat(F.lit("prod"), (k % 2000).cast("string"))))
+    cust_uuid = _uuidify_col(F.md5(F.concat(F.lit("cust"), ck.cast("string"))))
     staging = o.select(
         F.when(k % 20 == 0, "")
         .when(k % 20 == 1, F.concat(F.lit("REV@"), k.cast("string")))
@@ -737,7 +737,7 @@ def q_cascade_delete(spark, sf_dir):
                  || '-' || substr(hx, 17, 4) || '-' || substr(hx, 21, 12) AS subcategoryid
         FROM (
             SELECT p_partkey,
-                   sha256('subcategory' || chr(31) || lower(p_brand) || chr(31) || lower(p_type)) AS hx
+                   md5('subcategory' || chr(31) || lower(p_brand) || chr(31) || lower(p_type)) AS hx
             FROM part
         )
     """,

@@ -91,3 +91,30 @@ def test_no_cartesian_in_catalog_joins(spark, sf_dir, name):
 def test_broadcast_hint_respected_in_corr_subquery(spark, sf_dir):
     df = CATALOG["op_corr_scalar_subquery"].fn(spark, sf_dir)
     assert X.has_broadcast_join(df)
+
+
+def test_asof_join_is_single_shuffle_merge(spark, sf_dir):
+    """asof_join must be the union-merge plan: exactly one Exchange, one
+    Sort, one Window — never a per-key range join (O(pairs))."""
+    import re
+
+    plan = X.physical_plan(CATALOG["op_asof_join"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_broadcasts_promo_side(spark, sf_dir):
+    """Interval join must broadcast the window side: BroadcastNestedLoopJoin
+    with zero pre-join shuffles of the fact table."""
+    plan = X.physical_plan(CATALOG["op_range_join"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_approx_percentile_error_bounded(spark, sf_dir):
+    ex = {r.o_orderpriority: (r.p50, r.p90) for r in CATALOG["op_percentiles"].fn(spark, sf_dir).collect()}
+    ap = {r.o_orderpriority: (r.ap50, r.ap90) for r in CATALOG["op_approx_percentile"].fn(spark, sf_dir).collect()}
+    for k in ex:
+        assert abs(ap[k][0] - ex[k][0]) / ex[k][0] < 0.02
+        assert abs(ap[k][1] - ex[k][1]) / ex[k][1] < 0.02
