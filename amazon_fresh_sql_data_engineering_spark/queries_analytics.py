@@ -417,3 +417,152 @@ def op_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "op_skew_two_phase_agg",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Skew-safe aggregation (operators/skew.two_phase_aggregate): "
+    "salt -> partial agg -> refold. o_orderstatus has ~3 values — exactly "
+    "the hot-key shape that stalls a 1000-executor groupBy; the salted "
+    "two-phase produces identical results (oracle = plain GROUP BY).",
+)
+def op_skew_two_phase_agg(spark, sf_dir):
+    from .operators.skew import two_phase_aggregate
+
+    o = _t(spark, sf_dir, "orders")
+    return two_phase_aggregate(
+        o,
+        ["o_orderstatus"],
+        {
+            "total": ("sum", F.sum(dec("o_totalprice"))),
+            "n": ("sum", F.count(F.lit(1))),
+        },
+    ).select("o_orderstatus", F.col("total").cast("decimal(38,2)").alias("total"), "n")
+
+
+@register(
+    "op_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+               grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_prio
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="GROUPING SETS with grouping() markers (beyond rollup/cube: an "
+    "explicit set list) — one pass, no self-union.",
+)
+def op_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+               grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_prio
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+@register(
+    "op_win_distinct_count",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               count(DISTINCT o_orderpriority)
+                   OVER (PARTITION BY o_custkey) AS n_prios_used
+        FROM orders WHERE o_custkey <= 50
+    """,
+    doc="COUNT(DISTINCT) OVER — Spark rejects it natively; the engine "
+    "rewrites via dense_rank + max (same one shuffle on the partition "
+    "key), a rewrite Catalyst doesn't do for you.",
+)
+def op_win_distinct_count(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    by_prio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    per_part = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.max(F.dense_rank().over(by_prio)).over(per_part).alias("n_prios_used"),
+    )
+
+
+@register(
+    "op_seq_gaps",
+    oracle="""
+        WITH k AS (SELECT DISTINCT o_orderkey AS id FROM orders
+                   WHERE o_orderkey <= 2000 AND o_orderkey % 7 <> 0),
+        nxt AS (SELECT id, lead(id) OVER (ORDER BY id) AS next_id FROM k)
+        SELECT id + 1 AS gap_start, next_id - 1 AS gap_end, next_id - id - 1 AS n_missing
+        FROM nxt WHERE next_id - id > 1
+        ORDER BY gap_start
+    """,
+    doc="Sequence-gap detection (missing-id audit): lead() over the sorted "
+    "key — one sort, no self-join; the classic integrity check for "
+    "ingestion pipelines. (Driver keys are dense, so %7 rows are dropped "
+    "on both sides to give the audit real gaps to find.)",
+)
+def op_seq_gaps(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") <= 2000) & (F.col("o_orderkey") % 7 != 0)
+    )
+    k = o.select(F.col("o_orderkey").alias("id")).distinct()
+    w = Window.orderBy("id")
+    nxt = k.select("id", F.lead("id").over(w).alias("next_id"))
+    return (
+        nxt.filter(F.col("next_id") - F.col("id") > 1)
+        .select(
+            (F.col("id") + 1).alias("gap_start"),
+            (F.col("next_id") - 1).alias("gap_end"),
+            (F.col("next_id") - F.col("id") - 1).alias("n_missing"),
+        )
+        .orderBy("gap_start")
+    )
+
+
+@register(
+    "op_fuzzy_match",
+    oracle="""
+        WITH p AS (
+            SELECT p_partkey, p_name, p_brand, p_size FROM part WHERE p_size <= 5
+        )
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM p a JOIN p b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 10
+        ORDER BY id_a, id_b
+    """,
+    doc="Fuzzy name matching: blocked (brand, size) self-join + "
+    "Levenshtein threshold — entity-resolution primitive; the block key "
+    "bounds the pair space exactly like ngram dedup.",
+)
+def op_fuzzy_match(spark, sf_dir):
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+    )
+    a = p.select(
+        F.col("p_brand"), F.col("p_size"),
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("__na"),
+    )
+    b = p.select(
+        F.col("p_brand"), F.col("p_size"),
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("__nb"),
+    )
+    return (
+        a.join(b, on=["p_brand", "p_size"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.levenshtein("__na", "__nb").alias("dist"))
+        .filter(F.col("dist") <= 10)
+        .orderBy("id_a", "id_b")
+    )
