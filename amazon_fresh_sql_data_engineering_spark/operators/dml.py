@@ -124,3 +124,76 @@ def set_null_on_delete(
         .drop("__k")
     )
     return new_parent, new_child
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    effective_date,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge (beyond the reference's
+    first-writer-wins upsert): apply ``updates`` to a versioned dimension.
+
+    ``current`` carries (key, tracked..., valid_from date, valid_to date,
+    is_current boolean); ``updates`` carries (key, tracked...). Per key:
+
+    - tracked values changed -> the open row closes (valid_to =
+      effective_date, is_current = false) and a new open version appends;
+    - unchanged / untouched keys pass through;
+    - brand-new keys insert as open rows with valid_from = effective_date;
+    - already-closed history rows pass through untouched.
+
+    Plan: one equi-join of open rows vs updates (null-safe <=> change
+    detection, so NULL -> value transitions version correctly) + unions —
+    no window, no per-key iteration; at 100 TB both sides shuffle once on
+    the key (or the updates side broadcasts). Deterministic for a given
+    ``effective_date`` (pass a literal; never now()).
+    """
+    eff = F.lit(effective_date).cast("date")
+    open_rows = current.filter(F.col("is_current"))
+    closed_rows = current.filter(~F.col("is_current"))
+
+    upd = updates.select(key, *tracked)
+    changed_pred = ~F.lit(True)
+    for t in tracked:
+        changed_pred = changed_pred | ~F.col(f"c.{t}").eqNullSafe(F.col(f"u.{t}"))
+    changed_keys = open_rows.alias("c").join(upd.alias("u"), on=key).filter(changed_pred)
+
+    closing = changed_keys.select(
+        key,
+        *[F.col(f"c.{t}").alias(t) for t in tracked],
+        F.col("c.valid_from").alias("valid_from"),
+        eff.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    fresh_versions = changed_keys.select(
+        key,
+        *[F.col(f"u.{t}").alias(t) for t in tracked],
+        eff.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    unchanged_open = open_rows.join(
+        changed_keys.select(key).distinct(), on=key, how="left_anti"
+    )
+    brand_new = (
+        upd.join(current.select(key).distinct(), on=key, how="left_anti")
+        .dropDuplicates([key])
+        .select(
+            key,
+            *tracked,
+            eff.alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    cols = [key, *tracked, "valid_from", "valid_to", "is_current"]
+    return (
+        closed_rows.select(*cols)
+        .unionByName(unchanged_open.select(*cols))
+        .unionByName(closing)
+        .unionByName(fresh_versions)
+        .unionByName(brand_new)
+    )

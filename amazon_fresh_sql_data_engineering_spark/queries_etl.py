@@ -836,3 +836,130 @@ def q_audit_report(spark, sf_dir):
             ("lineitem", "l_orderkey", "orders", "o_orderkey"),
         ],
     )
+
+
+@register(
+    "q_scd2_merge",
+    oracle="""
+        WITH cur AS (
+            SELECT 'P' || CAST(p_partkey AS VARCHAR) AS product_sk,
+                   p_brand AS brand,
+                   CAST(p_retailprice AS DECIMAL(12,2)) AS price,
+                   DATE '2023-01-01' AS valid_from,
+                   CAST(NULL AS DATE) AS valid_to,
+                   TRUE AS is_current
+            FROM part WHERE p_partkey <= 1000
+        ),
+        upd AS (
+            SELECT 'P' || CAST(p_partkey AS VARCHAR) AS product_sk,
+                   p_brand AS brand,
+                   CAST(CASE WHEN p_partkey % 4 = 0
+                             THEN p_retailprice + 10 ELSE p_retailprice END
+                        AS DECIMAL(12,2)) AS price
+            FROM part WHERE p_partkey <= 1200
+        ),
+        changed AS (
+            SELECT c.product_sk, c.brand AS c_brand, c.price AS c_price,
+                   u.brand AS u_brand, u.price AS u_price, c.valid_from
+            FROM cur c JOIN upd u USING (product_sk)
+            WHERE c.brand IS DISTINCT FROM u.brand
+               OR c.price IS DISTINCT FROM u.price
+        )
+        SELECT product_sk, c_brand AS brand, c_price AS price,
+               valid_from, DATE '2024-06-01' AS valid_to, FALSE AS is_current
+        FROM changed
+        UNION ALL
+        SELECT product_sk, u_brand, u_price,
+               DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+        FROM changed
+        UNION ALL
+        SELECT c.* FROM cur c ANTI JOIN changed USING (product_sk)
+        UNION ALL
+        SELECT u.product_sk, u.brand, u.price,
+               DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+        FROM upd u ANTI JOIN cur USING (product_sk)
+    """,
+    doc="SCD type-2 merge (operators/dml.scd2_apply — beyond the "
+    "reference's DO-NOTHING upsert): price changes close the open version "
+    "and append a new one; new keys insert; unchanged pass through. "
+    "Null-safe change detection; one key-join + unions, no windows.",
+)
+def q_scd2_merge(spark, sf_dir):
+    import datetime
+
+    from .operators.dml import scd2_apply
+
+    p = _t(spark, sf_dir, "part")
+    sk = F.concat(F.lit("P"), F.col("p_partkey").cast("string")).alias("product_sk")
+    current = p.filter(F.col("p_partkey") <= 1000).select(
+        sk,
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").cast("decimal(12,2)").alias("price"),
+        F.lit(datetime.date(2023, 1, 1)).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = p.filter(F.col("p_partkey") <= 1200).select(
+        sk,
+        F.col("p_brand").alias("brand"),
+        F.when(F.col("p_partkey") % 4 == 0, F.col("p_retailprice") + 10)
+        .otherwise(F.col("p_retailprice"))
+        .cast("decimal(12,2)")
+        .alias("price"),
+    )
+    return scd2_apply(current, updates, "product_sk", ["brand", "price"], datetime.date(2024, 6, 1))
+
+
+@register(
+    "q_profile_columns",
+    oracle="""
+        SELECT 'c_name' AS col_name, count(*) AS n,
+               count(*) - count(c_name) AS n_null,
+               count(DISTINCT c_name) AS n_distinct,
+               CAST(min(c_name) AS VARCHAR) AS min_s,
+               CAST(max(c_name) AS VARCHAR) AS max_s
+        FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+               count(DISTINCT c_mktsegment),
+               CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR)
+        FROM customer
+        UNION ALL
+        SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+               count(DISTINCT c_nationkey),
+               min(CAST(c_nationkey AS VARCHAR)), max(CAST(c_nationkey AS VARCHAR))
+        FROM customer
+    """,
+    doc="Column profiling (the data-quality survey step before any "
+    "cleaning spec is written): count/nulls/distinct/min/max per column "
+    "in ONE scan — per-column aggregates computed side-by-side, then "
+    "unpivoted; never one pass per column.",
+)
+def q_profile_columns(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    cols = ["c_name", "c_mktsegment", "c_nationkey"]
+    aggs = []
+    for col in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{col}__n"),
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__null"),
+            F.countDistinct(col).alias(f"{col}__dist"),
+            F.min(F.col(col).cast("string")).alias(f"{col}__min"),
+            F.max(F.col(col).cast("string")).alias(f"{col}__max"),
+        ]
+    one = c.agg(*aggs)
+    profiles = [
+        one.select(
+            F.lit(col).alias("col_name"),
+            F.col(f"{col}__n").alias("n"),
+            F.col(f"{col}__null").alias("n_null"),
+            F.col(f"{col}__dist").alias("n_distinct"),
+            F.col(f"{col}__min").alias("min_s"),
+            F.col(f"{col}__max").alias("max_s"),
+        )
+        for col in cols
+    ]
+    out = profiles[0]
+    for p_ in profiles[1:]:
+        out = out.unionByName(p_)
+    return out

@@ -532,3 +532,30 @@ def mm_embed_ann(spark, sf_dir):
     emb = MM.embed_media(MM.attach_fake_media(docs, "doc_id", "text"))
     q = emb.filter(F.col("doc_id") % 50 == 0)
     return S.cosine_topk_bruteforce(q, emb, "doc_id", "doc_id", "embedding", k=3)
+
+
+@register(
+    "events_props_struct",
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.plan') AS VARCHAR) AS plan,
+               count(*) AS n,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE event_type = 'signup'
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="Typed JSON parse: from_json into a struct column (schema-on-read "
+    "for semi-structured props; one parse then ordinary columnar ops — "
+    "vs events_props_json's per-path get_json_object).",
+)
+def events_props_struct(spark, sf_dir):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    schema = StructType([StructField("plan", StringType())])
+    parsed = e.select("user_id", F.from_json("props", schema).alias("p"))
+    return (
+        parsed.groupBy(F.col("p.plan").alias("plan"))
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("plan")
+    )

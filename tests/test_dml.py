@@ -73,3 +73,38 @@ def test_set_null_on_delete(spark):
     np, nc = dml.set_null_on_delete(parent, child, F.col("v") == "x", "pid", "pid")
     got = {r.cid: r.pid for r in nc.collect()}
     assert got == {10: None, 11: 2}
+
+
+def test_scd2_apply_semantics(spark):
+    import datetime
+
+    from amazon_fresh_sql_data_engineering_spark.operators.dml import scd2_apply
+
+    d = datetime.date
+    current = spark.createDataFrame(
+        [
+            # closed history row: must pass through untouched
+            ("k1", "old", d(2020, 1, 1), d(2022, 1, 1), False),
+            ("k1", "a", d(2022, 1, 1), None, True),   # will change -> close
+            ("k2", "b", d(2022, 1, 1), None, True),   # unchanged
+            ("k3", None, d(2022, 1, 1), None, True),  # NULL -> value change
+            ("k4", "d", d(2022, 1, 1), None, True),   # not in updates
+        ],
+        "k string, v string, valid_from date, valid_to date, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [("k1", "a2"), ("k2", "b"), ("k3", "c"), ("k5", "new")],
+        "k string, v string",
+    )
+    eff = d(2024, 6, 1)
+    out = scd2_apply(current, updates, "k", ["v"], eff).collect()
+    rows = {(r.k, r.v, r.is_current): (r.valid_from, r.valid_to) for r in out}
+    assert len(out) == 8
+    assert rows[("k1", "old", False)] == (d(2020, 1, 1), d(2022, 1, 1))  # history kept
+    assert rows[("k1", "a", False)] == (d(2022, 1, 1), eff)              # closed
+    assert rows[("k1", "a2", True)] == (eff, None)                       # new version
+    assert rows[("k2", "b", True)] == (d(2022, 1, 1), None)              # unchanged
+    assert rows[("k3", None, False)][1] == eff                           # NULL-safe change
+    assert rows[("k3", "c", True)] == (eff, None)
+    assert rows[("k4", "d", True)] == (d(2022, 1, 1), None)              # untouched key
+    assert rows[("k5", "new", True)] == (eff, None)                      # brand new
