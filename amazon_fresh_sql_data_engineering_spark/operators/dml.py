@@ -159,7 +159,11 @@ def scd2_apply(
     changed_pred = ~F.lit(True)
     for t in tracked:
         changed_pred = changed_pred | ~F.col(f"c.{t}").eqNullSafe(F.col(f"u.{t}"))
-    changed_keys = open_rows.alias("c").join(upd.alias("u"), on=key).filter(changed_pred)
+    # persist: three consumers below (close, new-version, unchanged anti-join)
+    # would otherwise each recompute the change-detection join
+    changed_keys = (
+        open_rows.alias("c").join(upd.alias("u"), on=key).filter(changed_pred).persist()
+    )
 
     closing = changed_keys.select(
         key,

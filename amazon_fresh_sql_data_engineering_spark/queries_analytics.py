@@ -566,3 +566,54 @@ def op_fuzzy_match(spark, sf_dir):
         .filter(F.col("dist") <= 10)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "op_forward_fill",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+        FROM events WHERE user_id <= 20
+    """,
+    doc="Forward fill (gap filling): last non-null value carried forward "
+    "per key — last_value IGNORE NULLS over a running frame; one shuffle "
+    "on the key, the time-series imputation primitive.",
+)
+def op_forward_fill(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+@register(
+    "op_posexplode",
+    oracle="""
+        SELECT doc_id,
+               CAST(unnest(generate_series(1, len(toks))) - 1 AS INT) AS pos,
+               unnest(toks) AS token
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE doc_id % 100 = 0)
+    """,
+    doc="LATERAL VIEW posexplode: token position index alongside the "
+    "value (unnest WITH ORDINALITY) — the array-flattening shape for "
+    "position-aware text features.",
+)
+def op_posexplode(spark, sf_dir):
+    from .functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    return d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
+    )

@@ -948,18 +948,19 @@ def q_profile_columns(spark, sf_dir):
             F.max(F.col(col).cast("string")).alias(f"{col}__max"),
         ]
     one = c.agg(*aggs)
-    profiles = [
-        one.select(
-            F.lit(col).alias("col_name"),
-            F.col(f"{col}__n").alias("n"),
-            F.col(f"{col}__null").alias("n_null"),
-            F.col(f"{col}__dist").alias("n_distinct"),
-            F.col(f"{col}__min").alias("min_s"),
-            F.col(f"{col}__max").alias("max_s"),
-        )
-        for col in cols
-    ]
-    out = profiles[0]
-    for p_ in profiles[1:]:
-        out = out.unionByName(p_)
-    return out
+    # unpivot the single agg row via explode(array(struct...)) — a union of
+    # per-column selects would re-run the full-table aggregation per column
+    profile_structs = F.array(
+        *[
+            F.struct(
+                F.lit(col).alias("col_name"),
+                F.col(f"{col}__n").alias("n"),
+                F.col(f"{col}__null").alias("n_null"),
+                F.col(f"{col}__dist").alias("n_distinct"),
+                F.col(f"{col}__min").alias("min_s"),
+                F.col(f"{col}__max").alias("max_s"),
+            )
+            for col in cols
+        ]
+    )
+    return one.select(F.explode(profile_structs).alias("p")).select("p.*")
