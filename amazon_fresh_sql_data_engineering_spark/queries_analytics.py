@@ -617,3 +617,294 @@ def op_posexplode(spark, sf_dir):
     return d.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
     )
+
+
+@register(
+    "op_join_full",
+    oracle="""
+        SELECT COALESCE(c.n_nationkey, s.n_nationkey) AS nationkey,
+               c.n_customers, s.n_suppliers
+        FROM (SELECT n_nationkey, COUNT(*) AS n_customers
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              WHERE c_acctbal > 9000 GROUP BY n_nationkey) c
+        FULL OUTER JOIN
+             (SELECT n_nationkey, COUNT(*) AS n_suppliers
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              WHERE s_acctbal > 9000 GROUP BY n_nationkey) s
+        ON c.n_nationkey = s.n_nationkey
+    """,
+    doc="FULL OUTER join of two aggregates (beyond reference — SURVEY §2.4 "
+    "notes no full-outer in the reference): nations with rich customers vs "
+    "rich suppliers, keeping nations present on either side only. "
+    "Aggregate-before-join keeps both sides tiny; at 100 TB the full-outer "
+    "runs on |nations| rows, not facts.",
+)
+def op_join_full(spark, sf_dir):
+    c, s, n = _t(spark, sf_dir, "customer", "supplier", "nation")
+    nc = (
+        c.filter(F.col("c_acctbal") > 9000)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    ns = (
+        s.filter(F.col("s_acctbal") > 9000)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        nc.alias("c")
+        .join(ns.alias("s"), F.col("c.n_nationkey") == F.col("s.n_nationkey"), "full")
+        .select(
+            F.coalesce(F.col("c.n_nationkey"), F.col("s.n_nationkey")).alias("nationkey"),
+            "n_customers",
+            "n_suppliers",
+        )
+    )
+
+
+@register(
+    "op_unpivot",
+    oracle="""
+        WITH w AS (
+          SELECT o_orderpriority,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, 'n_f' AS status_bucket, n_f AS n FROM w
+        UNION ALL
+        SELECT o_orderpriority, 'n_o', n_o FROM w
+        UNION ALL
+        SELECT o_orderpriority, 'n_p', n_p FROM w
+    """,
+    doc="UNPIVOT / melt (beyond reference): wide per-priority status counts "
+    "back to long (measure, value) rows via DataFrame.unpivot — the inverse "
+    "of op_pivot. Runs on the aggregated frame (|priorities| rows), so the "
+    "melt itself is free at any scale.",
+)
+def op_unpivot(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        *[
+            F.sum(F.when(F.col("o_orderstatus") == st, 1).otherwise(0)).alias(f"n_{st.lower()}")
+            for st in ["F", "O", "P"]
+        ]
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_f", "n_o", "n_p"],
+        variableColumnName="status_bucket",
+        valueColumnName="n",
+    )
+
+
+@register(
+    "op_collect_agg",
+    oracle="""
+        SELECT o_custkey,
+               list_sort(list(o_orderkey)) AS orderkeys,
+               array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
+        FROM orders WHERE o_custkey <= 50
+        GROUP BY o_custkey
+    """,
+    doc="Array aggregation (beyond reference): collect_list/collect_set per "
+    "group, sorted for engine-order determinism — array_agg semantics. The "
+    "building block for nested training-example assembly (all orders of a "
+    "user into one row). Map-side partial collect keeps the shuffle at "
+    "|groups| rows.",
+)
+def op_collect_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    return o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("priorities"),
+    )
+
+
+@register(
+    "op_datetime_funcs",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+               CAST(extract(year FROM l_shipdate) AS INT) AS ship_year,
+               CAST(quarter(l_shipdate) AS INT) AS ship_quarter,
+               CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS order_to_ship_days,
+               last_day(l_shipdate) AS ship_month_end
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_orderkey <= 200
+    """,
+    doc="Datetime function kit (beyond reference — SURVEY §2.9 notes the "
+    "reference uses only to_date): date_trunc / extract / datediff / "
+    "last_day, all JVM-side codegen'd expressions; trunc-to-month is the "
+    "partition key a 100 TB fact table would be laid out on.",
+)
+def op_datetime_funcs(spark, sf_dir):
+    li, o = _t(spark, sf_dir, "lineitem", "orders")
+    li = li.filter(F.col("l_orderkey") <= 200)
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("ship_month"),
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        F.quarter("l_shipdate").cast("int").alias("ship_quarter"),
+        F.datediff("l_shipdate", "o_orderdate").cast("int").alias("order_to_ship_days"),
+        F.last_day("l_shipdate").alias("ship_month_end"),
+    )
+
+
+@register(
+    "op_string_funcs",
+    oracle="""
+        SELECT c_custkey,
+               upper(c_name) AS name_upper,
+               substr(c_name, 10, 9) AS name_digits,
+               split_part(c_name, '#', 1) AS name_prefix,
+               concat_ws('|', c_mktsegment, lower(c_name)) AS seg_name,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS custkey_padded,
+               replace(c_name, '#', '-') AS name_dashed,
+               reverse(c_mktsegment) AS seg_rev,
+               length(c_name) AS name_len
+        FROM customer WHERE c_custkey <= 300
+    """,
+    doc="String function kit (beyond reference): upper/substr/split_part/"
+    "concat_ws/lpad/replace/reverse/length — the cleaning-adjacent string "
+    "surface, all native Catalyst expressions inside one codegen stage.",
+)
+def op_string_funcs(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 10, 9).alias("name_digits"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_prefix"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.lower(F.col("c_name"))).alias(
+            "seg_name"
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("custkey_padded"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+@register(
+    "op_hash_split",
+    oracle="""
+        SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM (
+          SELECT n_chars,
+                 CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+                      ELSE 'test' END AS split
+          FROM (SELECT n_chars,
+                       CAST(('0x' || substr(md5('doc' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+                FROM documents))
+        GROUP BY split
+    """,
+    doc="Deterministic train/valid/test split (training-pipeline core): "
+    "bucket = md5(salted id) first-32-bits mod 100 — stable across runs, "
+    "engines, and repartitions (never rand()-based: reruns would reshuffle "
+    "examples between splits). Pure map-side expression; the only shuffle "
+    "is the final per-split count.",
+)
+def op_hash_split(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("doc"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        d.select(F.col("n_chars"), split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "op_win_range_frame",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                    OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                    AS DECIMAL(38,6)) AS value_1h
+        FROM events WHERE user_id <= 20
+    """,
+    doc="Time-range window frame (beyond reference): per-user rolling 1-hour "
+    "sum via RANGE BETWEEN on the epoch — the sliding-window primitive "
+    "batch analog of the streaming windowed agg. Decimal-cast before SUM "
+    "for engine-order determinism; one shuffle on the key.",
+)
+def op_win_range_frame(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("decimal(38,6)")
+        .alias("value_1h"),
+    )
+
+
+@register(
+    "op_mode_per_group",
+    oracle="""
+        SELECT user_id, event_type AS top_event, n
+        FROM (SELECT user_id, event_type, COUNT(*) AS n,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY COUNT(*) DESC, event_type) AS rn
+              FROM events WHERE user_id <= 200
+              GROUP BY user_id, event_type)
+        WHERE rn = 1
+    """,
+    doc="Deterministic per-group mode: most frequent value with a total "
+    "tiebreak (count DESC, value ASC) — F.mode's tie behavior is "
+    "unspecified, so the engine expresses mode as count + row_number, which "
+    "also scales: the window runs over |group x value| aggregates, not raw "
+    "rows.",
+)
+def op_mode_per_group(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 200)
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event"), "n")
+    )
+
+
+@register(
+    "op_regexp_extract_all",
+    oracle="""
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z]{8,}') AS long_words,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]{8,}')) AS INT) AS n_long
+        FROM documents WHERE doc_id % 50 = 0
+    """,
+    doc="regexp_extract_all to array (beyond reference — the reference only "
+    "uses boolean regex matches): all long-word occurrences per document, "
+    "the extraction shape for PII scrubbing / pattern mining. Single "
+    "map-side pass, no shuffle.",
+)
+def op_regexp_extract_all(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    extracted = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]{8,}"), 0)
+    return d.select(
+        "doc_id",
+        extracted.alias("long_words"),
+        F.size(extracted).cast("int").alias("n_long"),
+    )

@@ -54,6 +54,9 @@ def main() -> None:
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # drop caches an operator persisted internally (LSH signatures,
+        # iterative labels) so no query's memory footprint leaks into the next
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(
