@@ -908,3 +908,125 @@ def op_regexp_extract_all(spark, sf_dir):
         extracted.alias("long_words"),
         F.size(extracted).cast("int").alias("n_long"),
     )
+
+
+@register(
+    "op_win_navigation",
+    oracle="""
+        SELECT o_orderkey,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd,
+               CAST(first_value(o_totalprice) OVER w AS DECIMAL(18,2)) AS cheapest,
+               CAST(nth_value(o_totalprice, 2) OVER w AS DECIMAL(18,2)) AS second_cheapest
+        FROM orders WHERE o_custkey <= 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Rank-navigation window kit (beyond reference): percent_rank / "
+    "cume_dist / first_value / nth_value over per-customer price order — "
+    "deterministic tiebreak, explicit full frame (nth_value defaults "
+    "differ between engines otherwise).",
+)
+def op_win_navigation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    wo = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(wo), 6).alias("pr"),
+        F.round(F.cume_dist().over(wo), 6).alias("cd"),
+        F.first("o_totalprice").over(w).cast("decimal(18,2)").alias("cheapest"),
+        F.nth_value("o_totalprice", 2).over(w).cast("decimal(18,2)").alias("second_cheapest"),
+    )
+
+
+@register(
+    "op_agg_corr",
+    oracle="""
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_discount), 6) AS qd_corr,
+               round(covar_samp(l_quantity, l_discount), 6) AS qd_covar,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
+               round(regr_intercept(l_extendedprice, l_quantity), 4) AS price_at_zero
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Bivariate statistical aggregates (beyond reference): correlation, "
+    "sample covariance, and least-squares slope/intercept per group — all "
+    "single-pass partial-aggregatable moments (sum x, sum y, sum xy, "
+    "sum x^2), so the shuffle carries |groups| rows of constants at any "
+    "scale. Rounding absorbs engine summation-order ulps.",
+)
+def op_agg_corr(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("qd_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qd_covar"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("price_per_qty"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("price_at_zero"),
+    )
+
+
+@register(
+    "op_min_by_max_by",
+    oracle="""
+        SELECT o_orderpriority,
+               max_by(o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey)
+                 AS priciest_order,
+               min_by(o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey)
+                 AS cheapest_order,
+               CAST(max(o_totalprice) AS DECIMAL(18,2)) AS max_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Per-group argmax/argmin via MIN_BY/MAX_BY — one hash aggregate, "
+    "no window, no self-join (the classic 'row of the max' rewrite). "
+    "Ordering value is made UNIQUE (price-cents * 1e7 + orderkey, exact "
+    "in int64) because both engines pick an arbitrary row on ties.",
+)
+def op_min_by_max_by(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    ordv = (
+        (F.col("o_totalprice") * 100).cast("bigint") * F.lit(10000000).cast("bigint")
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", ordv).alias("priciest_order"),
+        F.min_by("o_orderkey", ordv).alias("cheapest_order"),
+        F.max("o_totalprice").cast("decimal(18,2)").alias("max_price"),
+    )
+
+
+@register(
+    "op_zscore_outliers",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
+               round((l_quantity - avg(l_quantity) OVER w)
+                     / stddev_samp(l_quantity) OVER w, 6) AS z
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_suppkey)
+        QUALIFY abs((l_quantity - avg(l_quantity) OVER w)
+                    / stddev_samp(l_quantity) OVER w) > 1.8
+    """,
+    doc="Per-group z-score outlier flagging via unordered analytic window "
+    "(whole-partition frame -> order-independent). The group mean is "
+    "exact (integer sum / count, one double division); stddev differs "
+    "only in summation-order ulps, so the raw |z| > 1.8 cut is stable "
+    "across engines. At 100 TB the window is one shuffle on the group "
+    "key; groups stream through memory independently.",
+)
+def op_zscore_outliers(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey")
+    z = (F.col("l_quantity") - F.avg("l_quantity").over(w)) / F.stddev_samp(
+        "l_quantity"
+    ).over(w)
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", z.alias("_z"))
+        .filter(F.abs(F.col("_z")) > 1.8)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            "l_quantity",
+            F.round("_z", 6).alias("z"),
+        )
+    )

@@ -559,3 +559,235 @@ def events_props_struct(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
         .orderBy("plan")
     )
+
+
+@register(
+    "events_dedup",
+    oracle="""
+        SELECT DISTINCT event_id, ts, user_id, event_type,
+               CAST(value AS DECIMAL(18,6)) AS value
+        FROM (SELECT * FROM events
+              UNION ALL
+              SELECT * FROM events WHERE event_id % 7 = 0)
+    """,
+    doc="Exactly-once event dedup (at-least-once delivery replays full-row "
+    "duplicates; id%7 replays are unioned in so the operator has real "
+    "work). Batch form here; the streaming twin is "
+    "dropDuplicatesWithinWatermark with watermark-bounded state "
+    "(streaming/events.py, tested in test_streaming.py).",
+)
+def events_dedup(spark, sf_dir):
+    from .streaming.events import dedup_events_batch
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type",
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+    replayed = e.unionByName(e.filter(F.col("event_id") % 7 == 0))
+    return dedup_events_batch(replayed, ["event_id"])
+
+
+@register(
+    "op_stratified_sample",
+    oracle="""
+        SELECT doc_id, lang, source
+        FROM (SELECT doc_id, lang, source,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY md5('smp' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+        WHERE rn <= 25
+    """,
+    doc="Deterministic stratified sample: fixed-size per-stratum pick by "
+    "md5 order — 'random' but stable across runs/engines/partitionings "
+    "(rand()/TABLESAMPLE resample on every rerun, breaking train-set "
+    "reproducibility). One shuffle on the stratum key; for heavy strata "
+    "at 100 TB, pre-filter with a bucket threshold (op_hash_split) so the "
+    "window sees ~k x strata rows, not the full table.",
+)
+def op_stratified_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("smp"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "op_vector_centroids",
+    oracle="""
+        WITH flat AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   unnest(CAST(embedding AS DOUBLE[])) AS v
+            FROM embeddings
+        ),
+        means AS (
+            SELECT label, pos, round(avg(v), 6) AS m
+            FROM flat GROUP BY label, pos
+        )
+        SELECT label, list(m ORDER BY pos) AS centroid, n_members
+        FROM means
+        JOIN (SELECT label, count(*) AS n_members FROM embeddings GROUP BY label)
+        USING (label)
+        GROUP BY label, n_members
+    """,
+    doc="Per-label centroid of an embedding column: posexplode -> "
+    "avg per (label, dim) -> reassemble ordered array. All JVM-side; the "
+    "shuffle carries |labels| x dim partial sums (map-side combine), NOT "
+    "vectors — the scalable element-wise array aggregation, and the "
+    "k-means/IVF training step (operators/similarity.py uses the same "
+    "shape for IVF coarse centroids).",
+)
+def op_vector_centroids(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    flat = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    means = flat.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("m"))
+    cent = (
+        means.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+    return cent.join(n, on="label")
+
+
+@register(
+    "text_chunk_sliding",
+    oracle="""
+        SELECT doc_id,
+               CAST(gs.s // 30 AS INT) AS chunk_id,
+               array_to_string(t[gs.s + 1 : gs.s + 40], ' ') AS chunk,
+               CAST(least(40, len(t) - gs.s) AS INT) AS chunk_tokens
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents WHERE trim(text) <> '') toks,
+             LATERAL (SELECT unnest(generate_series(0, len(t) - 1, 30)) AS s) gs
+    """,
+    doc="Sliding-window document chunking (context-window packing for "
+    "training pipelines): whitespace tokens -> overlapping 40-token "
+    "chunks on a 30-token stride, rejoined to text. All JVM-side "
+    "(split/sequence/slice/array_join + posexplode) — narrow per-row "
+    "work, no shuffle at all; output rows ~= tokens/stride. The 1->N "
+    "explode is the only row multiplier, bounded by ceil(len/30).",
+)
+def text_chunk_sliding(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = d.select("doc_id", toks.alias("t"), F.size(toks).alias("n"))
+    d = d.select(
+        "doc_id",
+        "t",
+        "n",
+        F.posexplode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(30))).alias("_i", "s"),
+    )
+    return d.select(
+        "doc_id",
+        (F.col("s") / 30).cast("int").alias("chunk_id"),
+        F.array_join(F.slice("t", F.col("s") + 1, 40), " ").alias("chunk"),
+        F.least(F.lit(40), F.col("n") - F.col("s")).cast("int").alias("chunk_tokens"),
+    )
+
+
+@register(
+    "text_pii_redact",
+    oracle="""
+        WITH enriched AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' ref ' || repeat(CAST(doc_id % 10 AS VARCHAR), 9) AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '\\d{3}-\\d{4}')) AS INT) AS n_phones,
+               right(regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\\d{3}-\\d{4}', '<PHONE>', 'g'),
+                     '\\d{9,}', '<ID>', 'g'), 60) AS redacted_tail
+        FROM enriched
+    """,
+    doc="PII redaction pass (training-corpus scrubbing): email / phone / "
+    "long-id patterns replaced via chained JVM-side regexp_replace, with "
+    "per-doc match counts (regexp_count). Deterministic synthetic PII is "
+    "appended first so the operator has real work on the clean corpus. "
+    "Pure map stage — no shuffle, streams at scan speed at any scale.",
+)
+def text_pii_redact(spark, sf_dir):
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\d{3}-\d{4}"
+    longid = r"\d{9,}"
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ref "),
+            F.repeat((F.col("doc_id") % 10).cast("string"), 9),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
+        ),
+        longid,
+        "<ID>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(email)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(phone)).cast("int").alias("n_phones"),
+        F.right(redacted, F.lit(60)).alias("redacted_tail"),
+    )
+
+
+@register(
+    "text_ngram_counts",
+    oracle="""
+        WITH flat AS (
+            SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w
+            FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                  FROM documents WHERE trim(text) <> '')
+        )
+        SELECT a.w || ' ' || b.w AS bigram, count(*) AS n
+        FROM flat a JOIN flat b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        GROUP BY 1 HAVING count(*) >= 5
+        ORDER BY n DESC, bigram LIMIT 100
+    """,
+    doc="Corpus bigram counts (language-model n-gram statistics): adjacent "
+    "token pairs via zip_with over two offset slices (no self-join — the "
+    "oracle's join form is the quadratic-shuffle shape this avoids), "
+    "explode, count, threshold, deterministic top-100. The explode "
+    "multiplies rows by ~tokens/doc, but map-side partial aggregation "
+    "collapses to |distinct bigrams| before the single shuffle.",
+)
+def text_ngram_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(100)
+    )

@@ -158,3 +158,28 @@ def user_totals_batch(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(F.col("value")), 2).alias("total_value"),
     )
+
+
+def dedup_events_batch(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Exactly-once event dedup, batch form: one row per key set.
+
+    With full-row duplicates (at-least-once delivery replays identical
+    payloads) this equals DISTINCT and is deterministic; with
+    subset keys Spark keeps an arbitrary row per key — callers needing
+    determinism should aggregate instead."""
+    return events.dropDuplicates(keys or ["event_id"])
+
+
+def dedup_events_stream(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Streaming exactly-once dedup: dropDuplicatesWithinWatermark keeps
+    per-key state only for the watermark horizon, so state is bounded by
+    (arrival rate x horizon), not by stream lifetime — the 100 TB/day-safe
+    form (a plain streaming dropDuplicates would grow state forever).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

@@ -130,3 +130,49 @@ def test_stateful_user_totals_matches_batch(spark, tmp_path):
         for r in user_totals_batch(_events_df(spark, rows1 + rows2)).collect()
     }
     assert got == want and got[1] == (2, 4.5)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark emits each replayed event_id once,
+    including replays arriving in a LATER microbatch within the horizon."""
+    from amazon_fresh_sql_data_engineering_spark.streaming.events import (
+        dedup_events_batch,
+        dedup_events_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    base = [
+        (1, TS(2024, 1, 1, 10, 0), 1, "click", 1.0),
+        (2, TS(2024, 1, 1, 10, 1), 1, "click", 2.0),
+        (3, TS(2024, 1, 1, 10, 2), 2, "buy", 3.0),
+    ]
+    # batch 1: originals + an in-batch replay of id 1
+    _events_df(spark, base + [base[0]]).write.mode("append").parquet(src)
+    # batch 2: replay of id 2 one minute later (state still within horizon)
+    _events_df(spark, [(2, TS(2024, 1, 1, 10, 2), 1, "click", 2.0)]).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        dedup_events_stream(stream, watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 3
+    assert sorted(r.event_id for r in got.select("event_id").collect()) == [1, 2, 3]
+    # batch twin agrees on the same universe
+    batch = dedup_events_batch(
+        _events_df(spark, base + [base[0], (2, TS(2024, 1, 1, 10, 2), 1, "click", 2.0)])
+    )
+    assert batch.count() == 3
