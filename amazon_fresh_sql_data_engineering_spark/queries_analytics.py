@@ -1030,3 +1030,123 @@ def op_zscore_outliers(spark, sf_dir):
             F.round("_z", 6).alias("z"),
         )
     )
+
+
+@register(
+    "op_string_agg",
+    oracle="""
+        SELECT o_orderstatus,
+               string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
+               CAST(count(DISTINCT o_orderpriority) AS INT) AS n_prios
+        FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Sorted string aggregation (LISTAGG / string_agg) per group — "
+    "Spark spells it array_join(array_sort(collect_set(x))). collect_set "
+    "alone is non-deterministic in element order; the sort makes the "
+    "result engine- and partitioning-stable. State is bounded by "
+    "|distinct values| per group, not row count.",
+)
+def op_string_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    prios = F.array_sort(F.collect_set("o_orderpriority"))
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(prios, ",").alias("prios"),
+        F.size(prios).cast("int").alias("n_prios"),
+    )
+
+
+@register(
+    "op_bool_aggs",
+    oracle="""
+        SELECT o_orderpriority,
+               bool_and(o_totalprice > 1000) AS all_over_1k,
+               bool_or(o_orderstatus = 'F') AS any_finished,
+               count_if(o_totalprice > 100000) AS n_large
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Boolean/conditional aggregate kit (beyond reference): BOOL_AND / "
+    "BOOL_OR / COUNT_IF — three-valued-logic-correct universal and "
+    "existential quantifiers per group, each a constant-size partial "
+    "aggregate (the distributed-safe replacement for 'collect and check "
+    "in Python').",
+)
+def op_bool_aggs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+    )
+
+
+@register(
+    "op_try_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_custkey % 5 = 0 THEN NULL
+                    ELSE round(CAST(o_totalprice AS DOUBLE) / (o_custkey % 5), 6)
+               END AS safe_ratio,
+               TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS prio_num,
+               TRY_CAST(o_orderstatus AS INT) AS status_num
+        FROM orders
+    """,
+    doc="ANSI-safe error-handling expressions: TRY_DIVIDE (NULL on zero "
+    "divisor instead of DIVIDE_BY_ZERO) and TRY_CAST (NULL on garbage "
+    "instead of CAST_INVALID_INPUT). Load-bearing under the driver's "
+    "vanilla ANSI-ON session: these are the engine's sanctioned escape "
+    "hatches where PG-style validate-then-cast (functions/cleaning.py) "
+    "is overkill.",
+)
+def op_try_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    mod5 = F.col("o_custkey") % 5
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice").cast("double"), mod5), 6
+        ).alias("safe_ratio"),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1))
+        .try_cast("int")
+        .alias("prio_num"),
+        F.col("o_orderstatus").try_cast("int").alias("status_num"),
+    )
+
+
+@register(
+    "op_cross_join_grid",
+    oracle="""
+        WITH p AS (SELECT DISTINCT o_orderpriority FROM orders),
+             m AS (SELECT DISTINCT l_returnflag FROM lineitem),
+             cnt AS (SELECT o_orderpriority, l_returnflag, count(*) AS n
+                     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                     GROUP BY 1, 2)
+        SELECT p.o_orderpriority, m.l_returnflag, coalesce(n, 0) AS n
+        FROM p CROSS JOIN m
+        LEFT JOIN cnt USING (o_orderpriority, l_returnflag)
+    """,
+    doc="Dense reporting grid via explicit CROSS JOIN of two small "
+    "distinct-key sets, left-joined to the observed counts with zero "
+    "fill — the 'no missing cells' report shape. The cross join is "
+    "|priorities| x |shipmodes| rows (tiny, broadcast nested loop); the "
+    "only at-scale cost is the fact-table aggregate, which reduces "
+    "before any join.",
+)
+def op_cross_join_grid(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    p = o.select("o_orderpriority").distinct()
+    m = l.select("l_returnflag").distinct()
+    cnt = (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        p.crossJoin(m)
+        .join(cnt, ["o_orderpriority", "l_returnflag"], "left")
+        .select(
+            "o_orderpriority",
+            "l_returnflag",
+            F.coalesce("_n", F.lit(0)).alias("n"),
+        )
+    )

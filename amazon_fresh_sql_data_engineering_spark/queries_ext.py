@@ -791,3 +791,36 @@ def text_ngram_counts(spark, sf_dir):
         .orderBy(F.col("n").desc(), "bigram")
         .limit(100)
     )
+
+
+@register(
+    "events_time_rollup",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(date_trunc('month', ts) AS DATE) AS month,
+               event_type, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
+               grouping(CAST(date_trunc('day', ts) AS DATE)) AS g_day,
+               grouping(event_type) AS g_type
+        FROM events
+        GROUP BY GROUPING SETS ((CAST(date_trunc('day', ts) AS DATE), CAST(date_trunc('month', ts) AS DATE), event_type),
+                                (CAST(date_trunc('month', ts) AS DATE)))
+    """,
+    doc="Multi-grain time rollup (the hypertable continuous-aggregate "
+    "shape): daily-per-type and monthly-total grains in ONE pass via "
+    "GROUPING SETS over date_trunc — no self-union, one shuffle, "
+    "grouping() markers distinguish grains. At 100 TB this is the "
+    "pre-aggregation you materialize incrementally; the batch form here "
+    "shares the transformation with the streaming hourly rollup.",
+)
+def events_time_rollup(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("__tr_events")
+    return spark.sql("""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(date_trunc('month', ts) AS DATE) AS month,
+               event_type, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
+               grouping(CAST(date_trunc('day', ts) AS DATE)) AS g_day,
+               grouping(event_type) AS g_type
+        FROM __tr_events
+        GROUP BY GROUPING SETS ((CAST(date_trunc('day', ts) AS DATE), CAST(date_trunc('month', ts) AS DATE), event_type),
+                                (CAST(date_trunc('month', ts) AS DATE)))
+    """)
