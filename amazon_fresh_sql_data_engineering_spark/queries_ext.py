@@ -824,3 +824,41 @@ def events_time_rollup(spark, sf_dir):
         GROUP BY GROUPING SETS ((CAST(date_trunc('day', ts) AS DATE), CAST(date_trunc('month', ts) AS DATE), event_type),
                                 (CAST(date_trunc('month', ts) AS DATE)))
     """)
+
+
+@register(
+    "events_enriched",
+    oracle="""
+        WITH dim AS (
+            SELECT DISTINCT user_id,
+                   CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'free'
+                        WHEN 1 THEN 'pro' ELSE 'enterprise' END AS tier
+            FROM events
+        )
+        SELECT tier, count(*) AS n_events,
+               count(DISTINCT e.user_id) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        FROM events e JOIN dim USING (user_id)
+        GROUP BY tier
+    """,
+    doc="Dimension-enriched event rollup — the batch twin of the "
+    "stream-static broadcast join (streaming/events.py enrich_with_dim: "
+    "no stream-side shuffle, no state store; the dim re-resolves each "
+    "micro-batch). Deterministic synthetic tier dim is derived from "
+    "user_id so the oracle can rebuild it.",
+)
+def events_enriched(spark, sf_dir):
+    from .streaming.events import enrich_with_dim
+
+    e = _t(spark, sf_dir, "events")
+    dim = e.select("user_id").distinct().withColumn(
+        "tier",
+        F.when(F.col("user_id") % 3 == 0, "free")
+        .when(F.col("user_id") % 3 == 1, "pro")
+        .otherwise("enterprise"),
+    )
+    return enrich_with_dim(e, dim).groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+    )

@@ -183,3 +183,54 @@ def dedup_events_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def enrich_with_dim(
+    events: DataFrame, dim: DataFrame, key: str = "user_id", how: str = "inner"
+) -> DataFrame:
+    """Stream-static join: enrich an event stream with a slowly-changing
+    dimension. The static side is broadcast — no shuffle of the (unbounded)
+    stream side and no state store; Spark re-resolves the static relation
+    per micro-batch, so dimension updates between batches are picked up.
+    The same call enriches a batch DataFrame (tested both ways)."""
+    return events.join(F.broadcast(dim), key, how)
+
+
+def upsert_sink_foreach_batch(out_path: str, keys: list[str]):
+    """foreachBatch writer with first-writer-wins upsert semantics
+    (ON CONFLICT DO NOTHING against everything already in the sink).
+
+    Structured Streaming's file sink is append-only exactly-once per
+    batch, but replays from UPSTREAM (at-least-once sources) still land as
+    duplicate rows — this sink closes that gap by anti-joining each batch
+    against the sink's existing keys before appending. Safe under
+    checkpoint-recovery re-delivery of a whole micro-batch too, because
+    the re-delivered rows anti-join away."""
+    from pyspark.errors import AnalysisException
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(keys)
+        try:
+            existing = spark.read.parquet(out_path).select(*keys).distinct()
+            batch = batch.join(existing, keys, "left_anti")
+        except AnalysisException:
+            pass  # first batch: sink path doesn't exist yet
+        batch.write.mode("append").parquet(out_path)
+
+    return _write
+
+
+def run_stream_upsert(
+    stream: DataFrame, out_path: str, checkpoint: str, keys: list[str] | None = None
+) -> None:
+    """Drain an availableNow stream through the idempotent upsert sink."""
+    q = (
+        stream.writeStream.foreachBatch(
+            upsert_sink_foreach_batch(out_path, keys or ["event_id"])
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

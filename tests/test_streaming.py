@@ -176,3 +176,78 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         _events_df(spark, base + [base[0], (2, TS(2024, 1, 1, 10, 2), 1, "click", 2.0)])
     )
     assert batch.count() == 3
+
+
+def test_stream_static_join_enrichment(spark, tmp_path):
+    """Stream-static broadcast join: streaming events pick up dim attrs;
+    result equals the batch twin."""
+    from amazon_fresh_sql_data_engineering_spark.streaming.events import (
+        enrich_with_dim,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [
+        (1, TS(2024, 1, 1, 10, 0), 1, "click", 1.0),
+        (2, TS(2024, 1, 1, 10, 1), 2, "buy", 2.0),
+        (3, TS(2024, 1, 1, 10, 2), 9, "click", 3.0),  # no dim row -> dropped (inner)
+    ]
+    _events_df(spark, rows).write.parquet(src)
+    dim = spark.createDataFrame([(1, "pro"), (2, "free")], "user_id long, tier string")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        enrich_with_dim(stream, dim)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.event_id, r.tier) for r in spark.read.parquet(out).collect()}
+    want = {
+        (r.event_id, r.tier)
+        for r in enrich_with_dim(_events_df(spark, rows), dim).collect()
+    }
+    assert got == want == {(1, "pro"), (2, "free")}
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path):
+    """The foreachBatch upsert sink drops upstream replays: rerunning the
+    stream over a source that re-delivers old event_ids appends only the
+    genuinely new rows."""
+    from amazon_fresh_sql_data_engineering_spark.streaming.events import (
+        run_stream_upsert,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    first = [
+        (1, TS(2024, 1, 1, 10, 0), 1, "click", 1.0),
+        (2, TS(2024, 1, 1, 10, 1), 1, "click", 2.0),
+        (1, TS(2024, 1, 1, 10, 0), 1, "click", 1.0),  # in-batch dup
+    ]
+    _events_df(spark, first).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    run_stream_upsert(stream, out, ckpt)
+    assert sorted(
+        r.event_id for r in spark.read.parquet(out).select("event_id").collect()
+    ) == [1, 2]
+
+    # source re-delivers ids 1-2 in a NEW file plus a new id 3
+    replay = [
+        (1, TS(2024, 1, 1, 10, 0), 1, "click", 1.0),
+        (2, TS(2024, 1, 1, 10, 1), 1, "click", 2.0),
+        (3, TS(2024, 1, 1, 10, 5), 2, "buy", 9.0),
+    ]
+    _events_df(spark, replay).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    run_stream_upsert(stream2, out, ckpt)
+    assert sorted(
+        r.event_id for r in spark.read.parquet(out).select("event_id").collect()
+    ) == [1, 2, 3]
