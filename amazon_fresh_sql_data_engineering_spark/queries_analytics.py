@@ -1150,3 +1150,169 @@ def op_cross_join_grid(spark, sf_dir):
             F.coalesce("_n", F.lit(0)).alias("n"),
         )
     )
+
+
+@register(
+    "op_topn_per_group",
+    oracle="""
+        SELECT p_brand, l_partkey, revenue, rnk FROM (
+            SELECT p_brand, l_partkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS revenue,
+                   rank() OVER (PARTITION BY p_brand
+                                ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                              * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) DESC,
+                                         l_partkey) AS rnk
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand, l_partkey
+        ) WHERE rnk <= 3
+    """,
+    doc="Top-N per group: rank within partition then filter — the "
+    "distributed top-k shape (unlike global ORDER BY LIMIT, every "
+    "partition ranks in parallel; no single-partition window, SURVEY "
+    "§7.4 hazard avoided). Aggregate reduces lineitem to (brand,part) "
+    "grain BEFORE the window, so window state is small; deterministic "
+    "tiebreak on partkey.",
+)
+def op_topn_per_group(spark, sf_dir):
+    l, p = _t(spark, sf_dir, "lineitem", "part")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", "3,2"))
+    per_part = (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(disc_price).cast("decimal(38,4)").alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), "l_partkey")
+    return (
+        per_part.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "l_partkey", "revenue", "rnk")
+    )
+
+
+@register(
+    "op_date_spine",
+    oracle="""
+        WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+                          CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+        spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        daily AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+                         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+                  FROM orders GROUP BY 1)
+        SELECT day, CAST(coalesce(n, 0) AS BIGINT) AS n_orders,
+               CAST(coalesce(total, 0) AS DECIMAL(38,2)) AS total
+        FROM spine LEFT JOIN daily USING (day)
+    """,
+    doc="Date spine (gap-free calendar): min/max bounds -> sequence() -> "
+    "explode, left join daily aggregates, zero-fill missing days. The "
+    "spine is O(days) rows regardless of fact size — broadcast side of "
+    "the join; the fact table reduces to daily grain before joining. "
+    "The canonical time-series densification for reporting/forecasting "
+    "feeds.",
+)
+def op_date_spine(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate")
+    bounds = o.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    daily = o.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("t"),
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce("t", F.lit(0)).cast("decimal(38,2)").alias("total"),
+    )
+
+
+@register(
+    "op_percent_rank",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               round(percent_rank() OVER w, 8) AS pct_rank,
+               round(cume_dist() OVER w, 8) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="PERCENT_RANK + CUME_DIST within segment: relative standing of "
+    "each account balance. Both are exact-integer-ratio divisions "
+    "((rank-1)/(n-1), rank/n) so double results are bit-stable across "
+    "engines; rounded to 8 as belt-and-braces. Partitioned window -> "
+    "parallel per segment.",
+)
+def op_percent_rank(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+    )
+
+
+@register(
+    "op_market_basket",
+    oracle="""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        )
+        SELECT p1, p2, count(*) AS n_orders
+        FROM pairs GROUP BY p1, p2
+        ORDER BY n_orders DESC, p1, p2 LIMIT 50
+    """,
+    doc="Market-basket pair co-occurrence: distinct (order, part) -> "
+    "self-equi-join on order with p1 < p2 -> pair counts -> top 50. The "
+    "self-join is quadratic ONLY in per-order basket size (bounded, ~4 "
+    "items), linear in orders; the shuffle key is l_orderkey so both "
+    "sides co-partition, and TakeOrderedAndProject does distributed "
+    "top-k without a global sort. Fully deterministic via (n, p1, p2) "
+    "ordering.",
+)
+def op_market_basket(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "p1", "p2")
+        .limit(50)
+    )
+
+
+@register(
+    "op_bitwise_aggs",
+    oracle="""
+        SELECT l_returnflag,
+               bit_and(l_linenumber) AS flags_and,
+               bit_or(l_linenumber)  AS flags_or,
+               bit_xor(l_linenumber) AS flags_xor,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Bitwise aggregates (bit_and/bit_or/bit_xor) — the bitmask "
+    "roll-up shape used for feature-flag / permission-set compaction. "
+    "All three are commutative-associative so partial aggregation "
+    "applies; one shuffle at the group key.",
+)
+def op_bitwise_aggs(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__bw_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag,
+               bit_and(l_linenumber) AS flags_and,
+               bit_or(l_linenumber)  AS flags_or,
+               bit_xor(l_linenumber) AS flags_xor,
+               count(*) AS n
+        FROM __bw_lineitem GROUP BY l_returnflag
+    """)
