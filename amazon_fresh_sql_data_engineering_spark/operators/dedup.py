@@ -131,13 +131,19 @@ def minhash_features(
     def _feat(texts: pd.Series) -> pd.DataFrame:
         sigs, hs = [], []
         for t in texts:
-            hv = _shingle_hashes_np(t, k)
+            # full-width (mod=None) hashes for the verify tier: Jaccard over
+            # them equals string-shingle Jaccard at ~2^-63 collision odds, so
+            # a string-shingle SQL oracle reproduces jaccard_sim exactly;
+            # signatures reduce mod M31 (duplicates after reduction don't
+            # change the per-permutation min)
+            hv = _shingle_hashes_np(t, k, mod=None)
             if hv.size == 0:
                 sigs.append(None)
                 hs.append(None)
                 continue
+            hv31 = hv % MERSENNE_P
             # a < 2^31, h < 2^31 -> a*h + b < 2^63: exact in int64
-            sigs.append(((a_col * hv[None, :] + b_col) % MERSENNE_P).min(axis=1))
+            sigs.append(((a_col * hv31[None, :] + b_col) % MERSENNE_P).min(axis=1))
             hs.append(hv)
         return pd.DataFrame({"sig": sigs, "h": hs})
 

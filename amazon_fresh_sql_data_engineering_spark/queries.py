@@ -29,10 +29,10 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import CATALOG, QuerySpec, dec, register
+from .registry import CATALOG, QuerySpec, dec, fin, register
 from .registry import tables as _t
 
-__all__ = ["CATALOG", "QuerySpec", "dec", "register"]
+__all__ = ["CATALOG", "QuerySpec", "dec", "fin", "register"]
 
 
 # ---------------------------------------------------------------------------
@@ -54,8 +54,8 @@ def op_scan(spark, sf_dir):
     oracle="""
         SELECT p_partkey,
                p_name,
-               CAST(p_retailprice AS DECIMAL(18,2)) AS retail,
-               CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1)) AS DECIMAL(20,3)) AS discounted
+               round(CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS retail,
+               round(CAST(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1)) AS DECIMAL(20,3)) AS DOUBLE), 3) AS discounted
         FROM part
     """,
     doc="OP-PROJECT: projection + computed cols + aliases (ref A:230-236).",
@@ -65,10 +65,11 @@ def op_project(spark, sf_dir):
     return part.select(
         "p_partkey",
         "p_name",
-        dec("p_retailprice").alias("retail"),
-        (dec("p_retailprice") * F.lit(0.9).cast("decimal(2,1)"))
-        .cast("decimal(20,3)")
-        .alias("discounted"),
+        fin(dec("p_retailprice")).alias("retail"),
+        fin(
+            (dec("p_retailprice") * F.lit(0.9).cast("decimal(2,1)")).cast("decimal(20,3)"),
+            3,
+        ).alias("discounted"),
     )
 
 
@@ -174,7 +175,8 @@ def op_filter_in_list(spark, sf_dir):
 @register(
     "op_filter_complement",
     oracle="""
-        SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS value
+        SELECT event_id, event_type,
+               round(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 2) AS value
         FROM events
         WHERE NOT (value IS NOT NULL AND value >= 0 AND value <= 300
                    AND regexp_matches(event_type, '^[a-z]+$'))
@@ -189,7 +191,7 @@ def op_filter_complement(spark, sf_dir):
         & (F.col("value") <= 300)
         & F.col("event_type").rlike(r"^[a-z]+$")
     )
-    return e.filter(~valid).select("event_id", "event_type", dec("value").alias("value"))
+    return e.filter(~valid).select("event_id", "event_type", fin(dec("value")).alias("value"))
 
 
 # ---------------------------------------------------------------------------
@@ -201,7 +203,7 @@ def op_filter_complement(spark, sf_dir):
     "op_join_inner",
     oracle="""
         SELECT o.o_orderkey, c.c_custkey, c.c_name,
-               CAST(o.o_totalprice AS DECIMAL(18,2)) AS totalprice
+               round(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS totalprice
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE o.o_totalprice > 400000
     """,
@@ -212,7 +214,7 @@ def op_join_inner(spark, sf_dir):
     return (
         o.filter(F.col("o_totalprice") > 400000)
         .join(c, o.o_custkey == c.c_custkey, "inner")
-        .select("o_orderkey", "c_custkey", "c_name", dec("o_totalprice").alias("totalprice"))
+        .select("o_orderkey", "c_custkey", "c_name", fin(dec("o_totalprice")).alias("totalprice"))
     )
 
 
@@ -260,8 +262,8 @@ def op_join_left(spark, sf_dir):
     "op_join_multi",
     oracle="""
         SELECT n.n_name,
-               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS revenue
+               round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE), 4) AS revenue
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey  = c.c_custkey
@@ -283,7 +285,7 @@ def op_join_multi(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+        .agg(fin(F.sum(rev), 4).alias("revenue"))
     )
 
 
@@ -367,10 +369,10 @@ def op_agg_counts(spark, sf_dir):
     "q1_pricing_summary",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+               round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+               round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+               round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 4) AS sum_disc_price,
                round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
                count(*) AS count_order
         FROM lineitem
@@ -387,9 +389,9 @@ def q1_pricing_summary(spark, sf_dir):
         l.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
+            fin(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            fin(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+            fin(F.sum(disc_price), 4).alias("sum_disc_price"),
             F.round(
                 F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)), 4
             ).alias("avg_qty"),
@@ -423,7 +425,7 @@ def op_agg_having(spark, sf_dir):
     "op_agg_sum_coalesce",
     oracle="""
         SELECT s.s_suppkey, s.s_name,
-               CAST(SUM(COALESCE(CAST(l.l_quantity AS DECIMAL(18,2)), 0)) AS DECIMAL(38,2)) AS total_qty
+               round(CAST(SUM(COALESCE(CAST(l.l_quantity AS DECIMAL(18,2)), 0)) AS DOUBLE), 2) AS total_qty
         FROM supplier s LEFT JOIN lineitem l ON l.l_suppkey = s.s_suppkey
         GROUP BY s.s_suppkey, s.s_name
     """,
@@ -442,7 +444,7 @@ def op_agg_sum_coalesce(spark, sf_dir):
         .select(
             "s_suppkey",
             "s_name",
-            F.coalesce(F.col("__qty"), F.lit(0)).cast("decimal(38,2)").alias("total_qty"),
+            fin(F.coalesce(F.col("__qty"), F.lit(0))).alias("total_qty"),
         )
     )
 
@@ -541,7 +543,10 @@ def op_win_rownum_dedup(spark, sf_dir):
 @register(
     "q_high_value",
     oracle="""
-        SELECT c_custkey, c_name, total_spending, spending_rank FROM (
+        SELECT c_custkey, c_name,
+               round(CAST(total_spending AS DOUBLE), 2) AS total_spending,
+               spending_rank
+        FROM (
             SELECT c.c_custkey, c.c_name,
                    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spending,
                    rank() OVER (ORDER BY SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) DESC) AS spending_rank
@@ -567,18 +572,28 @@ def q_high_value(spark, sf_dir):
     return (
         spend.withColumn("spending_rank", F.rank().over(w))
         .filter(F.col("total_spending") > 4000000)
-        .select("c_custkey", "c_name", "total_spending", "spending_rank")
+        .select(
+            "c_custkey",
+            "c_name",
+            fin("total_spending").alias("total_spending"),
+            "spending_rank",
+        )
     )
 
 
 @register(
     "q_product_sales_rank",
     oracle="""
-        SELECT p.p_partkey, p.p_name,
-               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_sales,
-               rank() OVER (ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) DESC) AS sales_rank
-        FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
-        GROUP BY p.p_partkey, p.p_name
+        SELECT p_partkey, p_name,
+               round(CAST(total_sales AS DOUBLE), 2) AS total_sales,
+               sales_rank
+        FROM (
+            SELECT p.p_partkey, p.p_name,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_sales,
+                   rank() OVER (ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) DESC) AS sales_rank
+            FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_partkey, p.p_name
+        ) t
     """,
     doc="Q-PRODUCT-SALES-RANK: join + agg + global rank (ref A:169-176 Task 9).",
 )
@@ -591,13 +606,18 @@ def q_product_sales_rank(spark, sf_dir):
         F.broadcast(p.select("p_partkey", "p_name")), per_part.l_partkey == p.p_partkey
     ).select("p_partkey", "p_name", "total_sales")
     w = Window.orderBy(F.col("total_sales").desc())
-    return agg.withColumn("sales_rank", F.rank().over(w))
+    return agg.withColumn("sales_rank", F.rank().over(w)).select(
+        "p_partkey",
+        "p_name",
+        fin("total_sales").alias("total_sales"),
+        "sales_rank",
+    )
 
 
 @register(
     "op_topk",
     oracle="""
-        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+        SELECT o_orderkey, round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS totalprice
         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
     """,
     doc="OP-TOPK: ORDER BY + LIMIT -> TakeOrderedAndProject, distributed top-k "
@@ -608,7 +628,7 @@ def op_topk(spark, sf_dir):
     return (
         o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(10)
-        .select("o_orderkey", dec("o_totalprice").alias("totalprice"))
+        .select("o_orderkey", fin(dec("o_totalprice")).alias("totalprice"))
     )
 
 
@@ -749,8 +769,8 @@ def q_top_customers_period(spark, sf_dir):
     oracle="""
         SELECT o.o_orderkey, o.o_custkey,
                count(l.l_linenumber) AS line_count,
-               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS revenue
+               round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE), 4) AS revenue
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderdate >= TIMESTAMP '2001-01-01'
         GROUP BY o.o_orderkey, o.o_custkey
@@ -766,7 +786,7 @@ def q_order_revenue(spark, sf_dir):
         .groupBy("o_orderkey", "o_custkey")
         .agg(
             F.count("l_linenumber").alias("line_count"),
-            F.sum(rev).cast("decimal(38,4)").alias("revenue"),
+            fin(F.sum(rev), 4).alias("revenue"),
         )
     )
 
@@ -775,7 +795,7 @@ def q_order_revenue(spark, sf_dir):
     "q_supplier_stock",
     oracle="""
         SELECT s.s_suppkey, s.s_name,
-               CAST(SUM(COALESCE(CAST(l.l_quantity AS DECIMAL(18,2)), 0)) AS DECIMAL(38,2)) AS total_qty
+               round(CAST(SUM(COALESCE(CAST(l.l_quantity AS DECIMAL(18,2)), 0)) AS DOUBLE), 2) AS total_qty
         FROM supplier s LEFT JOIN lineitem l ON l.l_suppkey = s.s_suppkey
         GROUP BY s.s_suppkey, s.s_name
         ORDER BY total_qty DESC, s.s_suppkey
@@ -792,7 +812,7 @@ def q_supplier_stock(spark, sf_dir):
         .select(
             "s_suppkey",
             "s_name",
-            F.coalesce(F.col("__qty"), F.lit(0)).cast("decimal(38,2)").alias("total_qty"),
+            fin(F.coalesce(F.col("__qty"), F.lit(0))).alias("total_qty"),
         )
         .orderBy(F.col("total_qty").desc(), "s_suppkey")
         .limit(1)
@@ -804,7 +824,7 @@ def q_supplier_stock(spark, sf_dir):
     oracle="""
         SELECT t.l_partkey,
                (SELECT p.p_name FROM part p WHERE p.p_partkey = t.l_partkey) AS part_name,
-               t.total_revenue
+               round(CAST(t.total_revenue AS DOUBLE), 2) AS total_revenue
         FROM (
             SELECT l_partkey,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_revenue
@@ -827,7 +847,7 @@ def q_top3_products(spark, sf_dir):
         F.broadcast(p.select("p_partkey", F.col("p_name").alias("part_name"))),
         top3.l_partkey == F.col("p_partkey"),
         "left",
-    ).select("l_partkey", "part_name", "total_revenue")
+    ).select("l_partkey", "part_name", fin("total_revenue").alias("total_revenue"))
 
 
 @register(

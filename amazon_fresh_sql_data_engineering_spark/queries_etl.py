@@ -16,7 +16,7 @@ from .functions.cleaning import clean_text, parse_bool, parse_date_mdy, parse_in
 from .operators import constraints as C
 from .operators import dml
 from .pipelines.normalize import normalize_products
-from .registry import dec, register
+from .registry import dec, fin, register
 from .registry import tables as _t
 
 
@@ -302,8 +302,8 @@ def _staged_orders(spark, sf_dir):
           CASE WHEN regexp_matches(trim(shipdate), '^\\d{{1,2}}/\\d{{1,2}}/\\d{{4}}$')
                THEN CAST(try_strptime(trim(shipdate), '%-m/%-d/%Y') AS DATE) END AS shipdate,
           nullif(trim(shipmode), '') AS shipmode,
-          CASE WHEN regexp_matches(trim(totalamount), '^-?\\d+(\\.\\d+)?$')
-               THEN CAST(trim(totalamount) AS DECIMAL(12,2)) END AS totalamount
+          round(CAST(CASE WHEN regexp_matches(trim(totalamount), '^-?\\d+(\\.\\d+)?$')
+                          THEN CAST(trim(totalamount) AS DECIMAL(12,2)) END AS DOUBLE), 2) AS totalamount
         FROM staged
         WHERE nullif(trim(orderid), '') IS NOT NULL
           AND NOT (nullif(trim(customerid), '') IS NOT NULL
@@ -319,7 +319,10 @@ def q_pipe_clean_orders(spark, sf_dir):
     from .pipelines.entities import spec_orders
 
     staging = _staged_orders(spark, sf_dir)
-    return clean_entity(staging, spec_orders()).final
+    out = clean_entity(staging, spec_orders()).final
+    # cleaned dtype stays DECIMAL(12,2) in the pipeline (reference parity);
+    # the driver-facing output projects it to a rounded double (registry.fin)
+    return out.withColumn("totalamount", fin("totalamount"))
 
 
 @register(
@@ -416,8 +419,8 @@ _PROD_STAGED_SQL = f"""
           trim(productname) AS productname,
           nullif(trim(category), '') AS category,
           nullif(trim(subcategory), '') AS subcategory,
-          CASE WHEN regexp_matches(trim(priceperunit), '^-?\\d+(\\.\\d+)?$')
-               THEN CAST(trim(priceperunit) AS DECIMAL(12,2)) END AS priceperunit,
+          round(CAST(CASE WHEN regexp_matches(trim(priceperunit), '^-?\\d+(\\.\\d+)?$')
+                          THEN CAST(trim(priceperunit) AS DECIMAL(12,2)) END AS DOUBLE), 2) AS priceperunit,
           CASE WHEN regexp_matches(trim(stockquantity), '^-?\\d+$')
                THEN CAST(trim(stockquantity) AS INT) END AS stockquantity,
           CASE WHEN regexp_matches(trim(supplierid), '{_UUID_RE}')
@@ -454,7 +457,8 @@ def q_pipe_clean_products(spark, sf_dir):
         .otherwise(sup_uuid)
         .alias("supplierid"),
     )
-    return clean_entity(_fence(staging), spec_products()).final
+    out = clean_entity(_fence(staging), spec_products()).final
+    return out.withColumn("priceperunit", fin("priceperunit"))
 
 
 _OD_STAGED_SQL = f"""
@@ -495,10 +499,10 @@ _OD_STAGED_SQL = f"""
                THEN lower(trim(productid)) END AS productid,
           CASE WHEN regexp_matches(trim(quantity), '^-?\\d+$')
                THEN CAST(trim(quantity) AS INT) END AS quantity,
-          CASE WHEN regexp_matches(trim(unitprice), '^-?\\d+(\\.\\d+)?$')
-               THEN CAST(trim(unitprice) AS DECIMAL(12,2)) END AS unitprice,
-          CASE WHEN regexp_matches(trim(discount), '^-?\\d+(\\.\\d+)?$')
-               THEN CAST(trim(discount) AS DECIMAL(5,2)) END AS discount
+          round(CAST(CASE WHEN regexp_matches(trim(unitprice), '^-?\\d+(\\.\\d+)?$')
+                          THEN CAST(trim(unitprice) AS DECIMAL(12,2)) END AS DOUBLE), 2) AS unitprice,
+          round(CAST(CASE WHEN regexp_matches(trim(discount), '^-?\\d+(\\.\\d+)?$')
+                          THEN CAST(trim(discount) AS DECIMAL(5,2)) END AS DOUBLE), 2) AS discount
         FROM staged
         WHERE nullif(trim(orderdetailid), '') IS NOT NULL
           AND NOT ((nullif(trim(orderid), '') IS NOT NULL
@@ -553,7 +557,10 @@ def q_pipe_clean_order_details(spark, sf_dir):
         F.when(ln % 2 == 0, "19.95").otherwise("").alias("unitprice"),
         F.when(ln % 4 == 0, "0.05").when(ln % 4 == 1, "").otherwise("0").alias("discount"),
     )
-    return clean_entity(_fence(staging), spec_order_details()).final
+    out = clean_entity(_fence(staging), spec_order_details()).final
+    return out.withColumn("unitprice", fin("unitprice")).withColumn(
+        "discount", fin("discount")
+    )
 
 
 _REV_STAGED_SQL = f"""
@@ -634,7 +641,8 @@ def q_pipe_clean_reviews(spark, sf_dir):
     "q_update_set",
     oracle="""
         SELECT c_custkey,
-               CAST(CASE WHEN c_acctbal < 0 THEN 0 ELSE c_acctbal END AS DECIMAL(18,2)) AS acctbal
+               round(CAST(CAST(CASE WHEN c_acctbal < 0 THEN 0 ELSE c_acctbal END
+                               AS DECIMAL(18,2)) AS DOUBLE), 2) AS acctbal
         FROM customer
     """,
     doc="OP-UPDATE-SET: conditional column rewrite = UPDATE ... WHERE "
@@ -643,7 +651,7 @@ def q_pipe_clean_reviews(spark, sf_dir):
 def q_update_set(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     out = dml.update_where(c, F.col("c_acctbal") < 0, {"c_acctbal": F.lit(0)})
-    return out.select("c_custkey", dec("c_acctbal").alias("acctbal"))
+    return out.select("c_custkey", fin(dec("c_acctbal")).alias("acctbal"))
 
 
 @register(
@@ -778,7 +786,7 @@ def q_insert_values(spark, sf_dir):
             SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
             FROM orders GROUP BY o_custkey
         )
-        SELECT c.c_custkey, c.c_name, s.total,
+        SELECT c.c_custkey, c.c_name, round(CAST(s.total AS DOUBLE), 2) AS total,
                (SELECT n.n_name FROM nation n WHERE n.n_nationkey = c.c_nationkey) AS nation_name
         FROM customer c JOIN spend s ON s.o_custkey = c.c_custkey
         WHERE s.total > 5000000
@@ -797,7 +805,7 @@ def q_sql_interface(spark, sf_dir):
             SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
             FROM orders GROUP BY o_custkey
         )
-        SELECT c.c_custkey, c.c_name, s.total,
+        SELECT c.c_custkey, c.c_name, round(CAST(s.total AS DOUBLE), 2) AS total,
                (SELECT n.n_name FROM nation n WHERE n.n_nationkey = c.c_nationkey) AS nation_name
         FROM customer c JOIN spend s ON s.o_custkey = c.c_custkey
         WHERE s.total > 5000000
@@ -865,19 +873,23 @@ def q_audit_report(spark, sf_dir):
             WHERE c.brand IS DISTINCT FROM u.brand
                OR c.price IS DISTINCT FROM u.price
         )
-        SELECT product_sk, c_brand AS brand, c_price AS price,
-               valid_from, DATE '2024-06-01' AS valid_to, FALSE AS is_current
-        FROM changed
-        UNION ALL
-        SELECT product_sk, u_brand, u_price,
-               DATE '2024-06-01', CAST(NULL AS DATE), TRUE
-        FROM changed
-        UNION ALL
-        SELECT c.* FROM cur c ANTI JOIN changed USING (product_sk)
-        UNION ALL
-        SELECT u.product_sk, u.brand, u.price,
-               DATE '2024-06-01', CAST(NULL AS DATE), TRUE
-        FROM upd u ANTI JOIN cur USING (product_sk)
+        SELECT product_sk, brand, round(CAST(price AS DOUBLE), 2) AS price,
+               valid_from, valid_to, is_current
+        FROM (
+            SELECT product_sk, c_brand AS brand, c_price AS price,
+                   valid_from, DATE '2024-06-01' AS valid_to, FALSE AS is_current
+            FROM changed
+            UNION ALL
+            SELECT product_sk, u_brand, u_price,
+                   DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+            FROM changed
+            UNION ALL
+            SELECT c.* FROM cur c ANTI JOIN changed USING (product_sk)
+            UNION ALL
+            SELECT u.product_sk, u.brand, u.price,
+                   DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+            FROM upd u ANTI JOIN cur USING (product_sk)
+        )
     """,
     doc="SCD type-2 merge (operators/dml.scd2_apply — beyond the "
     "reference's DO-NOTHING upsert): price changes close the open version "
@@ -907,7 +919,10 @@ def q_scd2_merge(spark, sf_dir):
         .cast("decimal(12,2)")
         .alias("price"),
     )
-    return scd2_apply(current, updates, "product_sk", ["brand", "price"], datetime.date(2024, 6, 1))
+    out = scd2_apply(
+        current, updates, "product_sk", ["brand", "price"], datetime.date(2024, 6, 1)
+    )
+    return out.withColumn("price", fin("price"))
 
 
 @register(

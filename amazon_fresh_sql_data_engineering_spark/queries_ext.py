@@ -20,7 +20,7 @@ from .functions import text as TXT
 from .operators import dedup as D
 from .operators import multimodal as MM
 from .operators import similarity as S
-from .registry import register
+from .registry import fin, register
 from .registry import tables as _t
 from .streaming.events import hourly_rollup, sessionize_batch
 
@@ -114,31 +114,104 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
 
 
+# Exact all-pairs string-shingle Jaccard (k=3) with the size-ratio necessary
+# condition (J >= t forces min/max set-size >= t) as the only prune. This is
+# the ground-truth pair set: the minhash query's OUTPUT equals it because
+# (a) the exact-Jaccard verify tier computes Jaccard over full-width shingle
+# hashes (string-parity at ~2^-63 collision odds) and (b) banded-LSH recall
+# on the 64/16 configuration is complete on this corpus (verified at every
+# test sf; P(miss) <= (1-J^4)^16 <= 1.1e-1 at J=0.6 per pair *a priori*, but
+# the realized candidate set is deterministic and covers all true pairs).
+_JACCARD_PAIRS_SQL = """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard_sim
+        FROM shf a JOIN shf b
+          ON a.doc_id < b.doc_id
+         AND least(len(a.s), len(b.s))::DOUBLE / greatest(len(a.s), len(b.s)) >= {t}
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {t}
+"""
+
+_SHF_SQL = """
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM all_docs)
+        WHERE len(toks) >= 3
+"""
+
+
 @register(
     "dedup_minhash",
-    oracle=None,  # banded-LSH bucketing isn't portable SQL; pytest validates vs brute force
+    oracle=f"""
+        WITH all_docs AS ({_DOCS_DUPS_SQL}),
+        shf AS ({_SHF_SQL})
+        {_JACCARD_PAIRS_SQL.format(t=0.6)}
+    """,
     doc="MinHash(64)+LSH(16 bands) near-dup candidate pairs verified by "
     "exact shingle Jaccard >= 0.6. No crossJoin: candidates come from an "
-    "equi-self-join on band buckets — the 100 TB-safe near-dedup.",
+    "equi-self-join on band buckets — the 100 TB-safe near-dedup. The "
+    "oracle is ground truth (all-pairs exact Jaccard): output parity "
+    "means banded-LSH recall is 1.0 on this corpus AND the hashed-shingle "
+    "verify matches string shingles exactly.",
 )
 def dedup_minhash(spark, sf_dir):
     docs = _docs_with_dups(spark, sf_dir)
-    return D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.6).orderBy(
-        "id_a", "id_b"
+    return D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.6).withColumn(
+        "jaccard_sim", F.round("jaccard_sim", 6)
     )
+
+
+# DuckDB replica of the SimHash signature itself: token hash = low 8 bytes of
+# md5 (little-endian) — chosen portable precisely so an independent engine
+# can recompute it — then the per-bit weighted vote and the 64-bit pack.
+# Pairs = all pairs at hamming <= 3; the Spark side provably finds ALL of
+# them (pigeonhole: <=3 differing bits over 4 16-bit chunks leaves at least
+# one chunk identical, so banding recall is 1 by construction, not luck).
+_SIMHASH_SIG_SQL = """
+        SELECT doc_id,
+               sum(CASE WHEN v > 0 THEN 1::UBIGINT << b ELSE 0::UBIGINT END)::UBIGINT AS s
+        FROM (
+            SELECT doc_id, b, sum(cnt * (((h >> b) & 1) * 2 - 1)) AS v
+            FROM (
+                SELECT doc_id, cnt,
+                       list_sum(list_transform(range(0, 8), i ->
+                         ((strpos('0123456789abcdef', md5(tok)[2*i+1]) - 1) * 16
+                          + (strpos('0123456789abcdef', md5(tok)[2*i+2]) - 1))::UBIGINT
+                         * (1::UBIGINT << (8*i))))::UBIGINT AS h
+                FROM (
+                    SELECT doc_id, tok, count(*) AS cnt
+                    FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                          FROM all_docs WHERE trim(coalesce(text, '')) <> '')
+                    GROUP BY doc_id, tok
+                )
+            ), unnest(range(0, 64)) AS u(b)
+            GROUP BY doc_id, b
+        )
+        GROUP BY doc_id
+"""
 
 
 @register(
     "dedup_simhash",
-    oracle=None,  # pandas-UDF signature; pytest validates determinism + known dups
+    oracle=f"""
+        WITH all_docs AS ({_DOCS_DUPS_SQL}),
+        sig AS ({_SIMHASH_SIG_SQL})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 3
+    """,
     doc="SimHash64 near-dup pairs (Arrow-batched signature UDF, 16-bit "
-    "banded candidates, bit_count-verified hamming <= 3).",
+    "banded candidates, bit_count-verified hamming <= 3). The oracle "
+    "recomputes the SimHash bit-vote itself in SQL (md5 token hash is "
+    "engine-portable) over ALL pairs — parity proves the banded plan "
+    "loses nothing, which holds by pigeonhole for hamming <= 3.",
 )
 def dedup_simhash(spark, sf_dir):
     docs = _docs_with_dups(spark, sf_dir)
-    return D.simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
-        "id_a", "id_b"
-    )
+    return D.simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
 def _embeddings_with_dups(spark, sf_dir):
@@ -149,11 +222,31 @@ def _embeddings_with_dups(spark, sf_dir):
     return e.unionByName(copies)
 
 
+_EMB_DUPS_SQL = """
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 25 = 0
+"""
+
+
 @register(
     "dedup_embedding",
-    oracle=None,  # numpy-seeded hyperplanes; pytest checks recall vs brute force
+    oracle=f"""
+        WITH all_e AS ({_EMB_DUPS_SQL})
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                     6) AS cosine_sim
+        FROM all_e a JOIN all_e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.95
+    """,
     doc="Embedding-cosine near-dup pairs (>=0.95) via sign-LSH buckets + "
-    "exact-cosine verify; exact duplicate vectors synthesized (vec_id%25).",
+    "exact-cosine verify; exact duplicate vectors synthesized (vec_id%25). "
+    "Oracle is ground truth (all-pairs exact cosine) — parity proves "
+    "sign-LSH recall is 1.0 on this corpus.",
 )
 def dedup_embedding(spark, sf_dir):
     e = _embeddings_with_dups(spark, sf_dir)
@@ -164,10 +257,33 @@ def dedup_embedding(spark, sf_dir):
 
 @register(
     "dedup_cluster_corpus",
-    oracle=None,  # iterative min-label propagation; pytest validates components
+    # components via transitive closure to the minimum reachable id: a doc is
+    # dropped iff some smaller id is reachable through the near-dup graph
+    oracle=f"""
+        WITH RECURSIVE all_docs AS ({_DOCS_DUPS_SQL}),
+        shf AS ({_SHF_SQL}),
+        pairs AS ({_JACCARD_PAIRS_SQL.format(t=0.6)}),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM all_docs d
+        LEFT JOIN (SELECT id, min(r) AS lab FROM reach GROUP BY id) c
+          ON d.doc_id = c.id
+        WHERE c.id IS NULL OR c.lab >= d.doc_id
+    """,
     doc="End-to-end near-dedup: MinHash-LSH pairs -> connected components "
     "(iterative min-label propagation, no driver union-find) -> keep one "
-    "canonical doc per cluster. The full 100 TB dedup recipe in one query.",
+    "canonical doc per cluster. The full 100 TB dedup recipe in one query. "
+    "Oracle rebuilds the components by recursive transitive closure over "
+    "the ground-truth exact-Jaccard pair graph.",
 )
 def dedup_cluster_corpus(spark, sf_dir):
     docs = _docs_with_dups(spark, sf_dir)
@@ -177,9 +293,62 @@ def dedup_cluster_corpus(spark, sf_dir):
 
 @register(
     "sim_ann_ivf",
-    oracle=None,  # centroid-sampled IVF; pytest measures recall vs brute force
+    # Full IVF replica in SQL: same centroids (first 16 corpus vectors by
+    # id), same assignment (max centroid-cosine, stable tiebreak on centroid
+    # position), same 8-list probing, same exact-cosine rerank. Parity
+    # checks the ENTIRE approximate algorithm, not just its invariants.
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (
+            SELECT vec_id AS cid, v AS cv,
+                   row_number() OVER (ORDER BY vec_id) AS pos
+            FROM e ORDER BY vec_id LIMIT 16
+        ),
+        cscore AS (
+            SELECT e.vec_id, cent.cid, cent.pos,
+                   list_dot_product(e.v, cent.cv)
+                     / sqrt(list_dot_product(cent.cv, cent.cv)) AS s
+            FROM e CROSS JOIN cent
+        ),
+        asg AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, pos) AS rn
+                FROM cscore
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, pos) AS rn
+                FROM cscore WHERE vec_id < 10
+            ) WHERE rn <= 8
+        ),
+        cand AS (
+            SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+            FROM probes p JOIN asg a USING (cid)
+            WHERE p.vec_id <> a.vec_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   round(list_dot_product(q.v, n.v)
+                         / (sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine_sim
+            FROM cand c
+            JOIN e q ON q.vec_id = c.query_id
+            JOIN e n ON n.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+            SELECT query_id, neighbor_id, cosine_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
     doc="IVF-flat approximate top-5: corpus partitioned into 16 inverted "
-    "lists by sampled centroids, queries probe 8 lists, exact rerank.",
+    "lists by sampled centroids, queries probe 8 lists, exact rerank. "
+    "Oracle replays the identical IVF algorithm in SQL (same centroids, "
+    "assignment, probes, rerank) — approximation and all.",
 )
 def sim_ann_ivf(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
@@ -220,12 +389,63 @@ def sim_cosine_topk(spark, sf_dir):
     )
 
 
+def _lsh_planes_sql(n_planes: int = 16, dim: int = 64, seed: int = 7) -> str:
+    """The LSH hyperplanes as a SQL VALUES list: the planes are a
+    deterministic function of the seed (numpy default_rng standard_normal),
+    so inlining their exact float64 values (repr round-trips) lets the
+    oracle replay the identical banding. ~20 KB of SQL text — constants,
+    not data."""
+    import numpy as _np
+
+    planes = _np.random.default_rng(seed).standard_normal((n_planes, dim))
+    rows = ",\n               ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in planes[i])}]::DOUBLE[])"
+        for i in range(n_planes)
+    )
+    return f"(VALUES {rows})"
+
+
 @register(
     "sim_ann_lsh",
-    oracle=None,  # numpy-seeded planes; pytest measures recall vs brute force
+    # Full sign-LSH replica in SQL: the seeded hyperplanes are inlined as
+    # literals, banding/bucketing/rerank re-expressed relationally. Parity
+    # checks the entire approximate algorithm, not just its invariants.
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        planes(pid, p) AS {_lsh_planes_sql()},
+        bk AS (
+            SELECT vec_id,
+                   (pid // 4) * 32
+                   + sum(CASE WHEN list_dot_product(v, p) >= 0
+                              THEN 1 << (pid % 4) ELSE 0 END)::BIGINT AS key
+            FROM e CROSS JOIN planes
+            GROUP BY vec_id, pid // 4
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM bk q JOIN bk c ON q.key = c.key
+            WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   round(list_dot_product(q.v, n.v)
+                         / (sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine_sim
+            FROM cand c
+            JOIN e q ON q.vec_id = c.query_id
+            JOIN e n ON n.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+            SELECT query_id, neighbor_id, cosine_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
     doc="Approximate top-5 via sign-LSH (16 planes, 4 bands) candidates + "
     "exact rerank — the scale path: no crossJoin, corpus joined only on "
-    "bucket keys.",
+    "bucket keys. Oracle replays the identical LSH algorithm in SQL with "
+    "the seeded planes inlined as literals — approximation and all.",
 )
 def sim_ann_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
@@ -417,7 +637,7 @@ def events_funnel(spark, sf_dir):
     oracle="""
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+               round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
         FROM events
         GROUP BY date_trunc('hour', ts), event_type
     """,
@@ -427,7 +647,7 @@ def events_funnel(spark, sf_dir):
 )
 def events_hourly(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    return hourly_rollup(e)
+    return hourly_rollup(e).withColumn("total_value", fin("total_value"))
 
 
 @register(
@@ -449,7 +669,7 @@ def events_hourly(spark, sf_dir):
             FROM x
         )
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+               round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
         FROM y GROUP BY user_id, sid
     """,
     doc="Sessionization (5-min gap) via lag+cumsum gaps-and-islands — one "
@@ -458,7 +678,9 @@ def events_hourly(spark, sf_dir):
 )
 def events_sessionize(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    return sessionize_batch(e, gap_minutes=5)
+    return sessionize_batch(e, gap_minutes=5).withColumn(
+        "total_value", fin("total_value")
+    )
 
 
 @register(
@@ -565,7 +787,7 @@ def events_props_struct(spark, sf_dir):
     "events_dedup",
     oracle="""
         SELECT DISTINCT event_id, ts, user_id, event_type,
-               CAST(value AS DECIMAL(18,6)) AS value
+               round(CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE), 6) AS value
         FROM (SELECT * FROM events
               UNION ALL
               SELECT * FROM events WHERE event_id % 7 = 0)
@@ -584,7 +806,7 @@ def events_dedup(spark, sf_dir):
         F.col("value").cast("decimal(18,6)").alias("value"),
     )
     replayed = e.unionByName(e.filter(F.col("event_id") % 7 == 0))
-    return dedup_events_batch(replayed, ["event_id"])
+    return dedup_events_batch(replayed, ["event_id"]).withColumn("value", fin("value", 6))
 
 
 @register(
@@ -798,7 +1020,7 @@ def text_ngram_counts(spark, sf_dir):
     oracle="""
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(date_trunc('month', ts) AS DATE) AS month,
                event_type, count(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
+               round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
                grouping(CAST(date_trunc('day', ts) AS DATE)) AS g_day,
                grouping(event_type) AS g_type
         FROM events
@@ -817,7 +1039,7 @@ def events_time_rollup(spark, sf_dir):
     return spark.sql("""
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(date_trunc('month', ts) AS DATE) AS month,
                event_type, count(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
+               round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
                grouping(CAST(date_trunc('day', ts) AS DATE)) AS g_day,
                grouping(event_type) AS g_type
         FROM __tr_events
@@ -837,7 +1059,7 @@ def events_time_rollup(spark, sf_dir):
         )
         SELECT tier, count(*) AS n_events,
                count(DISTINCT e.user_id) AS n_users,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+               round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
         FROM events e JOIN dim USING (user_id)
         GROUP BY tier
     """,
@@ -860,5 +1082,5 @@ def events_enriched(spark, sf_dir):
     return enrich_with_dim(e, dim).groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+        fin(F.sum(F.col("value").cast("decimal(18,2)"))).alias("total_value"),
     )

@@ -63,3 +63,18 @@ def dec(c, scale: str = "18,2"):
     queries.py module docstring for the determinism rules)."""
     col = F.col(c) if isinstance(c, str) else c
     return col.cast(f"decimal({scale})")
+
+
+def fin(c, k: int = 2):
+    """Final-output projection for exact-decimal columns.
+
+    DECIMAL stays the *internal* aggregation dtype (exact, order-independent),
+    but it must never appear in a query's output schema: engines canonicalize
+    decimal reprs differently (trailing zeros: ``81.900`` vs ``81.9``), which
+    breaks the driver's order-insensitive value hash even when values are
+    identical. Every decimal column leaves the engine as
+    ``round(CAST(x AS DOUBLE), k)`` — the matching oracle side writes the
+    identical ``round(CAST(... AS DOUBLE), k)``.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col.cast("double"), k)

@@ -43,7 +43,9 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"f:{v:.9g}"
+        # full-precision repr: the driver hashes exact values, so the local
+        # gate must not be more forgiving than the driver's
+        return f"f:{v!r}"
     if isinstance(v, _dt.datetime):
         return "ts:" + v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):

@@ -199,8 +199,9 @@ def test_approx_count_distinct_error_bounded(spark, sf_dir):
     exact = l.agg(
         F.countDistinct("l_partkey").alias("p"), F.countDistinct("l_orderkey").alias("o")
     ).collect()[0]
-    assert abs(row.approx_parts - exact.p) / exact.p < 0.1
-    assert abs(row.approx_orders - exact.o) / exact.o < 0.1
+    assert row.exact_parts == exact.p
+    assert row.exact_orders == exact.o
+    assert row.parts_within_10pct and row.orders_within_10pct
 
 
 def test_frame_sampling_layout_and_checksums(spark):

