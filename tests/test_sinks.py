@@ -80,3 +80,34 @@ def test_atomic_swap_write(spark, sf_dir, tmp_path):
     assert spark.read.parquet(p).count() == 2
     leftovers = [d for d in os.listdir(tmp_path) if "__tmp__" in d or "__old__" in d]
     assert not leftovers
+
+
+def test_pipe_clean_publish_partitioned_prunes(spark, sf_dir, tmp_path):
+    """PIPE-CLEAN step 7: the cleaned orders table publishes DATE-PARTITIONED
+    (one dir per order month) and a half-open range read prunes partitions
+    at the driver (PartitionFilters) while the exact date bound pushes to
+    the scan (PushedFilters) — the reference's A:253-254 half-open-range
+    habit made layout-aware."""
+    from amazon_fresh_sql_data_engineering_spark.pipelines.cleaning import (
+        publish_cleaned,
+        read_cleaned_range,
+    )
+    from amazon_fresh_sql_data_engineering_spark.queries_etl import _staged_orders
+    from amazon_fresh_sql_data_engineering_spark.pipelines.cleaning import clean_entity
+    from amazon_fresh_sql_data_engineering_spark.pipelines.entities import spec_orders
+
+    cleaned = clean_entity(_staged_orders(spark, sf_dir), spec_orders()).final
+    p = str(tmp_path / "orders_clean")
+    publish_cleaned(cleaned, p, "orderdate", grain="month")
+    assert os.path.isdir(f"{p}/orderdate_month=2024-01")
+
+    rng = read_cleaned_range(spark, p, "orderdate", "2024-01-01", "2024-02-01")
+    plan = X.physical_plan(rng)
+    pf = plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    assert "orderdate_month" in pf
+    assert "PushedFilters" in plan and "orderdate" in plan.split("PushedFilters", 1)[1].split("\n")[0]
+    expect = cleaned.filter(
+        (F.col("orderdate") >= F.lit("2024-01-01").cast("date"))
+        & (F.col("orderdate") < F.lit("2024-02-01").cast("date"))
+    ).count()
+    assert rng.count() == expect > 0
