@@ -65,6 +65,7 @@ _PRIORITY = [
     "q_insert_values",
     "q_scd2_merge",
     # dedup family (all oracle-checked as of round 2)
+    "pipe_training_corpus",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
@@ -83,8 +84,6 @@ _PRIORITY = [
     "mm_decode",
     "mm_frame_sample",
     "mm_embed_ann",
-    # remaining strong extension entries
-    "q_sql_interface",
 ]
 
 

@@ -421,9 +421,14 @@ def connected_components(
     longer than the iteration budget). Raises if the budget is exhausted
     before convergence rather than returning silently wrong labels.
     """
+    # the pair frame is usually the tail of an expensive lineage (feature
+    # UDF pass + LSH joins + verify); this function fires 2+ actions on it
+    # (size probe, collect/edge build), so persist once up front
+    pairs = pairs.select("id_a", "id_b").persist()
     n_edges = pairs.limit(driver_threshold + 1).count()
     if n_edges <= driver_threshold:
-        edges_local = pairs.select("id_a", "id_b").collect()
+        edges_local = pairs.collect()
+        pairs.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -448,6 +453,7 @@ def connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .persist()  # read every iteration of the propagation loop
     )
     labels = (
         edges.select(F.col("src").alias("id"))

@@ -6,9 +6,13 @@ Synthetic duplicates are unioned in deterministically (id + 1_000_000 /
 mutated text) so dedup operators have real work on the driver's otherwise
 duplicate-free tables, and the oracle can reproduce the same universe.
 
-Queries whose algorithms aren't SQL-expressible (pandas-UDF SimHash,
-numpy-seeded LSH planes) register without an oracle — the driver records a
-rows-only check; pytest validates them against brute-force ground truth
+EVERY query here is oracle-checked (round 2): the LSH families against
+ground-truth all-pairs similarity (parity == recall 1.0 on this corpus),
+simhash by recomputing its md5 bit-vote signature in SQL, the ANN top-k
+queries by replaying the identical approximate algorithm in SQL (seeded
+hyperplanes inlined as literals), and the multimodal stubs via byte
+arithmetic / per-query invariants. pytest additionally validates the
+approximate families against brute force on adversarial fixtures
 (tests/test_extensions.py).
 """
 
@@ -1125,4 +1129,125 @@ def events_enriched(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
         fin(F.sum(F.col("value").cast("decimal(18,2)"))).alias("total_value"),
+    )
+
+
+@register(
+    "pipe_training_corpus",
+    # The full training-data prep recipe, end to end, with a ground-truth
+    # oracle: language filter -> quality cut -> exact dedup -> near-dedup
+    # (minhash pairs + components) -> token count -> deterministic split.
+    # Every stage reuses an already-verified fragment; the near-dedup stage
+    # runs on the filtered survivors (subset pairs = full pairs restricted,
+    # so LSH recall stays 1.0).
+    oracle=f"""
+        WITH RECURSIVE raw_docs AS ({_DOCS_DUPS_SQL}),
+        q AS (
+            SELECT doc_id,
+                   CASE WHEN en_score >= es_score AND en_score > 0 THEN 'en'
+                        WHEN es_score > en_score THEN 'es'
+                        ELSE 'und' END AS lang_pred,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END
+                          + CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END
+                          + CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END
+                          + CASE WHEN awl BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END) / 4.0,
+                         4) AS quality
+            FROM (
+                SELECT doc_id,
+                       len(toks) AS n_tokens,
+                       len(list_filter(lower_toks, x -> x IN ('the','a','of','and','to','in','is'))) AS en_score,
+                       len(list_filter(lower_toks, x -> x IN ('el','la','de','y','los','en','es'))) AS es_score,
+                       len(list_filter(lower_toks,
+                           x -> x IN ('the','a','of','and','to','in','is','for','on','with','as','at','by')))::DOUBLE
+                         / len(toks) AS stop_ratio,
+                       (length(t) - length(regexp_replace(t, '[^\\w\\s]', '', 'g')))::DOUBLE / length(t) AS punct_ratio,
+                       list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) AS awl
+                FROM (
+                    SELECT doc_id, trim(text) AS t,
+                           regexp_split_to_array(trim(text), '\\s+') AS toks,
+                           regexp_split_to_array(lower(trim(text)), '\\s+') AS lower_toks
+                    FROM raw_docs
+                )
+            )
+        ),
+        kept1 AS (
+            SELECT r.doc_id, r.text, q.lang_pred, q.n_tokens, q.quality
+            FROM raw_docs r JOIN q USING (doc_id)
+            WHERE q.lang_pred = 'en' AND q.quality >= 0.5
+        ),
+        all_docs AS (
+            SELECT k.doc_id, k.text, k.lang_pred, k.n_tokens, k.quality
+            FROM kept1 k
+            JOIN (SELECT text, min(doc_id) AS keep_id FROM kept1 GROUP BY text) g
+              ON k.text = g.text AND k.doc_id = g.keep_id
+        ),
+        shf AS ({_SHF_SQL}),
+        pairs AS ({_JACCARD_PAIRS_SQL.format(t=0.6)}),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+        )
+        SELECT d.doc_id, d.lang_pred, d.n_tokens, d.quality,
+               CASE WHEN CAST(('0x' || substr(md5('doc' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+                    THEN 'train'
+                    WHEN CAST(('0x' || substr(md5('doc' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+                    THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM all_docs d
+        LEFT JOIN (SELECT id, min(r) AS lab FROM reach GROUP BY id) c
+          ON d.doc_id = c.id
+        WHERE c.id IS NULL OR c.lab >= d.doc_id
+    """,
+    doc="END-TO-END training-corpus prep (the 100 TB recipe as ONE catalog "
+    "query): language-ID filter ('en' by marker heuristic) -> composite "
+    "quality cut (>= 0.5) -> exact dedup (min-id per text) -> near-dedup "
+    "(MinHash-LSH pairs + connected components, one canonical doc per "
+    "cluster) -> token counting -> deterministic md5 train/valid/test "
+    "split. Every stage is a narrow map or one keyed shuffle; the only "
+    "iteration (components) is O(log diameter). Oracle recomputes the "
+    "whole recipe from first principles in SQL, near-dedup via "
+    "ground-truth all-pairs Jaccard + recursive closure.",
+)
+def pipe_training_corpus(spark, sf_dir):
+    from .functions import text as _TXT
+
+    docs = _docs_with_dups(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "text",
+        _TXT.lang_id("text").alias("lang_pred"),
+        _TXT.token_count("text").cast("bigint").alias("n_tokens"),
+        F.round(_TXT.quality_score(F.trim(F.col("text"))), 4).alias("quality"),
+    )
+    # persist at both stage boundaries: the language/quality scoring runs
+    # as interpreted higher-order functions (SURVEY §7.4 hazard) and is
+    # referenced twice by exact dedup (group + semi-join sides); the exact
+    # survivor set is referenced three times by near-dedup (feature pass,
+    # loser anti-join, final projection). Without the fences the scoring
+    # recomputes per branch (22 s -> 6 s at sf0.1). At 100 TB these are the
+    # stage boundaries you'd materialize to storage between pipeline runs.
+    kept1 = scored.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
+    ).persist()
+    exact = D.exact_dedup(kept1, ["text"], "doc_id").persist()
+    pairs = D.minhash_dedup_pairs(exact, "doc_id", "text", threshold=0.6)
+    survivors = D.dedup_corpus(exact, pairs, "doc_id")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("doc"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    return survivors.select(
+        "doc_id", "lang_pred", "n_tokens", "quality", split.alias("split")
     )
