@@ -25,7 +25,7 @@ from zlib import crc32
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
@@ -65,7 +65,12 @@ def _minhash_perms(num: int, seed: int) -> list[tuple[int, int]]:
     return [(rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P)) for _ in range(num)]
 
 
-def _shingle_hashes_np(text: str, k: int, mod: int | None = MERSENNE_P) -> np.ndarray:
+def _shingle_hashes_np(
+    text: str,
+    k: int,
+    mod: int | None = MERSENNE_P,
+    word_cache: dict | None = None,
+) -> np.ndarray:
     """Distinct k-word shingle hashes of ``text``, vectorized.
 
     Tokenization matches ``functions.text.tokens`` (whitespace split of
@@ -76,11 +81,25 @@ def _shingle_hashes_np(text: str, k: int, mod: int | None = MERSENNE_P) -> np.nd
     arithmetic. With ``mod=None`` the combine keeps full int64 width
     (two's-complement wrap — deterministic) for ~2^63 collision odds where
     exact-Jaccard parity with a string-shingle oracle matters.
+
+    ``word_cache`` (pass a per-batch dict from the calling UDF) memoizes
+    word→crc32 across documents: real corpora are Zipf-distributed, so the
+    per-word encode+crc dominates the pass and most lookups hit.
     """
     ws = text.split() if text else []
     if len(ws) < k:
         return _EMPTY_I64
-    wh = np.array([crc32(w.encode("utf-8")) for w in ws], dtype=np.int64)
+    if word_cache is None:
+        wh = np.array([crc32(w.encode("utf-8")) for w in ws], dtype=np.int64)
+    else:
+        get = word_cache.get
+        hs = []
+        for w in ws:
+            h = get(w)
+            if h is None:
+                h = word_cache[w] = crc32(w.encode("utf-8"))
+            hs.append(h)
+        wh = np.array(hs, dtype=np.int64)
     win = np.lib.stride_tricks.sliding_window_view(wh, k)
     # crc32 < 2^32, coeffs < 2^29 -> each product < 2^61; the k<=3 sum may
     # wrap int64, which numpy defines as two's complement — fine for mod=None
@@ -130,13 +149,14 @@ def minhash_features(
     @pandas_udf("sig array<long>, h array<long>")
     def _feat(texts: pd.Series) -> pd.DataFrame:
         sigs, hs = [], []
+        wcache: dict = {}
         for t in texts:
             # full-width (mod=None) hashes for the verify tier: Jaccard over
             # them equals string-shingle Jaccard at ~2^-63 collision odds, so
             # a string-shingle SQL oracle reproduces jaccard_sim exactly;
             # signatures reduce mod M31 (duplicates after reduction don't
             # change the per-permutation min)
-            hv = _shingle_hashes_np(t, k, mod=None)
+            hv = _shingle_hashes_np(t, k, mod=None, word_cache=wcache)
             if hv.size == 0:
                 sigs.append(None)
                 hs.append(None)
@@ -268,6 +288,7 @@ def ngram_jaccard_pairs(
     block_cols: list[str],
     threshold: float = 0.5,
     k: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Blocked exact n-gram Jaccard via a sparse inverted index: explode
     shingles, equi-self-join on (block, shingle) to count each pair's
@@ -276,9 +297,15 @@ def ngram_jaccard_pairs(
     choose 2), NOT block-size squared — pairs sharing nothing are never
     materialized (they can't reach any threshold > 0), which replaced a
     12 s block-pairwise array_intersect pass with a ~2 s join at sf0.1.
-    The block key still bounds the worst case; at 100 TB a stop-shingle
-    cut (drop shingles above a document-frequency cap) bounds the hot
-    inverted lists, or fall back to MinHash-LSH which needs no blocks.
+    The block key still bounds the worst case; at 100 TB pass ``max_df``
+    (stop-shingle cut: shingles whose in-block document frequency exceeds
+    the cap are dropped from BOTH the index and the set sizes) to bound
+    the hot inverted lists — boilerplate shingles shared by thousands of
+    docs contribute O(df²) join rows but almost no discriminating signal.
+    With the cut the result is Jaccard over the *informative* shingle
+    sets (slightly approximate vs raw Jaccard; default ``None`` = exact,
+    which is what the SQL oracle checks). Or fall back to MinHash-LSH,
+    which needs no blocks.
 
     Shingles are hashed to int64 (the same vectorized UDF as
     ``minhash_features`` — the JVM transform/slice/concat_ws shingling runs
@@ -287,7 +314,10 @@ def ngram_jaccard_pairs(
 
     @pandas_udf(ArrayType(LongType()))
     def _shs(texts: pd.Series) -> pd.Series:
-        return pd.Series([_shingle_hashes_np(t, k, mod=None) for t in texts])
+        wcache: dict = {}
+        return pd.Series(
+            [_shingle_hashes_np(t, k, mod=None, word_cache=wcache) for t in texts]
+        )
 
     sh = df.select(
         *[F.col(c) for c in block_cols],
@@ -300,6 +330,18 @@ def ngram_jaccard_pairs(
         F.size("__sh").alias("__n"),
         F.explode("__sh").alias("__s"),
     )
+    if max_df is not None:
+        # stop-shingle cut: recompute per-doc set sizes over the kept
+        # shingles so Jaccard stays internally consistent
+        keep = (
+            inv.groupBy(*block_cols, "__s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select(*block_cols, "__s")
+        )
+        inv = inv.join(keep, on=[*block_cols, "__s"]).withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy(*block_cols, "__id"))
+        )
     a = inv.select(
         *block_cols, F.col("__s"), F.col("__id").alias("id_a"), F.col("__n").alias("__na")
     )

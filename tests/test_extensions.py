@@ -300,3 +300,23 @@ def test_real_image_header_decode(spark):
     )
     with _pytest.raises(Exception, match="(?i)codec|NotImplemented|PNG"):
         MM.decode_media(bad, fake=False).collect()
+
+
+def test_ngram_jaccard_stop_shingle_cut(spark, docs):
+    """max_df drops boilerplate shingles from both the inverted index and
+    the set sizes: known near-dups survive (their overlap is informative
+    shingles) while the hot inverted lists are bounded — the 100 TB lever
+    for exact-Jaccard dedup."""
+    base = D.ngram_jaccard_pairs(
+        docs.withColumn("blk", F.lit(0)), "doc_id", "text",
+        block_cols=["blk"], threshold=0.5,
+    )
+    cut = D.ngram_jaccard_pairs(
+        docs.withColumn("blk", F.lit(0)), "doc_id", "text",
+        block_cols=["blk"], threshold=0.5, max_df=3,
+    )
+    b = {(r.id_a, r.id_b) for r in base.collect()}
+    c = {(r.id_a, r.id_b) for r in cut.collect()}
+    # dup pairs (1,2),(1,3),(2,3) overlap on informative shingles -> kept
+    assert {(1, 2), (1, 3), (2, 3)} <= c
+    assert c <= b | {(1, 2), (1, 3), (2, 3)}
