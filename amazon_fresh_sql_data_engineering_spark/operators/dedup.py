@@ -41,10 +41,22 @@ MERSENNE_P = (1 << 31) - 1
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup on ``cols``: keep the row with the smallest ``id_col``
-    per duplicate group (deterministic winner). One shuffle."""
-    w_cols = [F.col(c) for c in cols]
-    keep = df.groupBy(*w_cols).agg(F.min(id_col).alias(id_col))
-    return df.join(keep, on=[*cols, id_col], how="left_semi")
+    per duplicate group (deterministic winner). One shuffle.
+
+    Groups on md5 of the dedup columns, not the columns themselves: the
+    group/semi-join shuffle then carries a 32-char fingerprint per row
+    instead of full document text — at 100 TB that is the difference
+    between shuffling fingerprints and shuffling the corpus. md5 is
+    128-bit, so a false merge needs ~2^64 documents (the standard
+    content-addressed dedup contract; the SQL oracles group on raw text
+    and agree, which also evidences collision-freeness on the corpus).
+    """
+    fp = F.md5(
+        F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols])
+    )
+    with_fp = df.withColumn("__fp", fp)
+    keep = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return with_fp.join(keep, on=["__fp", id_col], how="left_semi").drop("__fp")
 
 
 def shingles(c: Column | str, k: int = 3) -> Column:

@@ -37,3 +37,20 @@ def test_all_queries_return_rows(spark, sf_dir):
     # q_no_orders may legitimately be empty depending on data; everything else
     # must discriminate (FIXTURES.md distribution requirements).
     assert not empties, f"queries returning zero rows: {empties}"
+
+
+def test_no_decimal_reaches_any_output_schema(spark, sf_dir):
+    """Regression gate for the round-1 failure class: DECIMAL is the
+    internal aggregation dtype only — engines canonicalize decimal reprs
+    differently (trailing zeros), so any decimal column in an output
+    schema would break the driver's value hash. Schema-only check: builds
+    every plan, executes nothing heavy."""
+    from pyspark.sql.types import DecimalType
+
+    offenders = {}
+    for name, spec in CATALOG.items():
+        df = spec.fn(spark, sf_dir)
+        decs = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
+        if decs:
+            offenders[name] = decs
+    assert not offenders, f"decimal columns leaked into output schemas: {offenders}"
