@@ -157,3 +157,59 @@ def tfidf_terms(docs, id_col: str, text_col: str):
             (F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df"))).alias("tfidf"),
         )
     )
+
+
+def text_features_udf():
+    """Arrow-batched (lang_pred, n_tokens, quality) scorer — the throughput
+    tier of :func:`lang_id` + :func:`token_count` + :func:`quality_score`.
+
+    The Column-expression tier above is codegen-eligible but Spark
+    evaluates higher-order-function lambdas *interpreted* (SURVEY §7.4), so
+    composite scoring costs ~1 ms/doc; this kernel computes the identical
+    values per Arrow batch in plain Python sets/loops (~20 µs/doc). Exact
+    value parity with the expression tier (and the SQL oracles) holds
+    because every intermediate is integer arithmetic plus one IEEE double
+    division, and the character classes mirror the ASCII `\\w`/`\\s` the
+    JVM/RE2 regexes use. Use for composed pipelines; keep the expression
+    tier where a query wants pure-JVM plans.
+    """
+    import string
+
+    from pyspark.sql.functions import pandas_udf
+
+    word_chars = frozenset(string.ascii_letters + string.digits + "_")
+    ws_chars = frozenset(" \t\n\x0b\x0c\r")
+    en, es, stops = frozenset(EN_MARKERS), frozenset(ES_MARKERS), frozenset(STOPWORDS)
+
+    @pandas_udf("lang_pred string, n_tokens long, quality double")
+    def _feat(texts):
+        import pandas as pd
+
+        langs, ns, quals = [], [], []
+        for t in texts:
+            t = (t or "").strip()
+            toks = t.split()
+            n = len(toks)
+            lower = t.lower().split()
+            en_n = sum(1 for w in lower if w in en)
+            es_n = sum(1 for w in lower if w in es)
+            langs.append("en" if en_n >= es_n and en_n > 0 else ("es" if es_n > en_n else "und"))
+            ns.append(n)
+            if n == 0:
+                # empty text: len_ok=0, stop_ok=0, punct_ok=1 (ratio 0.0),
+                # wl_ok=0 — matches the expression tier's zero-guards
+                quals.append(0.25)
+                continue
+            stop_n = sum(1 for w in lower if w in stops)
+            punct_n = sum(1 for ch in t if ch not in word_chars and ch not in ws_chars)
+            wl = sum(len(w) for w in toks) / n
+            q = (
+                (1.0 if 10 <= n <= 1000 else 0.0)
+                + (1.0 if stop_n / n >= 0.05 else 0.0)
+                + (1.0 if (punct_n / len(t) if len(t) else 0.0) <= 0.2 else 0.0)
+                + (1.0 if 2 <= wl <= 12 else 0.0)
+            ) / 4.0
+            quals.append(q)
+        return pd.DataFrame({"lang_pred": langs, "n_tokens": ns, "quality": quals})
+
+    return _feat

@@ -1219,12 +1219,16 @@ def pipe_training_corpus(spark, sf_dir):
     from .functions import text as _TXT
 
     docs = _docs_with_dups(spark, sf_dir)
-    scored = docs.select(
+    # Arrow-batched scorer (throughput tier): identical values to the
+    # Column-expression tier the text_* queries use, ~50x the speed of the
+    # interpreted-HOF composite (see functions/text.text_features_udf)
+    feat = _TXT.text_features_udf()
+    scored = docs.select("doc_id", "text", feat(F.col("text")).alias("__f")).select(
         "doc_id",
         "text",
-        _TXT.lang_id("text").alias("lang_pred"),
-        _TXT.token_count("text").cast("bigint").alias("n_tokens"),
-        F.round(_TXT.quality_score(F.trim(F.col("text"))), 4).alias("quality"),
+        F.col("__f.lang_pred").alias("lang_pred"),
+        F.col("__f.n_tokens").alias("n_tokens"),
+        F.round(F.col("__f.quality"), 4).alias("quality"),
     )
     # persist at both stage boundaries: the language/quality scoring runs
     # as interpreted higher-order functions (SURVEY §7.4 hazard) and is

@@ -320,3 +320,51 @@ def test_ngram_jaccard_stop_shingle_cut(spark, docs):
     # dup pairs (1,2),(1,3),(2,3) overlap on informative shingles -> kept
     assert {(1, 2), (1, 3), (2, 3)} <= c
     assert c <= b | {(1, 2), (1, 3), (2, 3)}
+
+
+def test_text_feature_tiers_agree(spark, sf_dir):
+    """The Arrow-batched text scorer (throughput tier) must produce
+    bit-identical values to the Column-expression tier (oracle-parity
+    tier) — both are used in production paths."""
+    from amazon_fresh_sql_data_engineering_spark.functions import text as TXT
+    from amazon_fresh_sql_data_engineering_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    expr = {
+        r.doc_id: (r.lp, r.nt, r.q)
+        for r in d.select(
+            "doc_id",
+            TXT.lang_id("text").alias("lp"),
+            TXT.token_count("text").cast("bigint").alias("nt"),
+            TXT.quality_score(F.trim(F.col("text"))).alias("q"),
+        ).collect()
+    }
+    feat = TXT.text_features_udf()
+    arrow = {
+        r.doc_id: (r.f.lang_pred, r.f.n_tokens, r.f.quality)
+        for r in d.select("doc_id", feat(F.col("text")).alias("f")).collect()
+    }
+    assert expr == arrow
+
+
+def test_pipe_training_corpus_invariants(spark, sf_dir):
+    """Structural invariants of the composed corpus-prep pipeline (the
+    oracle checks exact values; this pins the contract a downstream
+    trainer relies on): only 'en' survivors, quality floor respected, no
+    duplicate texts survive, split labels are the md5 buckets."""
+    from amazon_fresh_sql_data_engineering_spark.catalog import CATALOG
+
+    out = CATALOG["pipe_training_corpus"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {r.lang_pred for r in rows} == {"en"}
+    assert all(r.quality >= 0.5 for r in rows)
+    assert all(r.split in ("train", "valid", "test") for r in rows)
+    # majority split must be train (80% of md5 buckets)
+    from collections import Counter
+
+    c = Counter(r.split for r in rows)
+    assert c["train"] > c["valid"] and c["train"] > c["test"]
+    # survivors are unique doc ids
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))

@@ -54,3 +54,12 @@ def test_no_decimal_reaches_any_output_schema(spark, sf_dir):
         if decs:
             offenders[name] = decs
     assert not offenders, f"decimal columns leaked into output schemas: {offenders}"
+
+
+def test_every_catalog_query_has_an_oracle():
+    """Driver-contract completeness gate: a name in queries() without an
+    oracle_sql() entry is a permanent un-checkable row in the external
+    correctness report. Round 2 eliminated the last oracle-less query; this
+    keeps it that way."""
+    missing = [n for n, s in CATALOG.items() if s.oracle is None]
+    assert not missing, f"queries registered without oracles: {missing}"
