@@ -206,3 +206,67 @@ def embed_media(df: DataFrame, dim: int = 16, fake: bool = True) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": out})
 
     return df.mapInPandas(_embed, schema="doc_id long, embedding array<float>")
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, src_width int, src_height int, dst_width int, dst_height int, "
+    "scale double, resized_bytes binary, resized_checksum long"
+)
+
+
+def resize_media(
+    df: DataFrame, max_w: int = 224, max_h: int = 224, fake: bool = True
+) -> DataFrame:
+    """Resize plumbing: aspect-preserving fit of each medium into a
+    ``max_w x max_h`` box via mapInPandas.
+
+    The geometry (scale factor, destination dims — floor semantics,
+    never upscale) is real and engine-portable; the pixel resample is the
+    codec boundary: ``fake=True`` emits a deterministic byte-stride
+    downsample of the payload (so downstream per-size batching/bucketing
+    plumbing sees honestly-shrunken binaries), ``fake=False`` raises where
+    a real PIL/ffmpeg scaler would run. Pure map stage — partitioning
+    inherited, no shuffle.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real pixel resampling requires PIL/ffmpeg (not in "
+                    "container); use fake=True for the deterministic stub"
+                )
+            ids, sw, sh, dw, dh, sc, rb, ck = [], [], [], [], [], [], [], []
+            for doc, b, w, h in zip(
+                pdf["doc_id"], pdf["media_bytes"], pdf["width"], pdf["height"]
+            ):
+                w, h = int(w), int(h)
+                scale = min(max_w / w, max_h / h, 1.0)
+                tw, th = max(1, int(w * scale)), max(1, int(h * scale))
+                # deterministic byte-stride downsample ~ payload area ratio
+                # (truncating division — floor semantics are SQL-portable,
+                # Python round() is banker's and DuckDB's is half-away)
+                stride = max(1, int(1.0 / (scale * scale)))
+                rbytes = bytes(b[::stride])
+                ids.append(doc)
+                sw.append(w)
+                sh.append(h)
+                dw.append(tw)
+                dh.append(th)
+                sc.append(scale)
+                rb.append(rbytes)
+                ck.append(sum(rbytes))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "src_width": pd.Series(sw, dtype="int32"),
+                    "src_height": pd.Series(sh, dtype="int32"),
+                    "dst_width": pd.Series(dw, dtype="int32"),
+                    "dst_height": pd.Series(dh, dtype="int32"),
+                    "scale": pd.Series(sc, dtype="float64"),
+                    "resized_bytes": pd.Series(rb, dtype=object),
+                    "resized_checksum": pd.Series(ck, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=RESIZE_SCHEMA)

@@ -1255,3 +1255,92 @@ def pipe_training_corpus(spark, sf_dir):
     return survivors.select(
         "doc_id", "lang_pred", "n_tokens", "quality", split.alias("split")
     )
+
+
+@register(
+    "mm_resize",
+    # geometry is pure arithmetic over the fake-decode dims (n%640+1 x
+    # n%480+1 from the byte length), and the stride-downsample checksum is
+    # substr/ord arithmetic — the whole resize plan is oracle-checked
+    oracle="""
+        SELECT doc_id,
+               CAST(w AS INT) AS src_width,
+               CAST(h AS INT) AS src_height,
+               CAST(greatest(1, floor(w * scale)) AS INT) AS dst_width,
+               CAST(greatest(1, floor(h * scale)) AS INT) AS dst_height,
+               round(scale, 6) AS scale,
+               CAST(list_sum(list_append(list_transform(
+                        range(0, CAST(ceil(n::DOUBLE / stride) AS BIGINT)),
+                        i -> ord(substr(text, CAST(i * stride + 1 AS INT), 1))), 0)) AS BIGINT)
+                 AS resized_checksum
+        FROM (
+            SELECT doc_id, text, n, w, h, scale,
+                   greatest(1, CAST(trunc(1.0 / (scale * scale)) AS BIGINT)) AS stride
+            FROM (
+                SELECT doc_id, text, n, w, h,
+                       least(224.0 / w, 224.0 / h, 1.0) AS scale
+                FROM (SELECT doc_id, text,
+                             octet_length(encode(text)) AS n,
+                             octet_length(encode(text)) % 640 + 1 AS w,
+                             octet_length(encode(text)) % 480 + 1 AS h
+                      FROM documents WHERE doc_id % 25 = 0)
+            )
+        )
+    """,
+    doc="Multimodal resize plumbing: aspect-preserving fit into a 224x224 "
+    "box via mapInPandas — real geometry (scale, floor dst dims, never "
+    "upscale), deterministic byte-stride downsample standing in for the "
+    "pixel resample (fake=False raises at the codec boundary). Pure map "
+    "stage; the oracle replays geometry AND downsampled checksum.",
+)
+def mm_resize(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    media = MM.attach_fake_media(docs, "doc_id", "text")
+    decoded = MM.decode_media(media, fake=True).select("doc_id", "width", "height")
+    with_bytes = media.join(decoded, on="doc_id").select(
+        "doc_id", "media_bytes", "width", "height"
+    )
+    return MM.resize_media(with_bytes, max_w=224, max_h=224).select(
+        "doc_id",
+        "src_width",
+        "src_height",
+        "dst_width",
+        "dst_height",
+        F.round("scale", 6).alias("scale"),
+        "resized_checksum",
+    )
+
+
+@register(
+    "text_bpe_tokens",
+    # the pre-tokenizer splits letter/digit runs from punctuation; docs get
+    # a deterministic punctuated suffix so the splitter has real work
+    oracle=r"""
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_bpe_tokens,
+               CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+               toks[len(toks)] AS last_token
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(
+                       regexp_replace(trim(text || ', end-of-doc.'),
+                                      '([^A-Za-z0-9\s])', ' \1 ', 'g'),
+                       '\s+'), x -> x <> '') AS toks
+            FROM documents WHERE doc_id % 20 = 0
+        )
+    """,
+    doc="BPE-ish regex pre-tokenization (functions/text.word_tokens): "
+    "letter/digit runs split from single punctuation marks — the standard "
+    "pre-tokenizer shape for token counting before a real BPE vocab. "
+    "Single map pass, no shuffle; a punctuated suffix gives the splitter "
+    "non-trivial work on the synthetic corpus.",
+)
+def text_bpe_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    toks = TXT.word_tokens(F.concat(F.col("text"), F.lit(", end-of-doc.")))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct_tokens"),
+        F.element_at(toks, -1).alias("last_token"),
+    )

@@ -368,3 +368,19 @@ def test_pipe_training_corpus_invariants(spark, sf_dir):
     # survivors are unique doc ids
     ids = [r.doc_id for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def test_resize_media_geometry(spark):
+    """Aspect-preserving fit: never upscale, floor dims, byte payload
+    shrinks by ~the area ratio; fake=False raises at the codec boundary."""
+    rows = [(1, bytearray(b"x" * 1000), 448, 224), (2, bytearray(b"y" * 100), 100, 50)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_bytes binary, width int, height int"
+    )
+    out = {r.doc_id: r for r in MM.resize_media(df, 224, 224).collect()}
+    assert (out[1].dst_width, out[1].dst_height) == (224, 112)  # scale 0.5
+    assert out[1].scale == 0.5 and len(out[1].resized_bytes) == 250  # stride 4
+    assert (out[2].dst_width, out[2].dst_height) == (100, 50)  # never upscale
+    assert out[2].scale == 1.0 and len(out[2].resized_bytes) == 100
+    with pytest.raises(Exception, match="NotImplementedError|resampling"):
+        MM.resize_media(df, fake=False).collect()
