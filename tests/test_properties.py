@@ -129,3 +129,64 @@ def test_norm_uuid_matches_reference(spark, values):
 def test_parse_int_boundaries(spark, n):
     got = _batch(spark, K.parse_int("x"), [str(n)])[0]
     assert got == (n if -(2**31) <= n < 2**31 else None)
+
+
+def _unionfind(edges):
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_distributed_components_match_unionfind_on_random_graphs(spark, edges):
+    """Property: on ANY random edge set, the distributed pointer-doubling
+    propagation produces the identical (node -> min-id) labels as a
+    reference union-find."""
+    from amazon_fresh_sql_data_engineering_spark.operators import dedup as D
+
+    norm = [(min(a, b), max(a, b)) for a, b in edges]
+    pairs = spark.createDataFrame(norm, "id_a long, id_b long")
+    got = {
+        (r.id, r.cluster_id)
+        for r in D.connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert got == set(_unionfind(norm).items())
+
+
+def test_minhash_features_stable_under_repartition(spark, sf_dir):
+    """Determinism claim: signatures and shingle hashes are identical for
+    any physical partitioning (no partition-dependent state leaks into the
+    feature UDF)."""
+    from amazon_fresh_sql_data_engineering_spark.operators.dedup import minhash_features
+    from amazon_fresh_sql_data_engineering_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(200)
+    a = {
+        r["__id"]: (tuple(r["__sig"]), tuple(r["__h"]))
+        for r in minhash_features(d.repartition(1), "doc_id", "text").collect()
+    }
+    b = {
+        r["__id"]: (tuple(r["__sig"]), tuple(r["__h"]))
+        for r in minhash_features(d.repartition(17), "doc_id", "text").collect()
+    }
+    assert a == b
