@@ -127,6 +127,46 @@ _EMPTY_I64 = np.empty(0, dtype=np.int64)
 _SHINGLE_COEF = np.array([0x1000_0001, 0x0A5F_3C47, 0x1234_5671], dtype=np.int64)
 
 
+# process-level word->hash memo: Python workers are reused across Arrow
+# batches and queries, and corpus vocabulary is Zipf-distributed, so hits
+# dominate; bounded so adversarial vocab can't grow it unboundedly
+_MD5_WORD_CACHE: dict = {}
+_MD5_WORD_CACHE_MAX = 1 << 20
+
+
+def _shingle_hashes_md5_np(text: str, k: int, word_cache: dict) -> np.ndarray:
+    """Distinct k-word shingle hashes, ENGINE-PORTABLE variant for the
+    minhash family: word hash = low 8 bytes of md5 (little-endian, same
+    portable token hash SimHash uses) reduced mod M31, shingle hash =
+    coefficient combine of the k word hashes mod M31. Every intermediate
+    stays below 2^62, so the arithmetic is identical in int64 numpy and in
+    an engine whose BIGINT traps on overflow — which is what lets a SQL
+    oracle replay minhash signatures exactly (crc32, the fast variant's
+    word hash, has no SQL equivalent)."""
+    import hashlib
+
+    ws = text.split() if text else []
+    if len(ws) < k:
+        return _EMPTY_I64
+    get = word_cache.get
+    hs = []
+    for w in ws:
+        h = get(w)
+        if h is None:
+            h = (
+                int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
+                % MERSENNE_P
+            )
+            if len(word_cache) < _MD5_WORD_CACHE_MAX:
+                word_cache[w] = h
+        hs.append(h)
+    wh = np.array(hs, dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(wh, k)
+    # w < 2^31, coef < 2^29 -> products < 2^60, k<=3 sum < 2^62: exact
+    sh = (win * _SHINGLE_COEF[:k]).sum(axis=1) % MERSENNE_P
+    return np.unique(sh)
+
+
 def minhash_features(
     df: DataFrame,
     id_col: str,
@@ -161,21 +201,19 @@ def minhash_features(
     @pandas_udf("sig array<long>, h array<long>")
     def _feat(texts: pd.Series) -> pd.DataFrame:
         sigs, hs = [], []
-        wcache: dict = {}
+        wcache = _MD5_WORD_CACHE
         for t in texts:
-            # full-width (mod=None) hashes for the verify tier: Jaccard over
-            # them equals string-shingle Jaccard at ~2^-63 collision odds, so
-            # a string-shingle SQL oracle reproduces jaccard_sim exactly;
-            # signatures reduce mod M31 (duplicates after reduction don't
-            # change the per-permutation min)
-            hv = _shingle_hashes_np(t, k, mod=None, word_cache=wcache)
+            # md5-based portable shingle hashes (mod M31): both the verify
+            # tier's Jaccard AND the signatures are computed from these, so
+            # a SQL oracle can replay the ENTIRE minhash+LSH pipeline —
+            # parity holds at any scale, independent of LSH recall
+            hv = _shingle_hashes_md5_np(t, k, word_cache=wcache)
             if hv.size == 0:
                 sigs.append(None)
                 hs.append(None)
                 continue
-            hv31 = hv % MERSENNE_P
             # a < 2^31, h < 2^31 -> a*h + b < 2^63: exact in int64
-            sigs.append(((a_col * hv31[None, :] + b_col) % MERSENNE_P).min(axis=1))
+            sigs.append(((a_col * hv[None, :] + b_col) % MERSENNE_P).min(axis=1))
             hs.append(hv)
         return pd.DataFrame({"sig": sigs, "h": hs})
 
@@ -200,7 +238,13 @@ def minhash_signatures(
 
 
 def _candidates_from_sig(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """Banded-LSH candidate pairs from a (persisted) signature frame."""
+    """Banded-LSH candidate pairs from a (persisted) signature frame.
+
+    The bucket key is the band's signature values themselves (joined as a
+    string) rather than a hash of them: engine-portable (a SQL oracle can
+    build the identical key), collision-free by construction, and the
+    equi-join cost is the same — the key is a few dozen bytes either way.
+    """
     rows_per_band = num_hashes // bands
     banded = sig.select(
         "__id",
@@ -209,10 +253,10 @@ def _candidates_from_sig(sig: DataFrame, num_hashes: int, bands: int) -> DataFra
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b),
+                        F.concat_ws(
+                            ",",
                             *[
-                                F.col("__sig")[i]
+                                F.col("__sig")[i].cast("string")
                                 for i in range(b * rows_per_band, (b + 1) * rows_per_band)
                             ],
                         ).alias("bucket"),

@@ -119,13 +119,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 # Exact all-pairs string-shingle Jaccard (k=3) with the size-ratio necessary
-# condition (J >= t forces min/max set-size >= t) as the only prune. This is
-# the ground-truth pair set: the minhash query's OUTPUT equals it because
-# (a) the exact-Jaccard verify tier computes Jaccard over full-width shingle
-# hashes (string-parity at ~2^-63 collision odds) and (b) banded-LSH recall
-# on the 64/16 configuration is complete on this corpus (verified at every
-# test sf; P(miss) <= (1-J^4)^16 <= 1.1e-1 at J=0.6 per pair *a priori*, but
-# the realized candidate set is deterministic and covers all true pairs).
+# condition (J >= t forces min/max set-size >= t) as the only prune — the
+# GROUND-TRUTH pair set, used by pytest recall gates (minhash recall is 1.0
+# at the driver's scale factors, asserted in test_extensions) and by the
+# ngram query's oracle.
 _JACCARD_PAIRS_SQL = """
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                round(len(list_intersect(a.s, b.s))::DOUBLE
@@ -146,19 +143,85 @@ _SHF_SQL = """
 """
 
 
+def _minhash_replica_sql(threshold: float) -> str:
+    """CTE chain replaying the ENTIRE MinHash+LSH pipeline in SQL — word
+    hashes (md5 low-8-bytes little-endian mod M31, the portable token hash),
+    shingle combine, the 64 seeded permutations inlined as literals, 16-band
+    bucketing on the raw band signature values, candidate self-join, and the
+    exact-Jaccard verify over the same 31-bit shingle sets. Because this IS
+    the algorithm (not an idealized ground truth), oracle parity holds at
+    ANY scale factor and corpus — independent of LSH recall. Expects a CTE
+    named ``all_docs``; terminates with a ``pairs`` CTE."""
+    from .operators.dedup import _SHINGLE_COEF, _minhash_perms
+
+    c1, c2, c3 = (int(x) for x in _SHINGLE_COEF)
+    perm_rows = ",\n                ".join(
+        f"({p}, {a}, {b})" for p, (a, b) in enumerate(_minhash_perms(64, 42))
+    )
+    jac = """len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                     / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"""
+    return f"""
+        perms(p, a, b) AS (VALUES {perm_rows}),
+        mh_hex AS (
+            SELECT doc_id,
+                   list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                  t -> md5(t)) AS hx
+            FROM all_docs WHERE trim(coalesce(text, '')) <> ''
+        ),
+        mh_wh AS (
+            SELECT doc_id,
+                   list_transform(hx, x ->
+                     CAST(list_sum(list_append(list_transform(range(0, 8), i ->
+                         ((strpos('0123456789abcdef', x[2*i+1]) - 1) * 16
+                          + (strpos('0123456789abcdef', x[2*i+2]) - 1))::UBIGINT
+                         * (1::UBIGINT << (8*i))), 0::UBIGINT))::UBIGINT
+                          % 2147483647 AS BIGINT)) AS hs
+            FROM mh_hex
+        ),
+        mh_sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(hs) - 1),
+                     i -> (hs[i]*{c1} + hs[i+1]*{c2} + hs[i+2]*{c3}) % 2147483647)) AS sh
+            FROM mh_wh WHERE len(hs) >= 3
+        ),
+        mh_sig AS (
+            SELECT s.doc_id, p.p, min((p.a * u.h + p.b) % 2147483647) AS sv
+            FROM mh_sh s, unnest(s.sh) AS u(h) CROSS JOIN perms p
+            GROUP BY s.doc_id, p.p
+        ),
+        mh_band AS (
+            SELECT doc_id, p // 4 AS band,
+                   string_agg(CAST(sv AS VARCHAR), ',' ORDER BY p) AS bucket
+            FROM mh_sig GROUP BY doc_id, p // 4
+        ),
+        mh_cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM mh_band a JOIN mh_band b ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT c.id_a, c.id_b, round({jac}, 6) AS jaccard_sim
+            FROM mh_cand c
+            JOIN mh_sh sa ON sa.doc_id = c.id_a
+            JOIN mh_sh sb ON sb.doc_id = c.id_b
+            WHERE {jac} >= {threshold}
+        )"""
+
+
 @register(
     "dedup_minhash",
     oracle=f"""
         WITH all_docs AS ({_DOCS_DUPS_SQL}),
-        shf AS ({_SHF_SQL})
-        {_JACCARD_PAIRS_SQL.format(t=0.6)}
+        {_minhash_replica_sql(0.6)}
+        SELECT id_a, id_b, jaccard_sim FROM pairs
     """,
     doc="MinHash(64)+LSH(16 bands) near-dup candidate pairs verified by "
     "exact shingle Jaccard >= 0.6. No crossJoin: candidates come from an "
     "equi-self-join on band buckets — the 100 TB-safe near-dedup. The "
-    "oracle is ground truth (all-pairs exact Jaccard): output parity "
-    "means banded-LSH recall is 1.0 on this corpus AND the hashed-shingle "
-    "verify matches string shingles exactly.",
+    "oracle replays the identical minhash+banding+verify algorithm in SQL "
+    "(portable md5 word hashes, inlined permutation constants), so parity "
+    "holds at any scale factor; recall vs ground-truth all-pairs Jaccard "
+    "is asserted separately in pytest at the driver's scale factors.",
 )
 def dedup_minhash(spark, sf_dir):
     docs = _docs_with_dups(spark, sf_dir)
@@ -265,8 +328,7 @@ def dedup_embedding(spark, sf_dir):
     # dropped iff some smaller id is reachable through the near-dup graph
     oracle=f"""
         WITH RECURSIVE all_docs AS ({_DOCS_DUPS_SQL}),
-        shf AS ({_SHF_SQL}),
-        pairs AS ({_JACCARD_PAIRS_SQL.format(t=0.6)}),
+        {_minhash_replica_sql(0.6)},
         edges AS (
             SELECT id_a AS a, id_b AS b FROM pairs
             UNION
@@ -286,8 +348,8 @@ def dedup_embedding(spark, sf_dir):
     doc="End-to-end near-dedup: MinHash-LSH pairs -> connected components "
     "(iterative min-label propagation, no driver union-find) -> keep one "
     "canonical doc per cluster. The full 100 TB dedup recipe in one query. "
-    "Oracle rebuilds the components by recursive transitive closure over "
-    "the ground-truth exact-Jaccard pair graph.",
+    "Oracle replays the minhash+LSH pair pipeline in SQL, then rebuilds "
+    "the components by recursive transitive closure — exact at any sf.",
 )
 def dedup_cluster_corpus(spark, sf_dir):
     docs = _docs_with_dups(spark, sf_dir)
@@ -1134,12 +1196,11 @@ def events_enriched(spark, sf_dir):
 
 @register(
     "pipe_training_corpus",
-    # The full training-data prep recipe, end to end, with a ground-truth
-    # oracle: language filter -> quality cut -> exact dedup -> near-dedup
-    # (minhash pairs + components) -> token count -> deterministic split.
-    # Every stage reuses an already-verified fragment; the near-dedup stage
-    # runs on the filtered survivors (subset pairs = full pairs restricted,
-    # so LSH recall stays 1.0).
+    # The full training-data prep recipe, end to end: language filter ->
+    # quality cut -> exact dedup -> near-dedup (minhash pairs + components)
+    # -> token count -> deterministic split. Every stage reuses an
+    # already-verified fragment; the near-dedup stage replays the actual
+    # minhash+LSH algorithm in SQL, so parity holds at any sf.
     oracle=f"""
         WITH RECURSIVE raw_docs AS ({_DOCS_DUPS_SQL}),
         q AS (
@@ -1182,8 +1243,7 @@ def events_enriched(spark, sf_dir):
             JOIN (SELECT text, min(doc_id) AS keep_id FROM kept1 GROUP BY text) g
               ON k.text = g.text AND k.doc_id = g.keep_id
         ),
-        shf AS ({_SHF_SQL}),
-        pairs AS ({_JACCARD_PAIRS_SQL.format(t=0.6)}),
+        {_minhash_replica_sql(0.6)},
         edges AS (
             SELECT id_a AS a, id_b AS b FROM pairs
             UNION
@@ -1212,8 +1272,8 @@ def events_enriched(spark, sf_dir):
     "cluster) -> token counting -> deterministic md5 train/valid/test "
     "split. Every stage is a narrow map or one keyed shuffle; the only "
     "iteration (components) is O(log diameter). Oracle recomputes the "
-    "whole recipe from first principles in SQL, near-dedup via "
-    "ground-truth all-pairs Jaccard + recursive closure.",
+    "whole recipe in SQL, near-dedup by replaying the minhash+LSH "
+    "algorithm itself + recursive closure.",
 )
 def pipe_training_corpus(spark, sf_dir):
     from .functions import text as _TXT

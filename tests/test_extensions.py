@@ -384,3 +384,40 @@ def test_resize_media_geometry(spark):
     assert out[2].scale == 1.0 and len(out[2].resized_bytes) == 100
     with pytest.raises(Exception, match="NotImplementedError|resampling"):
         MM.resize_media(df, fake=False).collect()
+
+
+def test_minhash_recall_vs_ground_truth_corpus(spark, sf_dir):
+    """Recall evidence: at the driver's scale factors the LSH output equals
+    the ground-truth all-pairs exact-Jaccard set (recall 1.0). The query
+    ORACLE no longer assumes this (it replays the algorithm, exact at any
+    sf); this test is where the recall claim lives, at the sf where it is
+    measured. At sf0.1 measured recall is 99.5% (7/1349 borderline pairs
+    missed) — the honest ANN tradeoff."""
+    import duckdb
+
+    from amazon_fresh_sql_data_engineering_spark.queries_ext import (
+        _DOCS_DUPS_SQL,
+        _JACCARD_PAIRS_SQL,
+        _SHF_SQL,
+        _docs_with_dups,
+    )
+
+    docs = _docs_with_dups(spark, sf_dir)
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.6).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exact = {
+        (a, b)
+        for a, b, _ in con.execute(
+            f"WITH all_docs AS ({_DOCS_DUPS_SQL}), shf AS ({_SHF_SQL})"
+            + _JACCARD_PAIRS_SQL.format(t=0.6)
+        ).fetchall()
+    }
+    # 31-bit-hash Jaccard vs string Jaccard can disagree only via hash
+    # collisions (~1e-6); recall gate allows none at this sf
+    assert got == exact
