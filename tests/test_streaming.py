@@ -251,3 +251,39 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path):
     assert sorted(
         r.event_id for r in spark.read.parquet(out).select("event_id").collect()
     ) == [1, 2, 3]
+
+
+def test_incremental_clean_pipeline_matches_batch(spark, sf_dir, tmp_path):
+    """The reference's cleaning ETL as continuous ingest: dirty staging
+    arrives as a file stream in chunks, each micro-batch runs the full
+    clean_entity program in foreachBatch and upserts first-writer-wins.
+    The streamed final table must equal the single-batch clean exactly
+    (content-addressed repair + keyed anti-join make the composition
+    idempotent and order-insensitive on this corpus)."""
+    from amazon_fresh_sql_data_engineering_spark.pipelines.cleaning import (
+        clean_entity,
+        run_incremental_clean,
+    )
+    from amazon_fresh_sql_data_engineering_spark.pipelines.entities import spec_customers
+    from amazon_fresh_sql_data_engineering_spark.queries_etl import _staged_customers
+
+    staged = _staged_customers(spark, sf_dir)
+    batch_final = {tuple(r) for r in clean_entity(staged, spec_customers()).final.collect()}
+
+    stage_dir = str(tmp_path / "staging_in")
+    # two separate writes -> at least two files; the stream may group them
+    # into any number of micro-batches
+    staged.filter(F.col("customerid").isNotNull()).limit(0)  # no-op, keep lints quiet
+    half = staged.randomSplit([0.5, 0.5], seed=7)
+    half[0].write.mode("append").parquet(stage_dir)
+    half[1].write.mode("append").parquet(stage_dir)
+
+    out = str(tmp_path / "customers_final")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(staged.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stage_dir)
+    run_incremental_clean(stream, spec_customers(), out, ckpt)
+
+    streamed = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert streamed == batch_final
