@@ -178,12 +178,13 @@ def minhash_features(
     """(__id, __sig, __h): MinHash signature AND distinct shingle hashes,
     one Arrow-batched UDF pass per doc.
 
-    The whole text->features path runs in ONE pandas UDF (tokenize, crc32
-    word hashes, numpy rolling shingle combine, numpy broadcast
-    ``(A*h + B) % M31`` + min): Spark evaluates higher-order-function
-    lambdas interpreted (per-element closure calls), which made the
-    JVM-side ``transform(slice+concat_ws)`` shingling ~1 ms/doc — the
-    hottest CPU path in the catalog (4.6 s of the 7.5 s query at sf0.1).
+    The whole text->features path runs in ONE pandas UDF (tokenize,
+    portable md5 word hashes — see ``_shingle_hashes_md5_np`` — numpy
+    rolling shingle combine, numpy broadcast ``(A*h + B) % M31`` + min):
+    Spark evaluates higher-order-function lambdas interpreted (per-element
+    closure calls), which made the JVM-side ``transform(slice+concat_ws)``
+    shingling ~1 ms/doc — the hottest CPU path in the catalog (4.6 s of
+    the 7.5 s query at sf0.1).
     Emitting the shingle-hash set alongside the signature means the
     downstream Jaccard verify re-uses this pass instead of re-shingling
     the corpus (a second full-corpus UDF pass at 100 TB) or semi-join
