@@ -38,6 +38,10 @@ from ..functions.vectors import cosine_pairs, matrix_dots_udf
 # spark.sql.ansi.enabled=true, where long overflow THROWS).
 MERSENNE_P = (1 << 31) - 1
 
+# iteration count of the last connected_components distributed run (0 when
+# the driver union-find path handled it); tests assert the log-diameter bound
+LAST_CC_ITERS = 0
+
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup on ``cols``: keep the row with the smallest ``id_col``
@@ -50,13 +54,22 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     128-bit, so a false merge needs ~2^64 documents (the standard
     content-addressed dedup contract; the SQL oracles group on raw text
     and agree, which also evidences collision-freeness on the corpus).
+
+    The multi-column encoding is INJECTIVE: each column is hashed
+    separately (md5 hex, or the single token ``N`` for NULL — ``N`` is
+    outside the hex alphabet, so token boundaries parse unambiguously)
+    and the outer md5 covers the fixed-shape concatenation. A separator-
+    join of raw values would let values containing the separator (or a
+    literal equal to the NULL sentinel) collide across columns.
     """
-    fp = F.md5(
-        F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols])
-    )
-    with_fp = df.withColumn("__fp", fp)
-    keep = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    return with_fp.join(keep, on=["__fp", id_col], how="left_semi").drop("__fp")
+    per_col = [F.coalesce(F.md5(F.col(c).cast("string")), F.lit("N")) for c in cols]
+    fp = F.md5(F.concat(*per_col)) if len(per_col) > 1 else per_col[0]
+    fp_name = "__fp"
+    while fp_name in df.columns:
+        fp_name += "_"
+    with_fp = df.withColumn(fp_name, fp)
+    keep = with_fp.groupBy(fp_name).agg(F.min(id_col).alias(id_col))
+    return with_fp.join(keep, on=[fp_name, id_col], how="left_semi").drop(fp_name)
 
 
 def shingles(c: Column | str, k: int = 3) -> Column:
@@ -519,7 +532,13 @@ def connected_components(
     Both paths produce identical labels (tested, including a chain far
     longer than the iteration budget). Raises if the budget is exhausted
     before convergence rather than returning silently wrong labels.
+
+    Sets module-level ``LAST_CC_ITERS`` to the iteration count the
+    distributed path used (0 for the driver path) so tests can assert the
+    O(log diameter) convergence bound.
     """
+    global LAST_CC_ITERS
+    LAST_CC_ITERS = 0
     # the pair frame is usually the tail of an expensive lineage (feature
     # UDF pass + LSH joins + verify); this function fires 2+ actions on it
     # (size probe, collect/edge build), so persist once up front
@@ -554,19 +573,26 @@ def connected_components(
         .distinct()
         .persist()  # read every iteration of the propagation loop
     )
+    edges.count()  # materialize the edge cache, then drop the pair cache:
+    pairs.unpersist()  # the loop only ever reads ``edges`` from here on
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
+    prev_ckpt: DataFrame | None = None
     for it in range(max_iters):
+        # every join in this loop is big-big at scale (labels is node-sized,
+        # edges is edge-sized): hint shuffle_hash so the optimizer never
+        # tries to build+broadcast the label table (driver OOM on a large
+        # graph, and the wrong plan at 100 TB regardless)
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
+            edges.join(labels.hint("shuffle_hash"), edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nmin"))
         )
         stepped = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            labels.join(neighbor_min.hint("shuffle_hash"), labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(
@@ -580,7 +606,7 @@ def connected_components(
             F.col("id").alias("__pid"), F.col("cluster_id").alias("__plabel")
         )
         new_labels = (
-            stepped.join(parent, stepped.cluster_id == F.col("__pid"), "left")
+            stepped.join(parent.hint("shuffle_hash"), stepped.cluster_id == F.col("__pid"), "left")
             .select(
                 "id",
                 F.least(
@@ -595,19 +621,45 @@ def connected_components(
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
+            .join(labels.alias("o").hint("shuffle_hash"), on="id")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        # the new checkpoint is materialized and the changed-probe (the last
+        # reader of the previous one) has run: free the previous iteration's
+        # checkpoint blocks so repeated calls in one session stay bounded
+        _free_local_checkpoint(prev_ckpt)
+        prev_ckpt = labels = new_labels
+        LAST_CC_ITERS = it + 1
         if changed == 0:
+            edges.unpersist()
             return labels
+    edges.unpersist()
+    _free_local_checkpoint(prev_ckpt)
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} iterations "
         "(graph diameter > 2^max_iters is implausible for near-dup data — "
         "check the pair generator)"
     )
+
+
+def _free_local_checkpoint(df: DataFrame | None) -> None:
+    """Unpersist the RDD blocks behind a ``localCheckpoint``-ed DataFrame.
+
+    ``DataFrame.unpersist`` goes through the SQL cache manager and does not
+    touch checkpoint RDD storage, so reach the ``LogicalRDD``'s RDD via
+    py4j. Best-effort: on any internal-API change we leak the blocks (the
+    pre-existing behavior) instead of failing the job. Only call this on
+    frames nothing will read again — a freed local checkpoint CANNOT be
+    recomputed.
+    """
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def dedup_corpus(

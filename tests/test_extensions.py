@@ -51,6 +51,32 @@ def test_minhash_finds_known_dups_and_matches_bruteforce(spark, docs):
         assert abs(brute[p] - j) < 1e-12
 
 
+def test_exact_dedup_injective_encoding(spark):
+    # values containing the old '\x1f' separator (or a literal matching the
+    # NULL sentinel) must NOT merge across column boundaries
+    rows = [
+        (1, "a\x1fb", "c"),
+        (2, "a", "b\x1fc"),  # concat_ws('\x1f') would give row 1's pre-image
+        (3, "\x00", "x"),
+        (4, None, "x"),  # NULL vs literal sentinel stay distinct
+        (5, "a", "b\x1fc"),  # true duplicate of 2 -> dropped
+        (6, None, "x"),  # true duplicate of 4 (NULLs group) -> dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, c1 string, c2 string")
+    kept = sorted(r.id for r in D.exact_dedup(df, ["c1", "c2"], "id").collect())
+    assert kept == [1, 2, 3, 4]
+
+
+def test_exact_dedup_fp_column_collision(spark):
+    # a pre-existing __fp column must survive untouched
+    df = spark.createDataFrame(
+        [(1, "x", "z"), (2, "x", "z")], "id long, __fp string, t string"
+    )
+    out = D.exact_dedup(df, ["__fp", "t"], "id")
+    assert sorted(out.columns) == ["__fp", "id", "t"]
+    assert [r.id for r in out.collect()] == [1]
+
+
 def test_simhash_deterministic_and_finds_dups(spark, docs):
     sig1 = {r.doc_id: r.s for r in docs.select("doc_id", D.simhash64("text").alias("s")).collect()}
     sig2 = {r.doc_id: r.s for r in docs.select("doc_id", D.simhash64("text").alias("s")).collect()}
@@ -205,6 +231,62 @@ def test_connected_components_distributed_long_chain(spark):
     fast = {(r.id, r.cluster_id) for r in D.connected_components(pairs).collect()}
     assert dist == fast
     assert {c for _, c in dist} == {1000}
+
+
+def test_connected_components_distributed_stress(spark):
+    """100 TB-shape gate for the distributed branch: a random graph with
+    1.5M edges over 400k nodes (mean degree ~7.5 -> one giant component)
+    PLUS a 3,000-hop chain (diameter 3,000 — naive propagation would need
+    3,000 rounds). Asserts (a) exact label parity with an independent
+    numpy union-find over the same edge list, (b) the pointer-doubling
+    iteration bound <= log2(diameter) + c, and (c) no persisted
+    RDD/cache blocks leak once the result is released."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_rand, n_edges, chain_len = 400_000, 1_500_000, 3_000
+    a = rng.integers(0, n_rand, n_edges, dtype=np.int64)
+    b = rng.integers(0, n_rand, n_edges, dtype=np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    chain_a = np.arange(n_rand, n_rand + chain_len, dtype=np.int64)
+    src = np.concatenate([np.minimum(a, b), chain_a])
+    dst = np.concatenate([np.maximum(a, b), chain_a + 1])
+
+    # independent ground truth: union-find with path halving
+    n_nodes = n_rand + chain_len + 1
+    parent = np.arange(n_nodes, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(src.tolist(), dst.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    touched = np.unique(np.concatenate([src, dst]))
+    expected = {int(x): find(int(x)) for x in touched.tolist()}
+
+    sc = spark.sparkContext
+    baseline_blocks = len(sc._jsc.getPersistentRDDs())
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": src, "id_b": dst}))
+    labels = D.connected_components(pairs, driver_threshold=0)
+    got = {r.id: r.cluster_id for r in labels.collect()}
+    assert got == expected
+    bound = math.ceil(math.log2(chain_len)) + 3
+    assert 0 < D.LAST_CC_ITERS <= bound, (D.LAST_CC_ITERS, bound)
+    # release the returned checkpoint; everything else must already be freed
+    # (<= not ==: the async ContextCleaner may also reap blocks predating
+    # this test, so the count can legitimately DROP below the baseline)
+    D._free_local_checkpoint(labels)
+    assert len(sc._jsc.getPersistentRDDs()) <= baseline_blocks
 
 
 def test_connected_components_distributed_on_real_pairs(spark, sf_dir):
