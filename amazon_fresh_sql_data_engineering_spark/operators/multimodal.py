@@ -10,11 +10,19 @@ Decode tiers: ``decode_media(fake=True)`` produces deterministic
 pseudo-features from the bytes (the test-data tier — documents stand in for
 media). ``fake=False`` runs a REAL pure-Python container-header decode for
 PNG / GIF / JPEG / BMP (:func:`parse_image_header` — dimensions and type
-from the byte layout, no codec library needed) and raises
-NotImplementedError only for formats that genuinely need a pixel codec.
+from the byte layout, no codec library needed).
 Frame sampling and embedding stay stubbed behind ``fake`` (ffmpeg / a model
 runtime would slot in); the Spark-side plumbing — schema, batch iteration,
 UDF signature, 1->N fan-out — is real and tested either way.
+
+Failure policy (the 100 TB contract): data-dependent decode failures —
+unsupported containers, malformed headers, absurd dimensions — are
+QUARANTINED per row (``ok=false`` + an ``error`` string, metadata columns
+NULL), never raised inside the task: one bad blob in a trillion must not
+kill the job. ``strict=True`` restores the raise for debugging. Mode
+errors that are knowable at plan time (``fake=False`` on a fully stubbed
+codec path) raise eagerly on the driver at call time instead of from
+inside ``mapInPandas``.
 """
 
 from __future__ import annotations
@@ -67,8 +75,21 @@ def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
     return None
 
 MEDIA_SCHEMA = (
-    "doc_id long, n_bytes long, media_type string, width int, height int, checksum long"
+    "doc_id long, n_bytes long, media_type string, width int, height int, "
+    "checksum long, ok boolean, error string"
 )
+
+# dimensions outside this range are corrupt-or-hostile headers (PNG is
+# big-endian u32: a wild value would silently wrap an int32 cast)
+_MAX_DIM = (1 << 31) - 1
+
+
+def _dim_error(w: int, h: int) -> str | None:
+    if w <= 0 or h <= 0:
+        return f"non-positive dimensions {w}x{h}"
+    if w > _MAX_DIM or h > _MAX_DIM:
+        return f"dimensions {w}x{h} exceed int32"
+    return None
 
 
 def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -84,7 +105,7 @@ def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
+def decode_media(df: DataFrame, fake: bool = True, strict: bool = False) -> DataFrame:
     """Decode/feature-extract media via mapInPandas (Arrow batches).
 
     With ``fake=True``: deterministic pseudo-decode — n_bytes, a checksum,
@@ -92,8 +113,12 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     resize/crop plumbing has real-shaped inputs on the text-as-media test
     corpus). With ``fake=False``: REAL header decode via
     :func:`parse_image_header` (PNG/GIF/BMP/JPEG dimensions from the byte
-    layout); bytes in no supported container raise NotImplementedError at
-    the exact point a pixel codec would be needed.
+    layout). Rows whose bytes are no supported container, or whose header
+    reports invalid dimensions (<= 0 or > int32 — corrupt/hostile headers),
+    are QUARANTINED: ``ok=false``, ``error`` set, metadata columns NULL.
+    ``strict=True`` raises instead (debug tier only — at corpus scale one
+    malformed blob must not kill the job). Route ``ok=false`` rows to a
+    problem-rows sink, the same pattern the cleaning pipeline uses.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -105,16 +130,38 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
                 media_type = pdf["media_meta"].map(lambda m: m["content_type"])
                 width = (n % 640 + 1).astype("int32")
                 height = (n % 480 + 1).astype("int32")
+                ok = pd.Series([True] * len(pdf), dtype="bool")
+                err = pd.Series([None] * len(pdf), dtype=object)
             else:
-                parsed = b.map(lambda x: parse_image_header(bytes(x)))
-                if parsed.isna().any():
-                    raise NotImplementedError(
-                        "bytes are not a PNG/GIF/BMP/JPEG container; pixel "
+                mt, ww, hh, oks, errs = [], [], [], [], []
+                for x in b:
+                    parsed = parse_image_header(bytes(x))
+                    e = (
+                        "unsupported container (not PNG/GIF/BMP/JPEG); pixel "
                         "codecs (PIL/ffmpeg) are not in this environment"
+                        if parsed is None
+                        else _dim_error(parsed[1], parsed[2])
                     )
-                media_type = parsed.map(lambda p: p[0])
-                width = parsed.map(lambda p: p[1]).astype("int32")
-                height = parsed.map(lambda p: p[2]).astype("int32")
+                    if e is not None:
+                        if strict:
+                            raise NotImplementedError(e)
+                        mt.append(None)
+                        ww.append(None)
+                        hh.append(None)
+                        oks.append(False)
+                        errs.append(e)
+                    else:
+                        mt.append(parsed[0])
+                        ww.append(parsed[1])
+                        hh.append(parsed[2])
+                        oks.append(True)
+                        errs.append(None)
+                media_type = pd.Series(mt, dtype=object)
+                # Int32 (nullable), not int32: quarantined rows carry NULL dims
+                width = pd.Series(ww, dtype="Int32")
+                height = pd.Series(hh, dtype="Int32")
+                ok = pd.Series(oks, dtype="bool")
+                err = pd.Series(errs, dtype=object)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -123,6 +170,8 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
                     "width": width,
                     "height": height,
                     "checksum": checksum,
+                    "ok": ok,
+                    "error": err,
                 }
             )
 
@@ -147,17 +196,19 @@ def sample_frames(
     (pandas_udf is 1:1) — each output frame carries its byte offset and a
     binary payload, so downstream per-frame decode/embed sees ordinary
     rows. ``fake=True`` slices deterministic pseudo-frames from the media
-    bytes; ``fake=False`` raises where an ffmpeg keyframe pull would go.
+    bytes; ``fake=False`` raises where an ffmpeg keyframe pull would go —
+    EAGERLY at call time (the whole mode is unimplemented, a plan-time
+    fact; failing inside the task would waste a cluster-wide launch).
     Partitioning is inherited; no shuffle.
     """
+    if not fake:
+        raise NotImplementedError(
+            "real frame sampling requires ffmpeg (not in container); "
+            "use fake=True for the deterministic stub"
+        )
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real frame sampling requires ffmpeg (not in container); "
-                    "use fake=True for the deterministic stub"
-                )
             ids, idxs, offs, frames, sums = [], [], [], [], []
             for doc, b in zip(pdf["doc_id"], pdf["media_bytes"]):
                 n_frames = min(max_frames, max(1, len(b) // stride))
@@ -191,13 +242,15 @@ def embed_media(df: DataFrame, dim: int = 16, fake: bool = True) -> DataFrame:
     """
     from zlib import crc32
 
+    if not fake:
+        # plan-time fact, so raise on the driver, not per-task
+        raise NotImplementedError(
+            "real embedding requires a model runtime (not in container); "
+            "use fake=True for the deterministic stub"
+        )
+
     def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real embedding requires a model runtime (not in container); "
-                    "use fake=True for the deterministic stub"
-                )
             out = []
             for b in pdf["media_bytes"]:
                 out.append(
@@ -210,12 +263,16 @@ def embed_media(df: DataFrame, dim: int = 16, fake: bool = True) -> DataFrame:
 
 RESIZE_SCHEMA = (
     "doc_id long, src_width int, src_height int, dst_width int, dst_height int, "
-    "scale double, resized_bytes binary, resized_checksum long"
+    "scale double, resized_bytes binary, resized_checksum long, ok boolean, error string"
 )
 
 
 def resize_media(
-    df: DataFrame, max_w: int = 224, max_h: int = 224, fake: bool = True
+    df: DataFrame,
+    max_w: int = 224,
+    max_h: int = 224,
+    fake: bool = True,
+    strict: bool = False,
 ) -> DataFrame:
     """Resize plumbing: aspect-preserving fit of each medium into a
     ``max_w x max_h`` box via mapInPandas.
@@ -225,21 +282,45 @@ def resize_media(
     codec boundary: ``fake=True`` emits a deterministic byte-stride
     downsample of the payload (so downstream per-size batching/bucketing
     plumbing sees honestly-shrunken binaries), ``fake=False`` raises where
-    a real PIL/ffmpeg scaler would run. Pure map stage — partitioning
-    inherited, no shuffle.
+    a real PIL/ffmpeg scaler would run — eagerly at call time (plan-time
+    fact). Rows with NULL or out-of-range source dimensions (a quarantined
+    upstream decode, or a corrupt-but-parsable header reporting 0 dims)
+    become quarantine rows (``ok=false`` + ``error``, geometry NULL)
+    rather than a task-killing ZeroDivisionError; ``strict=True`` raises.
+    Pure map stage — partitioning inherited, no shuffle.
     """
+    if not fake:
+        raise NotImplementedError(
+            "real pixel resampling requires PIL/ffmpeg (not in "
+            "container); use fake=True for the deterministic stub"
+        )
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real pixel resampling requires PIL/ffmpeg (not in "
-                    "container); use fake=True for the deterministic stub"
-                )
             ids, sw, sh, dw, dh, sc, rb, ck = [], [], [], [], [], [], [], []
+            oks, errs = [], []
             for doc, b, w, h in zip(
                 pdf["doc_id"], pdf["media_bytes"], pdf["width"], pdf["height"]
             ):
+                ids.append(doc)
+                e = (
+                    "NULL source dimensions (upstream decode quarantined?)"
+                    if pd.isna(w) or pd.isna(h)
+                    else _dim_error(int(w), int(h))
+                )
+                if e is not None:
+                    if strict:
+                        raise ValueError(f"resize_media: doc_id={doc}: {e}")
+                    sw.append(None)
+                    sh.append(None)
+                    dw.append(None)
+                    dh.append(None)
+                    sc.append(None)
+                    rb.append(None)
+                    ck.append(None)
+                    oks.append(False)
+                    errs.append(e)
+                    continue
                 w, h = int(w), int(h)
                 scale = min(max_w / w, max_h / h, 1.0)
                 tw, th = max(1, int(w * scale)), max(1, int(h * scale))
@@ -248,7 +329,6 @@ def resize_media(
                 # Python round() is banker's and DuckDB's is half-away)
                 stride = max(1, int(1.0 / (scale * scale)))
                 rbytes = bytes(b[::stride])
-                ids.append(doc)
                 sw.append(w)
                 sh.append(h)
                 dw.append(tw)
@@ -256,16 +336,20 @@ def resize_media(
                 sc.append(scale)
                 rb.append(rbytes)
                 ck.append(sum(rbytes))
+                oks.append(True)
+                errs.append(None)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
-                    "src_width": pd.Series(sw, dtype="int32"),
-                    "src_height": pd.Series(sh, dtype="int32"),
-                    "dst_width": pd.Series(dw, dtype="int32"),
-                    "dst_height": pd.Series(dh, dtype="int32"),
+                    "src_width": pd.Series(sw, dtype="Int32"),
+                    "src_height": pd.Series(sh, dtype="Int32"),
+                    "dst_width": pd.Series(dw, dtype="Int32"),
+                    "dst_height": pd.Series(dh, dtype="Int32"),
                     "scale": pd.Series(sc, dtype="float64"),
                     "resized_bytes": pd.Series(rb, dtype=object),
-                    "resized_checksum": pd.Series(ck, dtype="int64"),
+                    "resized_checksum": pd.Series(ck, dtype="Int64"),
+                    "ok": pd.Series(oks, dtype="bool"),
+                    "error": pd.Series(errs, dtype=object),
                 }
             )
 

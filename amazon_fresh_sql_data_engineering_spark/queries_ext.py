@@ -639,6 +639,57 @@ def mm_decode(spark, sf_dir):
     )
 
 
+_DECODE_QUARANTINE_ERR = (
+    "unsupported container (not PNG/GIF/BMP/JPEG); pixel "
+    "codecs (PIL/ffmpeg) are not in this environment"
+)
+
+
+@register(
+    "mm_decode_quarantine",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/gif' END AS media_type,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 500 + 1 END AS INT) AS width,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 77 END AS INT) AS height,
+               doc_id % 3 = 0 AS ok,
+               CASE WHEN doc_id % 3 <> 0 THEN '{_DECODE_QUARANTINE_ERR}' END AS error
+        FROM documents WHERE doc_id % 5 = 0
+    """,
+    doc="Real-decode failure policy: a corpus mixing valid GIF containers "
+    "(built Spark-side from doc metadata) with undecodable byte blobs runs "
+    "decode_media(fake=False) end-to-end — bad rows come back QUARANTINED "
+    "(ok=false + error, NULL metadata) instead of killing the job, good "
+    "rows decode their true header dims. The oracle replays the expected "
+    "decode outcome per row.",
+)
+def mm_decode_quarantine(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    w = (F.col("doc_id") % 500 + 1).cast("int")
+    h = F.lit(77)
+
+    def le16(c):  # little-endian u16 as 4 hex chars (low byte first)
+        return F.concat(
+            F.lpad(F.hex(c % 256), 2, "0"),
+            F.lpad(F.hex((c / 256).cast("int")), 2, "0"),
+        )
+
+    gif = F.concat(F.encode(F.lit("GIF89a"), "UTF-8"), F.unhex(F.concat(le16(w), le16(h))))
+    # '!' prefix guarantees the non-GIF rows match no container magic
+    garbage = F.encode(F.concat(F.lit("!"), F.col("text")), "UTF-8")
+    media = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, gif).otherwise(garbage).alias("media_bytes"),
+        F.struct(
+            F.lit("application/octet-stream").alias("content_type"),
+            F.lit(0).alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+    return MM.decode_media(media, fake=False).select(
+        "doc_id", "media_type", "width", "height", "ok", "error"
+    )
+
+
 @register(
     "events_props_json",
     oracle="""

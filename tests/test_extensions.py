@@ -150,8 +150,13 @@ def test_multimodal_stub_paths(spark, docs):
     n = len("the quick brown fox jumps over the lazy dog and runs far away today")
     assert row.n_bytes == n and row.width == n % 640 + 1
     assert row.checksum == sum(b"the quick brown fox jumps over the lazy dog and runs far away today"[:64])
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        MM.decode_media(media, fake=False).collect()
+    # text-as-media bytes are no supported container: real-decode tier
+    # QUARANTINES them (job completes), strict tier raises
+    q = MM.decode_media(media, fake=False).collect()
+    assert len(q) == 5 and all(not r.ok and "container" in r.error for r in q)
+    assert all(r.width is None and r.media_type is None for r in q)
+    with pytest.raises(Exception, match="NotImplementedError|container"):
+        MM.decode_media(media, fake=False, strict=True).collect()
 
 
 def test_streaming_hourly_matches_batch(spark, sf_dir, tmp_path):
@@ -331,8 +336,9 @@ def test_frame_sampling_layout_and_checksums(spark):
         assert bytes(r.frame_bytes) == b[i * 256 : i * 256 + 64]
         assert r.frame_checksum == sum(b[i * 256 : i * 256 + 64])
     assert bytes(rows[(2, 0)].frame_bytes) == b"tiny"  # short doc: 1 partial frame
-    with pytest.raises(Exception, match="NotImplementedError|frame sampling"):
-        MM.sample_frames(media, fake=False).collect()
+    # the stub mode errors eagerly at plan time, not from inside the task
+    with pytest.raises(NotImplementedError, match="frame sampling"):
+        MM.sample_frames(media, fake=False)
 
 
 def test_embed_media_deterministic_and_bounded(spark, docs):
@@ -374,14 +380,31 @@ def test_real_image_header_decode(spark):
     assert out[3] == ("image/bmp", 100, 50)
     assert out[4] == ("image/jpeg", 720, 480)
 
-    # unsupported container -> the explicit codec boundary
-    import pytest as _pytest
-    bad = spark.createDataFrame(
-        [(9, bytearray(b"not an image"), ("x", 12))],
+    # unsupported container or corrupt dims -> quarantine rows; good rows in
+    # the same batch still decode (the 100 TB one-bad-blob contract)
+    zero_png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+        + struct.pack(">II", 0, 100) + b"\x08\x06" + b"\x00" * 40
+    )
+    huge_png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+        + struct.pack(">II", 1 << 31, 100) + b"\x08\x06" + b"\x00" * 40
+    )
+    mixed = spark.createDataFrame(
+        [(9, bytearray(b"not an image"), ("x", 12)),
+         (10, bytearray(zero_png), ("x", len(zero_png))),
+         (11, bytearray(huge_png), ("x", len(huge_png))),
+         (12, bytearray(png), ("x", len(png)))],
         "doc_id long, media_bytes binary, media_meta struct<content_type string, n_bytes int>",
     )
-    with _pytest.raises(Exception, match="(?i)codec|NotImplemented|PNG"):
-        MM.decode_media(bad, fake=False).collect()
+    q = {r.doc_id: r for r in MM.decode_media(mixed, fake=False).collect()}
+    assert not q[9].ok and "container" in q[9].error
+    assert not q[10].ok and "non-positive" in q[10].error
+    assert not q[11].ok and "int32" in q[11].error
+    assert q[12].ok and q[12].error is None and q[12].width == 640  # survivor
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="(?i)container|NotImplemented"):
+        MM.decode_media(mixed, fake=False, strict=True).collect()
 
 
 def test_ngram_jaccard_stop_shingle_cut(spark, docs):
@@ -454,18 +477,30 @@ def test_pipe_training_corpus_invariants(spark, sf_dir):
 
 def test_resize_media_geometry(spark):
     """Aspect-preserving fit: never upscale, floor dims, byte payload
-    shrinks by ~the area ratio; fake=False raises at the codec boundary."""
-    rows = [(1, bytearray(b"x" * 1000), 448, 224), (2, bytearray(b"y" * 100), 100, 50)]
+    shrinks by ~the area ratio; invalid/NULL dims quarantine instead of
+    ZeroDivisionError; fake=False raises eagerly at the codec boundary."""
+    rows = [
+        (1, bytearray(b"x" * 1000), 448, 224),
+        (2, bytearray(b"y" * 100), 100, 50),
+        (3, bytearray(b"z" * 10), 0, 50),  # malformed-but-parsable header
+        (4, bytearray(b"w" * 10), None, None),  # upstream quarantined decode
+    ]
     df = spark.createDataFrame(
         rows, "doc_id long, media_bytes binary, width int, height int"
     )
     out = {r.doc_id: r for r in MM.resize_media(df, 224, 224).collect()}
     assert (out[1].dst_width, out[1].dst_height) == (224, 112)  # scale 0.5
     assert out[1].scale == 0.5 and len(out[1].resized_bytes) == 250  # stride 4
+    assert out[1].ok and out[1].error is None
     assert (out[2].dst_width, out[2].dst_height) == (100, 50)  # never upscale
     assert out[2].scale == 1.0 and len(out[2].resized_bytes) == 100
-    with pytest.raises(Exception, match="NotImplementedError|resampling"):
-        MM.resize_media(df, fake=False).collect()
+    assert not out[3].ok and "non-positive" in out[3].error
+    assert out[3].dst_width is None and out[3].resized_bytes is None
+    assert not out[4].ok and "NULL source" in out[4].error
+    with pytest.raises(Exception, match="non-positive|NULL source"):
+        MM.resize_media(df, 224, 224, strict=True).collect()
+    with pytest.raises(NotImplementedError, match="resampling"):
+        MM.resize_media(df, fake=False)
 
 
 def test_minhash_recall_vs_ground_truth_corpus(spark, sf_dir):
