@@ -461,6 +461,79 @@ def q_pipe_clean_products(spark, sf_dir):
     return out.withColumn("priceperunit", fin("priceperunit"))
 
 
+_SUP_STAGED_SQL = f"""
+        SELECT
+          CASE s_suppkey % 10
+            WHEN 0 THEN ''
+            WHEN 1 THEN 'SUP~' || CAST(s_suppkey AS VARCHAR)
+            WHEN 2 THEN upper({_UUIDIFY.format(h="md5('supent' || CAST(s_suppkey AS VARCHAR))")})
+            ELSE {_UUIDIFY.format(h="md5('supent' || CAST(s_suppkey AS VARCHAR))")}
+          END AS supplierid,
+          '  ' || s_name || '  ' AS suppliername,
+          CASE s_suppkey % 3
+            WHEN 0 THEN ''
+            WHEN 1 THEN ' Agent ' || CAST(s_suppkey AS VARCHAR) || ' '
+            ELSE 'Agent ' || CAST(s_suppkey AS VARCHAR)
+          END AS contactperson,
+          CASE s_suppkey % 4 WHEN 0 THEN ''
+                             ELSE ' 555-01' || CAST(s_suppkey AS VARCHAR) END AS phone,
+          CASE s_suppkey % 2 WHEN 0 THEN ' City ' || CAST(s_nationkey AS VARCHAR)
+                             ELSE '' END AS city,
+          CASE s_suppkey % 5 WHEN 0 THEN 'WA' WHEN 1 THEN '' ELSE ' OR ' END AS state
+        FROM supplier
+"""
+
+
+@register(
+    "q_pipe_clean_suppliers",
+    oracle=f"""
+        WITH staged AS ({_SUP_STAGED_SQL})
+        SELECT
+          CASE WHEN regexp_matches(trim(supplierid), '{_UUID_RE}')
+               THEN lower(trim(supplierid))
+               ELSE {_UUIDIFY.format(h=_fp_sql("suppliers.pk", ["supplierid", "suppliername", "contactperson", "phone", "city", "state"]))} END AS supplierid,
+          nullif(trim(suppliername), '') AS suppliername,
+          nullif(trim(contactperson), '') AS contactperson,
+          nullif(trim(phone), '') AS phone,
+          nullif(trim(city), '') AS city,
+          nullif(trim(state), '') AS state
+        FROM staged
+        WHERE nullif(trim(supplierid), '') IS NOT NULL
+    """,
+    doc="PIPE-CLEAN-suppliers end-to-end: the no-FK root entity (blank PKs "
+    "dropped, garbage PKs repaired to content-addressed uuids, text columns "
+    "trim/blank-to-NULL normalized); completes driver coverage of all six "
+    "reference entity pipelines (ref T:378-408).",
+)
+def q_pipe_clean_suppliers(spark, sf_dir):
+    from .pipelines.cleaning import clean_entity
+    from .pipelines.entities import spec_suppliers
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    sup_uuid = _uuidify_col(F.md5(F.concat(F.lit("supent"), k.cast("string"))))
+    staging = s.select(
+        F.when(k % 10 == 0, "")
+        .when(k % 10 == 1, F.concat(F.lit("SUP~"), k.cast("string")))
+        .when(k % 10 == 2, F.upper(sup_uuid))
+        .otherwise(sup_uuid)
+        .alias("supplierid"),
+        F.concat(F.lit("  "), F.col("s_name"), F.lit("  ")).alias("suppliername"),
+        F.when(k % 3 == 0, "")
+        .when(k % 3 == 1, F.concat(F.lit(" Agent "), k.cast("string"), F.lit(" ")))
+        .otherwise(F.concat(F.lit("Agent "), k.cast("string")))
+        .alias("contactperson"),
+        F.when(k % 4 == 0, "")
+        .otherwise(F.concat(F.lit(" 555-01"), k.cast("string")))
+        .alias("phone"),
+        F.when(k % 2 == 0, F.concat(F.lit(" City "), F.col("s_nationkey").cast("string")))
+        .otherwise("")
+        .alias("city"),
+        F.when(k % 5 == 0, "WA").when(k % 5 == 1, "").otherwise(" OR ").alias("state"),
+    )
+    return clean_entity(_fence(staging), spec_suppliers()).final
+
+
 _OD_STAGED_SQL = f"""
         SELECT
           CASE (l_orderkey * 8 + l_linenumber) % 20
