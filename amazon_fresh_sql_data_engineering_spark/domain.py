@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .operators import dml
+from .operators.ranking import global_rank
 
 Tables = dict[str, DataFrame]
 
@@ -31,9 +32,8 @@ def high_value_customers(t: Tables, threshold: float = 5000) -> DataFrame:
         .groupBy("customerid", "name")
         .agg(F.sum("totalamount").cast("decimal(38,2)").alias("total_spending"))
     )
-    w = Window.orderBy(F.col("total_spending").desc())
     return (
-        spend.withColumn("spending_rank", F.rank().over(w))
+        global_rank(spend, "total_spending", "spending_rank")
         .filter(F.col("total_spending") > threshold)
         .select("customerid", "name", "total_spending", "spending_rank")
     )
@@ -68,9 +68,8 @@ def top_customers_period(
         .groupBy("customerid")
         .agg(F.count(F.lit(1)).alias("num_orders"))
     )
-    w = Window.orderBy(F.col("num_orders").desc())
     return (
-        counts.withColumn("order_rank", F.rank().over(w))
+        global_rank(counts, "num_orders", "order_rank")
         .orderBy(F.col("num_orders").desc(), "customerid")
         .limit(limit)
     )
@@ -191,8 +190,7 @@ def product_sales_rank(t: Tables) -> DataFrame:
         .groupBy("productid", "productname")
         .agg(F.sum(sales).cast("decimal(38,4)").alias("total_sales"))
     )
-    w = Window.orderBy(F.col("total_sales").desc())
-    return agg.withColumn("sales_rank", F.rank().over(w))
+    return global_rank(agg, "total_sales", "sales_rank")
 
 
 # --- DML tasks (ref A Tasks 3-8) -------------------------------------------

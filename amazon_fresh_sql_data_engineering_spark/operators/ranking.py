@@ -1,0 +1,173 @@
+"""Two-phase distributed global window ranks (rank / row_number / ntile).
+
+``RANK() OVER (ORDER BY k)`` with an empty PARTITION BY clause (reference
+``All-Tasks-of-SQL.sql:201`` Task 10, ``:169-176`` Task 9, ``:246-264``
+Task 11.2) is the classic single-node trap: Spark plans it as ``Exchange
+SinglePartition`` followed by one ``Window`` task, so even a
+post-aggregation table of one row per customer funnels through a single
+core. At driver-test scale that is invisible; at a billion customers it is
+the whole job.
+
+These operators keep exact SQL window semantics with no single-partition
+pass over the data:
+
+1. **Range phase** — ``repartitionByRange`` on the full ordering spec.
+   Spark's range partitioner puts *equal keys in the same partition*
+   (partition choice is a binary search of the key against sampled
+   boundaries, so equal keys always land on the same side), which is what
+   makes per-partition ranks composable: a tie group never spans
+   partitions, and partition order equals sort order.
+2. **Local phase** — the window function over ``PARTITION BY
+   spark_partition_id()``. This is a parallel hash exchange over the
+   range-partition ids, never a single-partition one.
+3. **Offset phase** — per-partition row counts (one row per shuffle
+   partition, metadata-sized) become cumulative offsets via a triangular
+   broadcast self-join instead of an ORDER BY window, so the rank/
+   row_number plans are *entirely* free of ``Exchange SinglePartition``
+   (asserted in tests/test_plans.py). ``global = local + rows in earlier
+   partitions``.
+
+``global_ntile`` additionally needs the total row count; that scalar is
+aggregated from the per-partition counts, so the one single-partition
+exchange it contains sees at most ``spark.sql.shuffle.partitions`` rows —
+metadata, not data.
+
+The offsets side is at most ``spark.sql.shuffle.partitions`` rows, so the
+triangular join is O(P^2) on P <= a few thousand — noise — and every join
+of a tiny side is explicitly broadcast.
+
+Skew note: a single key value that dominates the table still lands in one
+range partition (any rank implementation must co-locate ties); for rank
+over low-cardinality keys aggregate to the key grain first, which every
+catalog user of these operators already does.
+
+Determinism: ``spark_partition_id()`` is stable here because the range
+partitioner's boundary sampling is seeded per-partition-index (XORShift of
+the partition id), so the same input yields the same boundaries and the
+same row->pid mapping even when the exchange is not reused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__gr_pid"
+_CNT = "__gr_cnt"
+_OFF = "__gr_off"
+_LOCAL = "__gr_local"
+_TOT = "__gr_total"
+
+
+def _order_spec(order_cols, descending: bool) -> list[Column]:
+    cols = [order_cols] if isinstance(order_cols, (str, Column)) else list(order_cols)
+    out = []
+    for c in cols:
+        if isinstance(c, str):
+            out.append(F.col(c).desc() if descending else F.col(c).asc())
+        else:  # caller passed an explicit sort expression
+            out.append(c)
+    return out
+
+
+def _two_phase(df: DataFrame, spec: list[Column], num_partitions: int | None):
+    """Range-partition on ``spec`` and return (pid_df, counts, offsets)."""
+    for c in (_PID, _CNT, _OFF, _LOCAL, _TOT):
+        if c in df.columns:
+            raise ValueError(f"ranking scratch column {c!r} already present")
+    ranged = (
+        df.repartitionByRange(num_partitions, *spec)
+        if num_partitions
+        else df.repartitionByRange(*spec)
+    )
+    pid_df = ranged.withColumn(_PID, F.spark_partition_id())
+    counts = pid_df.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
+    earlier = counts.select(
+        F.col(_PID).alias("__gr_pid_b"), F.col(_CNT).alias("__gr_cnt_b")
+    )
+    offsets = (
+        counts.join(F.broadcast(earlier), F.col("__gr_pid_b") < F.col(_PID), "left")
+        .groupBy(_PID)
+        .agg(F.coalesce(F.sum("__gr_cnt_b"), F.lit(0)).alias(_OFF))
+    )
+    return pid_df, counts, offsets
+
+
+def _offset_window(df, pid_df, offsets, spec, fn, name: str) -> DataFrame:
+    w = Window.partitionBy(_PID).orderBy(*spec)
+    return (
+        pid_df.withColumn(_LOCAL, fn().over(w))
+        .join(F.broadcast(offsets), _PID)
+        .withColumn(name, (F.col(_LOCAL) + F.col(_OFF)).cast("bigint"))
+        .select(*df.columns, name)
+    )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols,
+    rank_name: str,
+    *,
+    descending: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``rank_name`` = RANK() OVER (ORDER BY order_cols [DESC]).
+
+    Output rank is BIGINT (an int32 rank overflows past ~2.1B rows — real
+    at corpus scale). Column order: original columns, then the rank.
+    """
+    spec = _order_spec(order_cols, descending)
+    pid_df, _, offsets = _two_phase(df, spec, num_partitions)
+    return _offset_window(df, pid_df, offsets, spec, F.rank, rank_name)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols,
+    name: str,
+    *,
+    descending: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``name`` = ROW_NUMBER() OVER (ORDER BY order_cols).
+
+    The ordering should be total (include a unique tiebreaker) or the
+    numbering is nondeterministic — same contract as the SQL form.
+    """
+    spec = _order_spec(order_cols, descending)
+    pid_df, _, offsets = _two_phase(df, spec, num_partitions)
+    return _offset_window(df, pid_df, offsets, spec, F.row_number, name)
+
+
+def global_ntile(
+    df: DataFrame,
+    n: int,
+    order_cols,
+    name: str,
+    *,
+    descending: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``name`` = NTILE(n) OVER (ORDER BY order_cols) as INT.
+
+    SQL NTILE semantics: with N rows the first ``N % n`` tiles get
+    ``N // n + 1`` rows, the rest get ``N // n``. Computed from the
+    two-phase global row_number plus the total count (a scalar aggregated
+    from the per-partition counts — the only single-partition exchange in
+    the plan runs over <= shuffle-partition-count rows). Ordering should be
+    total for deterministic tile assignment.
+    """
+    spec = _order_spec(order_cols, descending)
+    pid_df, counts, offsets = _two_phase(df, spec, num_partitions)
+    rn = _offset_window(df, pid_df, offsets, spec, F.row_number, _LOCAL + "_rn")
+    total = counts.agg(F.sum(_CNT).alias(_TOT))
+    rn = rn.join(F.broadcast(total))  # 1-row cross: BroadcastNestedLoop, no shuffle
+    g, t = _LOCAL + "_rn", _TOT
+    # integer `div` throughout: double division could mis-round at huge N
+    tile = F.expr(
+        f"CASE WHEN {g} <= ({t} % {n}) * ({t} div {n} + 1)"
+        f" THEN ({g} - 1) div ({t} div {n} + 1) + 1"
+        f" ELSE ({t} % {n}) + ({g} - ({t} % {n}) * ({t} div {n} + 1) - 1)"
+        f" div greatest({t} div {n}, 1) + 1 END"
+    )
+    return rn.withColumn(name, tile.cast("int")).select(*df.columns, name)

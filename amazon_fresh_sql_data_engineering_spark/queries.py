@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .operators.ranking import global_rank
 from .registry import CATALOG, QuerySpec, dec, fin, register
 from .registry import tables as _t
 
@@ -556,7 +557,8 @@ def op_win_rownum_dedup(spark, sf_dir):
     """,
     doc="Q-HIGH-VALUE: spend per customer, global rank, threshold filter "
     "(ref A:189-215 Task 10). Global rank runs post-aggregation on "
-    "|customers| rows — never on the fact table (SURVEY §7.4).",
+    "|customers| rows — never on the fact table (SURVEY §7.4) — and uses "
+    "the two-phase operators/ranking.py plan: no single-partition stage.",
 )
 def q_high_value(spark, sf_dir):
     o, c = _t(spark, sf_dir, "orders", "customer")
@@ -568,9 +570,8 @@ def q_high_value(spark, sf_dir):
     spend = per_cust.join(
         c.select("c_custkey", "c_name"), per_cust.o_custkey == c.c_custkey
     ).select("c_custkey", "c_name", "total_spending")
-    w = Window.orderBy(F.col("total_spending").desc())
     return (
-        spend.withColumn("spending_rank", F.rank().over(w))
+        global_rank(spend, "total_spending", "spending_rank")
         .filter(F.col("total_spending") > 4000000)
         .select(
             "c_custkey",
@@ -595,7 +596,8 @@ def q_high_value(spark, sf_dir):
             GROUP BY p.p_partkey, p.p_name
         ) t
     """,
-    doc="Q-PRODUCT-SALES-RANK: join + agg + global rank (ref A:169-176 Task 9).",
+    doc="Q-PRODUCT-SALES-RANK: join + agg + global rank (ref A:169-176 "
+    "Task 9); two-phase rank via operators/ranking.py.",
 )
 def q_product_sales_rank(spark, sf_dir):
     p, l = _t(spark, sf_dir, "part", "lineitem")
@@ -605,8 +607,7 @@ def q_product_sales_rank(spark, sf_dir):
     agg = per_part.join(
         F.broadcast(p.select("p_partkey", "p_name")), per_part.l_partkey == p.p_partkey
     ).select("p_partkey", "p_name", "total_sales")
-    w = Window.orderBy(F.col("total_sales").desc())
-    return agg.withColumn("sales_rank", F.rank().over(w)).select(
+    return global_rank(agg, "total_sales", "sales_rank").select(
         "p_partkey",
         "p_name",
         fin("total_sales").alias("total_sales"),
@@ -756,9 +757,8 @@ def q_top_customers_period(spark, sf_dir):
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("num_orders"))
     )
-    w = Window.orderBy(F.col("num_orders").desc())
     return (
-        counts.withColumn("order_rank", F.rank().over(w))
+        global_rank(counts, "num_orders", "order_rank")
         .orderBy(F.col("num_orders").desc(), "o_custkey")
         .limit(20)
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .operators.ranking import global_ntile
 from .registry import dec, fin, register
 from .registry import tables as _t
 
@@ -104,18 +105,18 @@ def op_win_moving_avg(spark, sf_dir):
             FROM orders GROUP BY o_custkey
         )
     """,
-    doc="NTILE(4) spend quartiles (post-aggregation global window — small "
-    "input, SURVEY §7.4 hazard respected).",
+    doc="NTILE(4) spend quartiles — two-phase global ntile "
+    "(operators/ranking.py): no single-partition pass over the data.",
 )
 def op_win_ntile(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("total_spend")
     )
-    w = Window.orderBy(F.col("total_spend").desc(), "o_custkey")
-    return spend.withColumn("quartile", F.ntile(4).over(w)).select(
-        "o_custkey", fin("total_spend").alias("total_spend"), "quartile"
+    tiled = global_ntile(
+        spend, 4, [F.col("total_spend").desc(), F.col("o_custkey").asc()], "quartile"
     )
+    return tiled.select("o_custkey", fin("total_spend").alias("total_spend"), "quartile")
 
 
 @register(
@@ -235,20 +236,27 @@ def op_win_share_of_total(spark, sf_dir):
 @register(
     "op_approx_count_distinct",
     # HLL sketch values are engine-specific, so the checked output is the
-    # exact counts plus error-bound booleans: the oracle asserts the sketch
-    # landed within 10% of DuckDB's exact distinct (rsd=0.02 => ~5 sigma).
+    # exact counts, the ±10% tolerance envelope (computed INDEPENDENTLY on
+    # both sides with integer arithmetic — the oracle replays the envelope,
+    # not just the exact counts), and the in-envelope booleans (the oracle's
+    # TRUE literals fail the hash the moment Spark's sketch lands outside
+    # its cross-checked bounds). rsd=0.02 => 10% is ~5 sigma.
     oracle="""
         SELECT count(DISTINCT l_partkey) AS exact_parts,
                count(DISTINCT l_orderkey) AS exact_orders,
+               (count(DISTINCT l_partkey) * 9) // 10 AS parts_lo,
+               (count(DISTINCT l_partkey) * 11 + 9) // 10 AS parts_hi,
+               (count(DISTINCT l_orderkey) * 9) // 10 AS orders_lo,
+               (count(DISTINCT l_orderkey) * 11 + 9) // 10 AS orders_hi,
                true AS parts_within_10pct,
                true AS orders_within_10pct
         FROM lineitem
     """,
     doc="approx_count_distinct (HyperLogLog++): the 100 TB distinct-count "
     "tool — no exact-distinct shuffle explosion; error bounded vs exact "
-    "both here (boolean columns checked against the oracle) and in pytest "
-    "(SURVEY §2.5 notes the reference uses exact COUNT DISTINCT only; "
-    "the engine offers both).",
+    "both here (envelope + boolean columns checked against the oracle) "
+    "and in pytest (SURVEY §2.5 notes the reference uses exact COUNT "
+    "DISTINCT only; the engine offers both).",
 )
 def op_approx_count_distinct(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
@@ -258,17 +266,29 @@ def op_approx_count_distinct(spark, sf_dir):
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
-    return agg.select(
+    envl = agg.select(
+        "approx_parts",
+        "approx_orders",
         "exact_parts",
         "exact_orders",
-        (
-            F.abs(F.col("approx_parts") - F.col("exact_parts"))
-            <= F.col("exact_parts") * F.lit(0.1)
-        ).alias("parts_within_10pct"),
-        (
-            F.abs(F.col("approx_orders") - F.col("exact_orders"))
-            <= F.col("exact_orders") * F.lit(0.1)
-        ).alias("orders_within_10pct"),
+        F.expr("(exact_parts * 9) div 10").alias("parts_lo"),
+        F.expr("(exact_parts * 11 + 9) div 10").alias("parts_hi"),
+        F.expr("(exact_orders * 9) div 10").alias("orders_lo"),
+        F.expr("(exact_orders * 11 + 9) div 10").alias("orders_hi"),
+    )
+    return envl.select(
+        "exact_parts",
+        "exact_orders",
+        "parts_lo",
+        "parts_hi",
+        "orders_lo",
+        "orders_hi",
+        F.col("approx_parts").between(F.col("parts_lo"), F.col("parts_hi")).alias(
+            "parts_within_10pct"
+        ),
+        F.col("approx_orders").between(F.col("orders_lo"), F.col("orders_hi")).alias(
+            "orders_within_10pct"
+        ),
     )
 
 
@@ -409,15 +429,36 @@ def op_percentiles(spark, sf_dir):
 @register(
     "op_approx_percentile",
     # GK sketch values are engine-specific, so the checked output is the
-    # exact quantile_disc plus in-bounds booleans: the sketch's p50/p90 must
-    # land inside the exact [p45,p55] / [p85,p95] envelope per group.
+    # exact discrete percentiles, the [p45,p55]/[p85,p95] tolerance
+    # envelope (computed INDEPENDENTLY on both sides — the oracle replays
+    # the envelope, not just the midpoints), and in-bounds booleans: the
+    # oracle's TRUE literals fail the hash the moment Spark's sketch lands
+    # outside its cross-checked envelope. The oracle replays Spark's
+    # percentile_disc index rule EXPLICITLY — 1-based index ceil(p*n) with
+    # the IEEE double multiply (empirically pinned: at n=3020, p=0.55 the
+    # double product is 1661.0000000000002, so Spark returns index 1662,
+    # NOT the "smallest k with k/n >= p" index 1661) — instead of DuckDB's
+    # quantile_disc, whose rule diverges from Spark's at some (p, n); with
+    # the replica, parity is rule-exact at any scale factor. The CAST(p AS
+    # DOUBLE) matters: DuckDB parses bare 0.55 as DECIMAL, making the
+    # product exact (1661.00 -> ceil 1661) where Spark's double is not.
     oracle="""
+        WITH g AS (
+            SELECT o_orderpriority,
+                   list(o_totalprice ORDER BY o_totalprice) AS xs,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderpriority
+        )
         SELECT o_orderpriority,
-               round(quantile_disc(o_totalprice, 0.5), 2) AS exact_p50,
-               round(quantile_disc(o_totalprice, 0.9), 2) AS exact_p90,
+               round(xs[greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT))], 2) AS exact_p50,
+               round(xs[greatest(1, CAST(ceil(CAST(0.9 AS DOUBLE) * n) AS BIGINT))], 2) AS exact_p90,
+               round(xs[greatest(1, CAST(ceil(CAST(0.45 AS DOUBLE) * n) AS BIGINT))], 2) AS p45,
+               round(xs[greatest(1, CAST(ceil(CAST(0.55 AS DOUBLE) * n) AS BIGINT))], 2) AS p55,
+               round(xs[greatest(1, CAST(ceil(CAST(0.85 AS DOUBLE) * n) AS BIGINT))], 2) AS p85,
+               round(xs[greatest(1, CAST(ceil(CAST(0.95 AS DOUBLE) * n) AS BIGINT))], 2) AS p95,
                true AS p50_in_bounds,
                true AS p90_in_bounds
-        FROM orders GROUP BY o_orderpriority
+        FROM g
     """,
     doc="approx_percentile (GK sketch): the 100 TB quantile tool — "
     "mergeable partial sketches, no per-group global sort; error vs exact "
@@ -444,6 +485,10 @@ def op_approx_percentile(spark, sf_dir):
         "o_orderpriority",
         "exact_p50",
         "exact_p90",
+        F.round("__p45", 2).alias("p45"),
+        F.round("__p55", 2).alias("p55"),
+        F.round("__p85", 2).alias("p85"),
+        F.round("__p95", 2).alias("p95"),
         F.col("ap50").between(F.col("__p45"), F.col("__p55")).alias("p50_in_bounds"),
         F.col("ap90").between(F.col("__p85"), F.col("__p95")).alias("p90_in_bounds"),
     )

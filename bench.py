@@ -7,6 +7,19 @@
 Per-query timing = wall-clock of a full materialization (count of the result;
 the driver collects separately). One warm-up pass (JVM + parquet footer cache)
 precedes timing, matching BASELINE.md's protocol.
+
+Two tiers per query (BASELINE.md argued the ~0.3-1 s/query floor is mostly
+plan/codegen constant — this measures it instead of asserting it):
+  - cold: first timed execution in the session (includes analysis, codegen
+    compilation, JIT warm-up for that plan shape) — `queries` / `value`,
+    field names unchanged for cross-round comparability;
+  - warm: median of 3 re-executions (codegen cache hot, data NOT cached —
+    spark.catalog.clearCache() runs between every execution, so warm still
+    reads parquet and shuffles; it is steady-state re-execution cost, the
+    number that extrapolates to a long-running cluster) — `queries_warm` /
+    `value_warm`.
+
+Set SPARK_GRAFT_BENCH_WARM=0 to skip the warm tier (cold-only, ~4x faster).
 """
 
 from __future__ import annotations
@@ -49,29 +62,39 @@ def main() -> None:
     df.select(_warm(F.col("id").cast("double"))).count()
     df.select(F.explode(_warm_arr(F.col("id")))).count()
 
-    timings: dict[str, float] = {}
-    for name, spec in CATALOG.items():
+    warm_runs = 3 if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0" else 0
+
+    def timed(fn) -> float:
         t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
         # drop caches an operator persisted internally (LSH signatures,
-        # iterative labels) so no query's memory footprint leaks into the next
+        # iterative labels) so no run's memory footprint leaks into the next
         spark.catalog.clearCache()
+        return dt
+
+    timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    for name, spec in CATALOG.items():
+        timings[name] = round(timed(spec.fn), 4)
+        if warm_runs:
+            reps = sorted(timed(spec.fn) for _ in range(warm_runs))
+            warm[name] = round(reps[len(reps) // 2], 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-                "spark_version": spark.version,
-            }
-        )
-    )
+    out = {
+        "metric": "catalog_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "spark_version": spark.version,
+    }
+    if warm:
+        out["value_warm"] = round(sum(warm.values()), 4)
+        out["queries_warm"] = warm
+    print(json.dumps(out))
     spark.stop()
 
 

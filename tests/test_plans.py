@@ -112,6 +112,26 @@ def test_range_join_broadcasts_promo_side(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["q_high_value", "q_product_sales_rank", "q_top_customers_period"]
+)
+def test_global_rank_has_no_single_partition_stage(spark, sf_dir, name):
+    """Two-phase global rank (operators/ranking.py): the whole plan must be
+    free of Exchange SinglePartition — the classic global-window bottleneck
+    (VERDICT r2 flagged the old single-window form as the #1 scale hazard)."""
+    plan = X.physical_plan(CATALOG[name].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, f"{name}: single-partition stage in plan"
+    assert "Window" in plan  # local rank still runs as a window
+
+
+def test_global_ntile_single_partition_is_metadata_only(spark, sf_dir):
+    """global_ntile needs one scalar (total count) aggregated from the
+    per-partition counts; that is the ONLY single-partition exchange allowed
+    and it sees <= shuffle-partition-count rows."""
+    plan = X.physical_plan(CATALOG["op_win_ntile"].fn(spark, sf_dir))
+    assert plan.count("SinglePartition") <= 1, plan[:3000]
+
+
 def test_approx_percentile_error_bounded(spark, sf_dir):
     ex = {r.o_orderpriority: (r.p50, r.p90) for r in CATALOG["op_percentiles"].fn(spark, sf_dir).collect()}
     ap = {
