@@ -351,36 +351,24 @@ def minhash_dedup_pairs(
     )
 
 
-def ngram_jaccard_pairs(
+def ngram_inverted_index(
     df: DataFrame,
     id_col: str,
     text_col: str,
     block_cols: list[str],
-    threshold: float = 0.5,
     k: int = 3,
     max_df: int | None = None,
 ) -> DataFrame:
-    """Blocked exact n-gram Jaccard via a sparse inverted index: explode
-    shingles, equi-self-join on (block, shingle) to count each pair's
-    intersection, then Jaccard from the counts. Work is proportional to
-    actual shingle co-occurrences (sum over shingles of count-in-block
-    choose 2), NOT block-size squared — pairs sharing nothing are never
-    materialized (they can't reach any threshold > 0), which replaced a
-    12 s block-pairwise array_intersect pass with a ~2 s join at sf0.1.
-    The block key still bounds the worst case; at 100 TB pass ``max_df``
-    (stop-shingle cut: shingles whose in-block document frequency exceeds
-    the cap are dropped from BOTH the index and the set sizes) to bound
-    the hot inverted lists — boilerplate shingles shared by thousands of
-    docs contribute O(df²) join rows but almost no discriminating signal.
-    With the cut the result is Jaccard over the *informative* shingle
-    sets (slightly approximate vs raw Jaccard; default ``None`` = exact,
-    which is what the SQL oracle checks). Or fall back to MinHash-LSH,
-    which needs no blocks.
+    """The sparse inverted index behind ``ngram_jaccard_pairs``: one row per
+    (block, shingle-hash, doc) with the doc's kept-shingle count ``__n``.
 
-    Shingles are hashed to int64 (the same vectorized UDF as
-    ``minhash_features`` — the JVM transform/slice/concat_ws shingling runs
-    interpreted at ~1 ms/doc); full-width hashes keep Jaccard identical to
-    string shingles at ~2^-63 collision odds."""
+    With ``max_df`` set, shingles whose in-block document frequency exceeds
+    the cap are dropped from BOTH the index and the set sizes, so the
+    longest inverted list is bounded by ``max_df`` — the lever that keeps
+    the self-join's O(df²) row blow-up bounded under boilerplate-heavy
+    corpora at 100 TB (tests/test_extensions.py asserts the bound on an
+    adversarial corpus). Public so tests and capacity planning can inspect
+    list lengths directly."""
 
     @pandas_udf(ArrayType(LongType()))
     def _shs(texts: pd.Series) -> pd.Series:
@@ -412,6 +400,41 @@ def ngram_jaccard_pairs(
         inv = inv.join(keep, on=[*block_cols, "__s"]).withColumn(
             "__n", F.count(F.lit(1)).over(Window.partitionBy(*block_cols, "__id"))
         )
+    return inv
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Blocked exact n-gram Jaccard via a sparse inverted index: explode
+    shingles, equi-self-join on (block, shingle) to count each pair's
+    intersection, then Jaccard from the counts. Work is proportional to
+    actual shingle co-occurrences (sum over shingles of count-in-block
+    choose 2), NOT block-size squared — pairs sharing nothing are never
+    materialized (they can't reach any threshold > 0), which replaced a
+    12 s block-pairwise array_intersect pass with a ~2 s join at sf0.1.
+    The block key still bounds the worst case; at 100 TB pass ``max_df``
+    (stop-shingle cut: shingles whose in-block document frequency exceeds
+    the cap are dropped from BOTH the index and the set sizes) to bound
+    the hot inverted lists — boilerplate shingles shared by thousands of
+    docs contribute O(df²) join rows but almost no discriminating signal.
+    With the cut the result is Jaccard over the *informative* shingle
+    sets (slightly approximate vs raw Jaccard; default ``None`` = exact,
+    which is what the SQL oracle checks). Or fall back to MinHash-LSH,
+    which needs no blocks.
+
+    Shingles are hashed to int64 (the same vectorized UDF as
+    ``minhash_features`` — the JVM transform/slice/concat_ws shingling runs
+    interpreted at ~1 ms/doc); full-width hashes keep Jaccard identical to
+    string shingles at ~2^-63 collision odds."""
+
+    inv = ngram_inverted_index(df, id_col, text_col, block_cols, k=k, max_df=max_df)
     a = inv.select(
         *block_cols, F.col("__s"), F.col("__id").alias("id_a"), F.col("__n").alias("__na")
     )

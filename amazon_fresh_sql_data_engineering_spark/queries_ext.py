@@ -118,6 +118,56 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
 
 
+_NGRAM_MAXDF = 4
+
+
+@register(
+    "dedup_ngram_jaccard_maxdf",
+    oracle=f"""
+        WITH all_docs AS ({_DOCS_DUPS_SQL}),
+        sh AS ({_SHINGLE_SQL}),
+        inv AS (SELECT doc_id, lang, blk, u.s FROM sh, unnest(sh.sh) AS u(s)),
+        keep AS (SELECT lang, blk, s FROM inv
+                 GROUP BY lang, blk, s HAVING count(*) <= {_NGRAM_MAXDF}),
+        kept AS (SELECT i.doc_id, i.lang, i.blk, i.s
+                 FROM inv i JOIN keep k USING (lang, blk, s)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM kept a JOIN kept b
+              ON a.lang = b.lang AND a.blk = b.blk AND a.s = b.s
+             AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(i::DOUBLE / (na.n + nb.n - i), 6) AS jaccard_sim
+        FROM inter
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE i::DOUBLE / (na.n + nb.n - i) >= 0.5
+    """,
+    doc="Blocked 3-gram Jaccard with the max_df stop-shingle cut active "
+    f"(df > {_NGRAM_MAXDF} within a block -> shingle dropped from index "
+    "AND set sizes): the inverted-list bound that caps the self-join's "
+    "O(df²) blow-up under boilerplate at 100 TB. Jaccard is over the "
+    "informative shingle sets; the oracle replays the identical cut.",
+)
+def dedup_ngram_jaccard_maxdf(spark, sf_dir):
+    docs = _docs_with_dups(spark, sf_dir).withColumn(
+        "blk", (F.col("n_chars") / 100).cast("long")
+    )
+    pairs = D.ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        block_cols=["lang", "blk"],
+        threshold=0.5,
+        k=3,
+        max_df=_NGRAM_MAXDF,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+
+
 # Exact all-pairs string-shingle Jaccard (k=3) with the size-ratio necessary
 # condition (J >= t forces min/max set-size >= t) as the only prune — the
 # GROUND-TRUTH pair set, used by pytest recall gates (minhash recall is 1.0

@@ -427,6 +427,34 @@ def test_ngram_jaccard_stop_shingle_cut(spark, docs):
     assert c <= b | {(1, 2), (1, 3), (2, 3)}
 
 
+def test_ngram_inverted_list_length_bounded(spark):
+    """Adversarial boilerplate corpus: 200 docs sharing a fixed preamble.
+    Without max_df the preamble shingles' inverted lists are corpus-length
+    (the self-join would materialize O(200²) rows per hot shingle); with
+    max_df every kept list is <= max_df, and duplicate pairs still come out
+    because their overlap lives in the informative (unique-tail) shingles."""
+    boiler = "terms of service apply all rights reserved contact us for details " * 3
+    rows = [(i, boiler + f"unique tail {i} alpha{i} beta{i} gamma{i} delta{i}") for i in range(200)]
+    # two exact dup pairs on the unique tails
+    rows += [(1000, rows[5][1]), (1001, rows[17][1])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "blk", F.lit(0)
+    )
+    raw = D.ngram_inverted_index(docs, "doc_id", "text", ["blk"], k=3)
+    raw_max = raw.groupBy("blk", "__s").count().agg(F.max("count")).collect()[0][0]
+    assert raw_max >= 200  # the hazard is real on this corpus
+    cut = D.ngram_inverted_index(docs, "doc_id", "text", ["blk"], k=3, max_df=5)
+    cut_max = cut.groupBy("blk", "__s").count().agg(F.max("count")).collect()[0][0]
+    assert cut_max <= 5, cut_max
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", ["blk"], threshold=0.5, max_df=5
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # exactly the true dup pairs: boilerplate-only overlap is cut, so
+    # unrelated docs share zero kept shingles and are never materialized
+    assert got == {(5, 1000), (17, 1001)}, got
+
+
 def test_text_feature_tiers_agree(spark, sf_dir):
     """The Arrow-batched text scorer (throughput tier) must produce
     bit-identical values to the Column-expression tier (oracle-parity
