@@ -95,6 +95,47 @@ def audit_report(
     return report
 
 
+def constraint_catalog(
+    spark,
+    specs: dict,
+    checks: dict | None = None,
+    uniques: dict | None = None,
+) -> DataFrame:
+    """Constraint *metadata* as a DataFrame — the engine's answer to the
+    reference's ``SELECT conname, conkey FROM pg_constraint`` introspection
+    (ref A:33-36). Spark declares no constraints, so the catalog is built
+    from the declared EntitySpecs (PK/FK) plus the named CHECK/UNIQUE
+    registries (pipelines/entities.py DECLARED_CHECKS / DECLARED_UNIQUES).
+
+    One row per constraint: (table_name, conname, contype, columns,
+    definition), contype in p/f/c/u following pg_constraint. Metadata-sized
+    — a literal local relation, no scan."""
+    rows = []
+    for name, spec in specs.items():
+        rows.append((name, f"pk_{name}", "p", spec.pk, f"PRIMARY KEY ({spec.pk})"))
+        for fk in spec.fks:
+            rows.append(
+                (
+                    name,
+                    f"fk_{name}_{fk.column}",
+                    "f",
+                    fk.column,
+                    f"FOREIGN KEY ({fk.column}) REFERENCES {fk.parent}",
+                )
+            )
+    for tbl, lst in (checks or {}).items():
+        for cname, cols, definition in lst:
+            rows.append((tbl, cname, "c", ",".join(cols), f"CHECK ({definition})"))
+    for tbl, lst in (uniques or {}).items():
+        for cname, cols in lst:
+            rows.append((tbl, cname, "u", ",".join(cols), f"UNIQUE ({', '.join(cols)})"))
+    schema = (
+        "table_name string, conname string, contype string, "
+        "columns string, definition string"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def assert_clean(
     tables: dict[str, DataFrame],
     primary_keys: dict[str, str],

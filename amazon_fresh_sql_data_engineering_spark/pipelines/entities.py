@@ -130,6 +130,19 @@ def spec_reviews() -> EntitySpec:
     )
 
 
+# Declared constraint metadata beyond PK/FK, mirroring the reference's
+# named constraints (ref A:45 chk_age, A:61 uq_customer_name, A:139
+# chk_rating_range). DEFAULTs (A:143-144) are column attributes, not
+# pg_constraint rows, so they are not part of the constraint catalog —
+# same as the reference's own introspection query would show.
+DECLARED_CHECKS = {
+    "customers": [("chk_age", ["age"], "age > 18")],
+    "reviews": [("chk_rating_range", ["rating"], "rating BETWEEN 1 AND 5")],
+}
+DECLARED_UNIQUES = {
+    "customers": [("uq_customer_name", ["name"])],
+}
+
 SPEC_FACTORIES = {
     "suppliers": spec_suppliers,
     "products": spec_products,

@@ -60,3 +60,26 @@ def test_audit_report_and_assert_clean(spark):
         {"customers": "cid", "orders": "oid"},
         [("orders", "cid", "customers", "cid")],
     )
+
+
+def test_constraint_catalog_lists_declared_metadata(spark):
+    """Introspection surface (ref A:33-36): every declared PK/FK/CHECK/
+    UNIQUE appears with pg_constraint-style contype codes."""
+    from amazon_fresh_sql_data_engineering_spark.pipelines.entities import (
+        DECLARED_CHECKS,
+        DECLARED_UNIQUES,
+        SPEC_FACTORIES,
+    )
+
+    specs = {n: f() for n, f in SPEC_FACTORIES.items()}
+    cat = C.constraint_catalog(spark, specs, DECLARED_CHECKS, DECLARED_UNIQUES)
+    rows = {r.conname: r for r in cat.collect()}
+    assert len(rows) == 15
+    assert rows["pk_customers"].contype == "p"
+    assert rows["pk_customers"].columns == "customerid"
+    assert rows["fk_order_details_productid"].contype == "f"
+    assert "REFERENCES products" in rows["fk_order_details_productid"].definition
+    assert rows["chk_age"].definition == "CHECK (age > 18)"
+    assert rows["uq_customer_name"].contype == "u"
+    # one pk per table, fk edges match the spec graph
+    assert sum(1 for r in rows.values() if r.contype == "p") == len(specs)
