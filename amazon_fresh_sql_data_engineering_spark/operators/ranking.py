@@ -139,6 +139,65 @@ def global_row_number(
     return _offset_window(df, pid_df, offsets, spec, F.row_number, name)
 
 
+def global_lead(
+    df: DataFrame,
+    order_cols,
+    leads: dict[str, str],
+    *,
+    descending: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append LEAD(col, 1) OVER (ORDER BY order_cols) for each ``leads``
+    entry (source column -> output name) with no single-partition stage.
+
+    Two-phase like :func:`global_rank`: range-partition on the ordering
+    spec, then one per-partition window pass computes both the local lead
+    and the partition's first row ("head"). The only rows a local lead
+    gets wrong are each partition's last — their successor lives in the
+    next non-empty partition, whose head is found with a triangular
+    broadcast join over the metadata-sized head set (every non-empty
+    partition contributes exactly one head row, so |heads| <= shuffle
+    partitions) and patched in via a broadcast hash join. The globally
+    last row keeps NULL, matching the SQL form.
+
+    The ordering should be total (include a unique tiebreaker): same
+    determinism contract as LEAD over a non-unique ORDER BY.
+    """
+    spec = _order_spec(order_cols, descending)
+    for c in (_PID, _LOCAL, "__gl_rn", "__gl_head", "__gl_patch", "__gl_hpid"):
+        if c in df.columns:
+            raise ValueError(f"ranking scratch column {c!r} already present")
+    ranged = (
+        df.repartitionByRange(num_partitions, *spec)
+        if num_partitions
+        else df.repartitionByRange(*spec)
+    )
+    pid_df = ranged.withColumn(_PID, F.spark_partition_id())
+    w = Window.partitionBy(_PID).orderBy(*spec)
+    payload = F.struct(*[F.col(src) for src in leads])
+    stamped = pid_df.withColumn(_LOCAL, F.lead(payload).over(w)).withColumn(
+        "__gl_rn", F.row_number().over(w)
+    )
+    heads = stamped.filter(F.col("__gl_rn") == 1).select(
+        F.col(_PID).alias("__gl_hpid"), payload.alias("__gl_head")
+    )
+    later = heads.select(
+        F.col("__gl_hpid").alias("__gl_hpid_b"), F.col("__gl_head").alias("__gl_head_b")
+    )
+    # next non-empty partition's head per partition: min-pid head strictly
+    # after it (triangular join over <= shuffle-partition-count rows)
+    patch = (
+        heads.join(F.broadcast(later), F.col("__gl_hpid_b") > F.col("__gl_hpid"))
+        .groupBy("__gl_hpid")
+        .agg(F.min_by("__gl_head_b", "__gl_hpid_b").alias("__gl_patch"))
+    )
+    fixed = stamped.join(
+        F.broadcast(patch), F.col(_PID) == F.col("__gl_hpid"), "left"
+    ).withColumn(_LOCAL, F.coalesce(F.col(_LOCAL), F.col("__gl_patch")))
+    out_cols = [F.col(_LOCAL)[src].alias(dst) for src, dst in leads.items()]
+    return fixed.select(*df.columns, *out_cols)
+
+
 def global_ntile(
     df: DataFrame,
     n: int,

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .operators.ranking import global_ntile
+from .operators.ranking import global_lead, global_ntile
 from .registry import dec, fin, register
 from .registry import tables as _t
 
@@ -604,18 +604,18 @@ def op_win_distinct_count(spark, sf_dir):
         FROM nxt WHERE next_id - id > 1
         ORDER BY gap_start
     """,
-    doc="Sequence-gap detection (missing-id audit): lead() over the sorted "
-    "key — one sort, no self-join; the classic integrity check for "
-    "ingestion pipelines. (Driver keys are dense, so %7 rows are dropped "
-    "on both sides to give the audit real gaps to find.)",
+    doc="Sequence-gap detection (missing-id audit): two-phase global lead "
+    "(operators/ranking.py global_lead) over the sorted key — no "
+    "single-partition window, no self-join; the classic integrity check "
+    "for ingestion pipelines. (Driver keys are dense, so %7 rows are "
+    "dropped on both sides to give the audit real gaps to find.)",
 )
 def op_seq_gaps(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderkey") <= 2000) & (F.col("o_orderkey") % 7 != 0)
     )
     k = o.select(F.col("o_orderkey").alias("id")).distinct()
-    w = Window.orderBy("id")
-    nxt = k.select("id", F.lead("id").over(w).alias("next_id"))
+    nxt = global_lead(k, "id", {"id": "next_id"})
     return (
         nxt.filter(F.col("next_id") - F.col("id") > 1)
         .select(

@@ -113,7 +113,8 @@ def test_range_join_broadcasts_promo_side(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["q_high_value", "q_product_sales_rank", "q_top_customers_period"]
+    "name",
+    ["q_high_value", "q_product_sales_rank", "q_top_customers_period", "op_seq_gaps"],
 )
 def test_global_rank_has_no_single_partition_stage(spark, sf_dir, name):
     """Two-phase global rank (operators/ranking.py): the whole plan must be

@@ -13,6 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from amazon_fresh_sql_data_engineering_spark.operators.ranking import (
+    global_lead,
     global_ntile,
     global_rank,
     global_row_number,
@@ -80,3 +81,28 @@ def test_single_row(spark):
     df = spark.createDataFrame([(1, 9)], "id int, v int")
     row = global_rank(df, "v", "r").collect()[0]
     assert (row.id, row.v, row.r) == (1, 9, 1)
+
+
+def test_global_lead_matches_single_window(tied_df):
+    exp = tied_df.withColumn(
+        "nid", F.lead("id").over(Window.orderBy("id"))
+    ).withColumn("nv", F.lead("v").over(Window.orderBy("id")))
+    got = global_lead(tied_df, [F.col("id").asc()], {"id": "nid", "v": "nv"})
+    assert {(r.id, r.nid, r.nv) for r in exp.collect()} == {
+        (r.id, r.nid, r.nv) for r in got.collect()
+    }
+
+
+def test_global_lead_descending(tied_df):
+    exp = tied_df.withColumn("nid", F.lead("id").over(Window.orderBy(F.col("id").desc())))
+    got = global_lead(tied_df, "id", {"id": "nid"}, descending=True)
+    assert {(r.id, r.nid) for r in exp.collect()} == {
+        (r.id, r.nid) for r in got.collect()
+    }
+
+
+def test_global_lead_single_and_empty(spark):
+    one = spark.createDataFrame([(1, 2)], "id int, v int")
+    assert global_lead(one, "id", {"v": "nv"}).collect()[0].nv is None
+    empty = spark.createDataFrame([], "id int, v int")
+    assert global_lead(empty, "id", {"v": "nv"}).count() == 0
