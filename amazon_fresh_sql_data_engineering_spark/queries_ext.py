@@ -921,48 +921,80 @@ def mm_frame_sample(spark, sf_dir):
     )
 
 
+def _crc32_table_literal() -> str:
+    """The 256-entry CRC-32 (IEEE 802.3, poly 0xEDB88320) lookup table as a
+    DuckDB list literal — lets the oracle replay zlib.crc32 byte-for-byte
+    in SQL (DuckDB ships no crc32 function)."""
+    out = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+        out.append(c)
+    return "[" + ",".join(str(x) for x in out) + "]"
+
+
 @register(
     "mm_embed_ann",
-    # the crc32-strided pseudo-embedding is not SQL-expressible (DuckDB has
-    # no crc32), so the driver-checked contract is the per-query search
-    # invariants: exactly 3 neighbors, contiguous ranks, monotone
-    # deterministic ordering, cosine in [-1,1], self excluded. The embedding
-    # values themselves are pinned by pytest determinism tests.
-    oracle="""
-        SELECT doc_id AS query_id,
-               3 AS n_neighbors,
-               true AS ranks_contiguous,
-               true AS order_deterministic,
-               true AS sims_in_range,
-               true AS self_excluded
-        FROM documents WHERE doc_id % 50 = 0
+    # FULL algorithm replica (round 3; previously invariants-only): the
+    # oracle recomputes the crc32-strided pseudo-embedding in SQL — crc32
+    # via an inlined lookup table folded with list_reduce over the utf-8
+    # bytes of every 16th character (the corpus is ASCII, asserted below,
+    # so ord(char) == byte), float32 quantization via ::REAL, then the
+    # identical sequential-double-fold cosine, round(6) BEFORE ranking,
+    # and the same (cosine desc, neighbor_id) tiebreak. Exact at any
+    # scale factor. The CAST(... AS DOUBLE) on literals matters: DuckDB
+    # parses bare decimals as exact DECIMAL, Spark as double.
+    oracle=f"""
+        WITH crct AS (SELECT {_crc32_table_literal()}::BIGINT[] AS t),
+        ascii_guard AS (
+            SELECT CASE WHEN count(*) = 0 THEN 1
+                   ELSE error('non-ascii doc breaks byte replay') END AS ok
+            FROM documents WHERE doc_id % 10 = 0 AND octet_length(encode(text)) <> len(text)
+        ),
+        corpus AS (SELECT doc_id, text FROM documents, ascii_guard WHERE doc_id % 10 = 0),
+        emb AS (
+          SELECT doc_id,
+            list_transform(range(0, 16), j ->
+              CAST(CAST(xor(list_reduce(list_prepend(4294967295::BIGINT,
+                    list_transform(range(0, CASE WHEN len(text) > j THEN (len(text) - 1 - j) // 16 + 1 ELSE 0 END),
+                                   i -> ord(substr(text, j + 1 + 16*i, 1))::BIGINT)),
+                    (acc, b) -> xor(acc >> 8, t[xor(acc & 255, b) + 1])), 4294967295) AS DOUBLE)
+                / CAST(2147483647.5 AS DOUBLE) - CAST(1.0 AS DOUBLE) AS REAL)) AS v
+          FROM corpus, crct
+        ),
+        dots AS (
+          SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, 17), i -> CAST(q.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))), (a, x) -> a + x) AS dp,
+            sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, 17), i -> CAST(q.v[i] AS DOUBLE) * CAST(q.v[i] AS DOUBLE))), (a, x) -> a + x)) AS nq,
+            sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, 17), i -> CAST(c.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))), (a, x) -> a + x)) AS nc
+          FROM emb q JOIN emb c ON q.doc_id % 50 = 0 AND q.doc_id <> c.doc_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 round(CASE WHEN nq * nc > 0 THEN dp / (nq * nc) END, 6) AS cosine_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY round(CASE WHEN nq * nc > 0 THEN dp / (nq * nc) END, 6) DESC,
+                                             neighbor_id) AS rank
+          FROM dots
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 3
     """,
     doc="Multimodal -> vector-search bridge: media bytes -> deterministic "
     "pseudo-embedding (mapInPandas; a model runtime would slot in) -> "
-    "exact cosine top-3 neighbors. Exercises the full embed+search path "
-    "on binary inputs; driver-checked via per-query search invariants "
-    "(the pseudo-embedding uses crc32, which the oracle engine lacks).",
+    "exact cosine top-3 neighbors. The oracle replays the ENTIRE "
+    "algorithm in SQL (crc32 lookup-table fold, float32 quantization, "
+    "sequential-fold cosine, round-then-rank), so parity is exact at any "
+    "scale factor — no self-certified invariants left in the catalog.",
 )
 def mm_embed_ann(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     emb = MM.embed_media(MM.attach_fake_media(docs, "doc_id", "text"))
     q = emb.filter(F.col("doc_id") % 50 == 0)
-    topk = S.cosine_topk_bruteforce(q, emb, "doc_id", "doc_id", "embedding", k=3)
-    from pyspark.sql import Window
-
-    # rank order must follow (cosine desc, neighbor_id asc): the rank-k
-    # row's cosine is never below the rank-(k+1) row's
-    w = Window.partitionBy("query_id").orderBy("rank")
-    flagged = topk.withColumn("__next_sim", F.lead("cosine_sim", 1, -2.0).over(w))
-    return flagged.groupBy("query_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_neighbors"),
-        (F.array_sort(F.collect_list("rank")) == F.sequence(F.lit(1), F.count(F.lit(1)))).alias(
-            "ranks_contiguous"
-        ),
-        F.bool_and(F.col("cosine_sim") >= F.col("__next_sim")).alias("order_deterministic"),
-        F.bool_and(F.col("cosine_sim").between(-1.0, 1.0)).alias("sims_in_range"),
-        F.bool_and(F.col("query_id") != F.col("neighbor_id")).alias("self_excluded"),
-    )
+    return S.cosine_topk_bruteforce(q, emb, "doc_id", "doc_id", "embedding", k=3)
 
 
 @register(
