@@ -496,7 +496,11 @@ def sim_ann_ivf(spark, sf_dir):
     """,
     doc="Brute-force cosine top-5 per query vector (10 queries broadcast "
     "against the corpus, JVM-side zip_with dot product, per-query window "
-    "top-k). The exact baseline every ANN variant is measured against.",
+    "top-k). The exact baseline every ANN variant is measured against. "
+    "SCOPE: the broadcast-crossJoin tier is bounded to broadcast-sized "
+    "query sets (work = |queries| x |corpus|); for corpus-x-corpus or "
+    "large query sets use sim_ann_lsh / sim_ann_ivf, whose candidate "
+    "sets come from equi-joins on bucket keys.",
 )
 def sim_cosine_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
