@@ -34,6 +34,7 @@ _PRIORITY = [
     "q_pipe_clean_suppliers",
     "mm_decode_quarantine",
     "dedup_ngram_jaccard_maxdf",
+    "q_constraint_catalog",
     # events_* family: the streaming operators' batch twins (windows,
     # sessionization, JSON/struct props, funnels, rollups, enrichment)
     "events_hourly",
