@@ -88,6 +88,10 @@ _PRIORITY = [
     "op_bitwise_aggs",
     "q_sql_interface",
     "q_profile_columns",
+    # round-3 additions past the ~50-sample cut: picked up next round
+    "op_pack_sequences",
+    "text_repetition_filter",
+    "text_decontaminate",
 ]
 
 

@@ -198,6 +198,48 @@ def global_lead(
     return fixed.select(*df.columns, *out_cols)
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    name: str,
+    *,
+    descending: bool = False,
+    rows_frame: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append SUM(value_col) OVER (ORDER BY order_cols <frame>) — the
+    global running total — with no single-partition stage.
+
+    ``rows_frame=True`` is ROWS UNBOUNDED PRECEDING..CURRENT ROW (give a
+    total order or the result is as nondeterministic as the SQL form);
+    ``False`` is the SQL-default RANGE frame (peers share the value, so
+    any order works). Two-phase: local cumulative sum per range partition
+    plus broadcast offsets of earlier partitions' totals (ties co-located,
+    so RANGE peer groups never split)."""
+    spec = _order_spec(order_cols, descending)
+    pid_df, _, _ = _two_phase(df, spec, num_partitions)
+    sums = pid_df.groupBy(_PID).agg(F.sum(value_col).alias(_CNT))
+    earlier = sums.select(
+        F.col(_PID).alias("__gr_pid_b"), F.col(_CNT).alias("__gr_cnt_b")
+    )
+    offsets = (
+        sums.join(F.broadcast(earlier), F.col("__gr_pid_b") < F.col(_PID), "left")
+        .groupBy(_PID)
+        .agg(F.coalesce(F.sum("__gr_cnt_b"), F.lit(0)).alias(_OFF))
+    )
+    w = Window.partitionBy(_PID).orderBy(*spec)
+    if rows_frame:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = F.sum(value_col).over(w)
+    return (
+        pid_df.withColumn(_LOCAL, local)
+        .join(F.broadcast(offsets), _PID)
+        .withColumn(name, F.col(_LOCAL) + F.col(_OFF))
+        .select(*df.columns, name)
+    )
+
+
 def global_ntile(
     df: DataFrame,
     n: int,

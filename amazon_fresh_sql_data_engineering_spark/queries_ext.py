@@ -24,6 +24,7 @@ from .functions import text as TXT
 from .operators import dedup as D
 from .operators import multimodal as MM
 from .operators import similarity as S
+from .operators.ranking import global_cumsum
 from .registry import fin, register
 from .registry import tables as _t
 from .streaming.events import hourly_rollup, sessionize_batch
@@ -1540,4 +1541,187 @@ def text_bpe_tokens(spark, sf_dir):
         F.size(toks).cast("int").alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).cast("int").alias("n_distinct_tokens"),
         F.element_at(toks, -1).alias("last_token"),
+    )
+
+
+# --- round-3 training-data additions: packing, repetition, decontamination
+
+
+@register(
+    "op_pack_sequences",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM t
+        )
+        SELECT doc_id, n_tokens, cum_tokens,
+               (cum_tokens - 1) // 2048 AS bin_id,
+               ((cum_tokens - n_tokens) // 2048) <> ((cum_tokens - 1) // 2048)
+                   AS crosses_boundary
+        FROM c
+    """,
+    doc="Sequence packing (pretraining context assembly): docs packed in "
+    "id order into 2048-token bins via the two-phase global running "
+    "total (operators/ranking.global_cumsum — no single-partition "
+    "window); bin = which budget window the doc's last token lands in, "
+    "with a flag for docs straddling a boundary. The contiguous-fill "
+    "formulation is exactly reproducible at any scale, unlike greedy "
+    "first-fit which is inherently sequential.",
+)
+def op_pack_sequences(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TXT.token_count("text").alias("n_tokens"))
+    cum = global_cumsum(toks, "doc_id", "n_tokens", "cum_tokens")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.expr("(cum_tokens - 1) div 2048").alias("bin_id"),
+        (
+            F.expr("(cum_tokens - n_tokens) div 2048")
+            != F.expr("(cum_tokens - 1) div 2048")
+        ).alias("crosses_boundary"),
+    )
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct
+            FROM base WHERE len(toks) >= 2
+        ),
+        bi AS (
+            SELECT doc_id, u.bg
+            FROM base, unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS u(bg)
+            WHERE len(toks) >= 2
+        ),
+        cnt AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg),
+        agg AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY doc_id)
+        SELECT w.doc_id, w.n_tokens,
+               round(CAST(top_c AS DOUBLE) / (w.n_tokens - 1), 6) AS top_bigram_frac,
+               round(CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / w.n_tokens, 6)
+                   AS dup_word_frac,
+               round(CAST(top_c AS DOUBLE) / (w.n_tokens - 1), 6) <= 0.08
+                   AND round(CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / w.n_tokens, 6) <= 0.55
+                   AS keep
+        FROM w JOIN agg ON w.doc_id = agg.doc_id
+    """,
+    doc="Repetition-based quality filter (the Gopher/C4-style cut): per "
+    "doc, the most-frequent-bigram fraction and the duplicate-word "
+    "fraction, with the keep decision on the rounded values so both "
+    "engines decide identically. One explode + two hash aggregations — "
+    "no self-joins; the thresholds are corpus-calibrated so the flag "
+    "actually discriminates on the driver data.",
+)
+def text_repetition_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", TXT.tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    words = base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat_ws(' ', toks[i], toks[i+1]))"
+            )
+        ).alias("bg"),
+    )
+    agg = (
+        bi.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    j = words.join(agg, "doc_id")
+    top_frac = F.round(F.col("top_c").cast("double") / (F.col("n_tokens") - 1), 6)
+    dup_frac = F.round(
+        F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_word_frac"),
+        ((top_frac <= 0.08) & (dup_frac <= 0.55)).alias("keep"),
+    )
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+        WITH all_docs AS ({_DOCS_DUPS_SQL}),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, greatest(len(toks) - 6, 1)),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                            || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))
+                       AS grams
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                  FROM all_docs)
+            WHERE len(toks) >= 8
+        ),
+        ex AS (SELECT doc_id, u.g FROM sh, unnest(sh.grams) AS u(g)),
+        bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0 AND doc_id < 1000000),
+        hits AS (
+            SELECT e.doc_id, count(*) AS overlap_8grams
+            FROM ex e JOIN bench b ON e.g = b.g
+            WHERE NOT (e.doc_id % 97 = 0 AND e.doc_id < 1000000)
+            GROUP BY e.doc_id
+        )
+        SELECT s.doc_id,
+               coalesce(h.overlap_8grams, 0) AS overlap_8grams,
+               coalesce(h.overlap_8grams, 0) > 0 AS contaminated
+        FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        WHERE NOT (s.doc_id % 97 = 0 AND s.doc_id < 1000000)
+    """,
+    doc="Benchmark decontamination: flag training docs sharing any 8-gram "
+    "with the held-out set (docs with id % 97 == 0 stand in for an eval "
+    "benchmark; the dup-augmented universe supplies true contamination). "
+    "Distinct 8-grams explode into an equi-join against the benchmark "
+    "gram set — work scales with gram matches, never doc pairs; at 100 TB "
+    "the benchmark side is tiny and broadcastable.",
+)
+def text_decontaminate(spark, sf_dir):
+    docs = _docs_with_dups(spark, sf_dir)
+    is_bench = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 1000000)
+    sh = docs.select("doc_id", D.shingles(F.col("text"), 8).alias("grams")).filter(
+        F.size("grams") > 0
+    )
+    ex = sh.select("doc_id", F.explode("grams").alias("g"))
+    bench = ex.filter(is_bench).select("g").distinct()
+    hits = (
+        ex.filter(~is_bench)
+        .join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap_8grams"))
+    )
+    return (
+        sh.filter(~is_bench)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("overlap_8grams", F.lit(0)).alias("overlap_8grams"),
+            (F.coalesce("overlap_8grams", F.lit(0)) > 0).alias("contaminated"),
+        )
     )

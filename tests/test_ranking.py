@@ -13,6 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from amazon_fresh_sql_data_engineering_spark.operators.ranking import (
+    global_cumsum,
     global_lead,
     global_ntile,
     global_rank,
@@ -106,3 +107,25 @@ def test_global_lead_single_and_empty(spark):
     assert global_lead(one, "id", {"v": "nv"}).collect()[0].nv is None
     empty = spark.createDataFrame([], "id int, v int")
     assert global_lead(empty, "id", {"v": "nv"}).count() == 0
+
+
+def test_global_cumsum_rows_frame(tied_df):
+    exp = tied_df.withColumn(
+        "cs",
+        F.sum("v").over(
+            Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    got = global_cumsum(tied_df, [F.col("v").asc(), F.col("id").asc()], "v", "cs")
+    assert {(r.id, r.cs) for r in exp.collect()} == {
+        (r.id, r.cs) for r in got.collect()
+    }
+
+
+def test_global_cumsum_range_frame_peers_share(tied_df):
+    # SQL-default RANGE frame: all rows tied on the order key share a value
+    exp = tied_df.withColumn("cs", F.sum("v").over(Window.orderBy("v")))
+    got = global_cumsum(tied_df, "v", "v", "cs", rows_frame=False)
+    assert {(r.id, r.cs) for r in exp.collect()} == {
+        (r.id, r.cs) for r in got.collect()
+    }
