@@ -53,6 +53,57 @@ def ctas_bucketed(
     w.format("parquet").saveAsTable(table_name)
 
 
+def ctas_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustered CTAS: multi-dimensional data
+    skipping for parquet min/max pruning.
+
+    Sorting a table by one column gives perfect file-level pruning on that
+    column and none on any other; interleaving the bits of per-column
+    quantile buckets gives every listed column *partial* locality, so a
+    filter on ANY of them skips most files (the layout trick behind
+    Delta/Iceberg OPTIMIZE ZORDER — at 100 TB, file skipping is the
+    difference between scanning terabytes and gigabytes).
+
+    Mechanics: each column is quantile-bucketed to ``2**bits`` ranks with
+    the two-phase :func:`~..operators.ranking.global_ntile` (equi-depth,
+    so skewed columns still spread; no single-partition pass), the bucket
+    bits are interleaved into one z-key, and the write range-partitions +
+    sorts on that key. Tile assignment among exact ties is
+    order-arbitrary — harmless here, it only nudges file boundaries.
+    Scratch columns are dropped after the sort (a narrow projection, so
+    the clustering survives into the files)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.ranking import global_ntile
+
+    work = df
+    bcols = []
+    for i, c in enumerate(cols):
+        name = f"__zb_{i}"
+        work = global_ntile(work, 1 << bits, [F.col(c).asc()], name)
+        bcols.append(name)
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for j, bc in enumerate(bcols):
+            piece = F.shiftright(F.col(bc) - 1, bit).bitwiseAND(F.lit(1)).cast("long")
+            z = z + F.shiftleft(piece, bit * len(cols) + j)
+    keyed = work.withColumn("__zkey", z)
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    out = (
+        keyed.repartitionByRange(n, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey", *bcols)
+    )
+    out.write.mode(mode).parquet(path)
+
+
 def atomic_swap_write(df: DataFrame, final_path: str) -> None:
     """Rewrite-and-swap: materialize to a temp sibling, then atomically
     replace ``final_path``. This is how OP-UPDATE/DELETE rewrites persist

@@ -111,3 +111,42 @@ def test_pipe_clean_publish_partitioned_prunes(spark, sf_dir, tmp_path):
         & (F.col("orderdate") < F.lit("2024-02-01").cast("date"))
     ).count()
     assert rng.count() == expect > 0
+
+
+def test_zorder_write_narrows_file_stats(spark, sf_dir, tmp_path):
+    """Z-order clustering must narrow per-file min/max ranges on BOTH
+    cluster columns vs a hash-layout write — that's the whole point: any
+    single-column filter then skips most files on parquet footer stats."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def avg_norm_range(path):
+        spans = []
+        for col in ["o_custkey", "o_totalprice"]:
+            g = orders.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+            width = float(g.hi) - float(g.lo)
+            per_file = []
+            for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+                st = spark.read.parquet(f).agg(
+                    F.min(col).alias("lo"), F.max(col).alias("hi")
+                ).collect()[0]
+                per_file.append((float(st.hi) - float(st.lo)) / width)
+            spans.append(sum(per_file) / len(per_file))
+        return spans
+
+    zpath = str(tmp_path / "orders_z")
+    sinks.ctas_zordered(orders, zpath, ["o_custkey", "o_totalprice"], bits=8, num_files=8)
+    hpath = str(tmp_path / "orders_h")
+    orders.repartition(8).write.parquet(hpath)
+
+    z_spans, h_spans = avg_norm_range(zpath), avg_norm_range(hpath)
+    # hash layout: every file spans ~the full range of both columns
+    assert all(s > 0.8 for s in h_spans), h_spans
+    # z-order: both columns substantially narrowed per file
+    assert sum(z_spans) < 0.7 * sum(h_spans), (z_spans, h_spans)
+    assert all(s < 0.8 for s in z_spans), z_spans
+    # row preservation
+    assert spark.read.parquet(zpath).count() == orders.count()
