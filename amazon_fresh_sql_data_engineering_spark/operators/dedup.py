@@ -126,7 +126,7 @@ def _shingle_hashes_np(
             hs.append(h)
         wh = np.array(hs, dtype=np.int64)
     win = np.lib.stride_tricks.sliding_window_view(wh, k)
-    # crc32 < 2^32, coeffs < 2^29 -> each product < 2^61; the k<=3 sum may
+    # crc32 < 2^32, coeffs < 2^29 -> each product < 2^61; the k<=8 sum may
     # wrap int64, which numpy defines as two's complement — fine for mod=None
     sh = (win * _SHINGLE_COEF[:k]).sum(axis=1)
     if mod is not None:
@@ -136,8 +136,22 @@ def _shingle_hashes_np(
 
 _EMPTY_I64 = np.empty(0, dtype=np.int64)
 # fixed odd coefficients (< 2^29) for the word-hash combine; position-
-# dependent so "a b c" and "c b a" shingle differently
-_SHINGLE_COEF = np.array([0x1000_0001, 0x0A5F_3C47, 0x1234_5671], dtype=np.int64)
+# dependent so "a b c" and "c b a" shingle differently. First three are
+# frozen (the minhash oracle inlines them); the tail extends the combine
+# to k<=8 (decontamination 8-grams).
+_SHINGLE_COEF = np.array(
+    [
+        0x1000_0001,
+        0x0A5F_3C47,
+        0x1234_5671,
+        0x0B77_8D13,
+        0x1F0E_2A99,
+        0x05C6_71EF,
+        0x1899_B3A5,
+        0x0E34_97C1,
+    ],
+    dtype=np.int64,
+)
 
 
 # process-level word->hash memo: Python workers are reused across Arrow

@@ -205,7 +205,7 @@ def _minhash_replica_sql(threshold: float) -> str:
     named ``all_docs``; terminates with a ``pairs`` CTE."""
     from .operators.dedup import _SHINGLE_COEF, _minhash_perms
 
-    c1, c2, c3 = (int(x) for x in _SHINGLE_COEF)
+    c1, c2, c3 = (int(x) for x in _SHINGLE_COEF[:3])
     perm_rows = ",\n                ".join(
         f"({p}, {a}, {b})" for p, (a, b) in enumerate(_minhash_perms(64, 42))
     )
@@ -1702,25 +1702,29 @@ def text_repetition_filter(spark, sf_dir):
     "the benchmark side is tiny and broadcastable.",
 )
 def text_decontaminate(spark, sf_dir):
-    docs = _docs_with_dups(spark, sf_dir)
-    is_bench = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 1000000)
-    sh = docs.select("doc_id", D.shingles(F.col("text"), 8).alias("grams")).filter(
-        F.size("grams") > 0
-    )
-    ex = sh.select("doc_id", F.explode("grams").alias("g"))
-    bench = ex.filter(is_bench).select("g").distinct()
+    # grams are int64 hashes from the Arrow-batched shingle kernel
+    # (ngram_inverted_index — word-hash memoized, ~2-3x the interpreted JVM
+    # transform/slice/concat_ws shingling): full-width hashing is injective
+    # at ~2^-63 collision odds, so overlap counts equal the oracle's
+    # string-gram counts.
+    docs = _docs_with_dups(spark, sf_dir).withColumn("__blk", F.lit(0))
+    is_bench = (F.col("__id") % 97 == 0) & (F.col("__id") < 1000000)
+    inv = D.ngram_inverted_index(docs, "doc_id", "text", ["__blk"], k=8)
+    ex = inv.select("__id", "__s")
+    bench = ex.filter(is_bench).select("__s").distinct()
     hits = (
         ex.filter(~is_bench)
-        .join(bench, "g")
-        .groupBy("doc_id")
+        .join(bench, "__s")
+        .groupBy("__id")
         .agg(F.count(F.lit(1)).alias("overlap_8grams"))
     )
     return (
-        sh.filter(~is_bench)
-        .select("doc_id")
-        .join(hits, "doc_id", "left")
+        ex.filter(~is_bench)
+        .select("__id")
+        .distinct()
+        .join(hits, "__id", "left")
         .select(
-            "doc_id",
+            F.col("__id").alias("doc_id"),
             F.coalesce("overlap_8grams", F.lit(0)).alias("overlap_8grams"),
             (F.coalesce("overlap_8grams", F.lit(0)) > 0).alias("contaminated"),
         )
