@@ -372,6 +372,7 @@ def ngram_inverted_index(
     block_cols: list[str],
     k: int = 3,
     max_df: int | None = None,
+    include_sizes: bool = True,
 ) -> DataFrame:
     """The sparse inverted index behind ``ngram_jaccard_pairs``: one row per
     (block, shingle-hash, doc) with the doc's kept-shingle count ``__n``.
@@ -404,16 +405,23 @@ def ngram_inverted_index(
     )
     if max_df is not None:
         # stop-shingle cut: recompute per-doc set sizes over the kept
-        # shingles so Jaccard stays internally consistent
+        # shingles so Jaccard stays internally consistent. With
+        # ``include_sizes=False`` the corrected ``__n`` is omitted and the
+        # caller computes sizes as a doc-level aggregate — that avoids
+        # re-shuffling the FULL index by (block, id) just to attach a
+        # per-doc constant (ngram_jaccard_pairs joins sizes at the pair
+        # level instead, which at 100 TB halves the index's shuffle bytes).
         keep = (
             inv.groupBy(*block_cols, "__s")
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") <= max_df)
             .select(*block_cols, "__s")
         )
-        inv = inv.join(keep, on=[*block_cols, "__s"]).withColumn(
-            "__n", F.count(F.lit(1)).over(Window.partitionBy(*block_cols, "__id"))
-        )
+        kept = inv.drop("__n").join(keep, on=[*block_cols, "__s"])
+        if not include_sizes:
+            return kept
+        sizes = kept.groupBy(*block_cols, "__id").agg(F.count(F.lit(1)).alias("__n"))
+        inv = kept.join(sizes, on=[*block_cols, "__id"])
     return inv
 
 
@@ -448,19 +456,56 @@ def ngram_jaccard_pairs(
     interpreted at ~1 ms/doc); full-width hashes keep Jaccard identical to
     string shingles at ~2^-63 collision odds."""
 
-    inv = ngram_inverted_index(df, id_col, text_col, block_cols, k=k, max_df=max_df)
-    a = inv.select(
-        *block_cols, F.col("__s"), F.col("__id").alias("id_a"), F.col("__n").alias("__na")
-    )
-    b = inv.select(
-        *block_cols, F.col("__s"), F.col("__id").alias("id_b"), F.col("__n").alias("__nb")
-    )
-    inter = (
-        a.join(b, on=[*block_cols, "__s"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "__na", "__nb")
-        .agg(F.count(F.lit(1)).alias("__i"))
-    )
+    if max_df is None:
+        # fast path: __n is computed in the pre-explode projection (free),
+        # so it rides the index rows through the self-join
+        inv = ngram_inverted_index(df, id_col, text_col, block_cols, k=k)
+        a = inv.select(
+            *block_cols,
+            F.col("__s"),
+            F.col("__id").alias("id_a"),
+            F.col("__n").alias("__na"),
+        )
+        b = inv.select(
+            *block_cols,
+            F.col("__s"),
+            F.col("__id").alias("id_b"),
+            F.col("__n").alias("__nb"),
+        )
+        inter = (
+            a.join(b, on=[*block_cols, "__s"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "__na", "__nb")
+            .agg(F.count(F.lit(1)).alias("__i"))
+        )
+    else:
+        # max_df path: corrected sizes are a doc-level aggregate joined at
+        # the PAIR level — the full index is shuffled once (by block+shingle
+        # for the self-join), never re-shuffled by doc just to attach __n
+        # 3 plan branches consume the kept index (sizes, both self-join
+        # sides) and its lineage contains the Arrow shingle UDF — persist
+        # so the shingling+cut runs once, not three times (SCALE.md
+        # multi-branch lineage discipline; measured ~2x at sf0.1)
+        kept = ngram_inverted_index(
+            df, id_col, text_col, block_cols, k=k, max_df=max_df, include_sizes=False
+        ).persist()
+        sizes = kept.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+        a = kept.select(*block_cols, F.col("__s"), F.col("__id").alias("id_a"))
+        b = kept.select(*block_cols, F.col("__s"), F.col("__id").alias("id_b"))
+        inter = (
+            a.join(b, on=[*block_cols, "__s"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__i"))
+            .join(
+                sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na")),
+                on="id_a",
+            )
+            .join(
+                sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb")),
+                on="id_b",
+            )
+        )
     jac = F.col("__i").cast("double") / (
         F.col("__na") + F.col("__nb") - F.col("__i")
     ).cast("double")
