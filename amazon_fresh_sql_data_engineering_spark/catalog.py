@@ -92,6 +92,7 @@ _PRIORITY = [
     "op_pack_sequences",
     "text_repetition_filter",
     "text_decontaminate",
+    "op_histogram_equidepth",
 ]
 
 

@@ -454,7 +454,13 @@ def ngram_jaccard_pairs(
     Shingles are hashed to int64 (the same vectorized UDF as
     ``minhash_features`` — the JVM transform/slice/concat_ws shingling runs
     interpreted at ~1 ms/doc); full-width hashes keep Jaccard identical to
-    string shingles at ~2^-63 collision odds."""
+    string shingles at ~2^-63 collision odds.
+
+    NOTE: the ``max_df`` path persists the kept inverted index (it feeds
+    three plan branches whose lineage contains the Arrow shingle UDF) and
+    leaves it cached for the lazy result's lifetime — call
+    ``spark.catalog.clearCache()`` (or unpersist) between many invocations
+    in one long-lived session."""
 
     if max_df is None:
         # fast path: __n is computed in the pre-explode projection (free),

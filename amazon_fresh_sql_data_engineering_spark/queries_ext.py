@@ -1729,3 +1729,41 @@ def text_decontaminate(spark, sf_dir):
             (F.coalesce("overlap_8grams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+@register(
+    "op_histogram_equidepth",
+    oracle="""
+        WITH t AS (
+            SELECT o_totalprice,
+                   ntile(32) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+            FROM orders
+        )
+        SELECT bucket, count(*) AS n,
+               round(CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE), 2) AS lo,
+               round(CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE), 2) AS hi
+        FROM t GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Equi-depth histogram (32 quantile buckets of equal row count — "
+    "the skew-robust profile op_histogram's fixed-width bins are not): "
+    "two-phase global ntile over a total order, then one aggregation. "
+    "The oracle replays SQL-standard NTILE over the identical total "
+    "order, so tie assignment matches exactly.",
+)
+def op_histogram_equidepth(spark, sf_dir):
+    from .operators.ranking import global_ntile
+    from .registry import fin
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tiled = global_ntile(
+        o, 32, [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()], "bucket"
+    )
+    return (
+        tiled.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fin(F.min("o_totalprice").cast("decimal(18,2)")).alias("lo"),
+            fin(F.max("o_totalprice").cast("decimal(18,2)")).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
