@@ -9,6 +9,7 @@ import re
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from amazon_fresh_sql_data_engineering_spark.functions import cleaning as K
 
@@ -190,3 +191,41 @@ def test_minhash_features_stable_under_repartition(spark, sf_dir):
         for r in minhash_features(d.repartition(17), "doc_id", "text").collect()
     }
     assert a == b
+
+
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=120),
+    st.booleans(),
+)
+@_SETTINGS
+def test_global_rank_matches_window_on_random_data(spark, values, descending):
+    """Two-phase global rank == single-window rank on arbitrary data with
+    arbitrary tie structure, both sort directions (operators/ranking.py)."""
+    from pyspark.sql import Window
+
+    from amazon_fresh_sql_data_engineering_spark.operators.ranking import global_rank
+
+    df = spark.createDataFrame(list(enumerate(values)), "id int, v int")
+    key = F.col("v").desc() if descending else F.col("v").asc()
+    exp = {(r.id, r.r) for r in df.withColumn("r", F.rank().over(Window.orderBy(key))).collect()}
+    got = {(r.id, r.r) for r in global_rank(df, "v", "r", descending=descending).collect()}
+    assert got == exp
+
+
+@given(st.lists(st.integers(0, 50), min_size=1, max_size=120))
+@_SETTINGS
+def test_global_cumsum_matches_window_on_random_data(spark, values):
+    from pyspark.sql import Window
+
+    from amazon_fresh_sql_data_engineering_spark.operators.ranking import global_cumsum
+
+    df = spark.createDataFrame(list(enumerate(values)), "id int, v int")
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    exp = {(r.id, r.cs) for r in df.withColumn("cs", F.sum("v").over(w)).collect()}
+    got = {
+        (r.id, r.cs)
+        for r in global_cumsum(
+            df, [F.col("v").asc(), F.col("id").asc()], "v", "cs"
+        ).collect()
+    }
+    assert got == exp
