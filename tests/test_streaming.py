@@ -287,3 +287,63 @@ def test_incremental_clean_pipeline_matches_batch(spark, sf_dir, tmp_path):
 
     streamed = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert streamed == batch_final
+
+
+def test_corpus_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming exact dedup (sink-state foreachBatch upsert) must emit
+    exactly one row per distinct content — the same dedup groups as the
+    batch operator — across multiple arrival batches."""
+    from amazon_fresh_sql_data_engineering_spark.operators.dedup import exact_dedup
+    from amazon_fresh_sql_data_engineering_spark.streaming import corpus as SC
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    src = str(tmp_path / "arrivals")
+    # two files -> the file source delivers them; duplicates span batches
+    docs.write.parquet(src)
+    dup.coalesce(1).write.mode("append").parquet(src)
+
+    stream = SC.stream_documents_from_parquet(spark, src)
+    out = str(tmp_path / "published")
+    SC.run_corpus_dedup_upsert(stream, out, str(tmp_path / "ckpt"))
+    published = spark.read.parquet(out)
+
+    batch = exact_dedup(spark.read.parquet(src), ["text"], "doc_id")
+    assert published.count() == batch.count()
+    # identical dedup GROUPS (fingerprint sets); survivor choice is
+    # arrival-order dependent by design
+    got = {r.fp for r in published.select("fp").collect()}
+    want = {
+        r.fp
+        for r in spark.read.parquet(src)
+        .select(SC.fingerprint("text").alias("fp"))
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    # restart idempotency: re-running the drained stream adds nothing
+    stream2 = SC.stream_documents_from_parquet(spark, src)
+    SC.run_corpus_dedup_upsert(stream2, out, str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(out).count() == batch.count()
+
+
+def test_corpus_dedup_engine_state_form(spark, sf_dir, tmp_path):
+    from amazon_fresh_sql_data_engineering_spark.streaming import corpus as SC
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = SC.corpus_dedup_stream(SC.stream_documents_from_parquet(spark, src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("corpus_dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT fp) AS d FROM corpus_dedup_t").collect()[0]
+    assert got.n == got.d == 100
