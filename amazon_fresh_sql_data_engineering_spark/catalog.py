@@ -93,6 +93,7 @@ _PRIORITY = [
     "text_repetition_filter",
     "text_decontaminate",
     "op_histogram_equidepth",
+    "text_url_dedup",
 ]
 
 

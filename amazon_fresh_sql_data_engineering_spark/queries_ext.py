@@ -1767,3 +1767,99 @@ def op_histogram_equidepth(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# deterministic URL synthesis shared by query and oracle: hosts/paths/ids
+# collide across docs (mod arithmetic), so canonicalization finds real
+# duplicate groups — mixed case, default port, utm tracking params,
+# trailing slashes, fragments are the noise to normalize away
+_URL_SQL = """
+        SELECT doc_id,
+               'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR)
+               || '.Example.COM:443/p/' || CAST(doc_id % 50 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+               || '?utm_source=feed&id=' || CAST(doc_id % 25 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '&ref=abc' ELSE '' END
+               || '#frag' AS url
+        FROM documents
+"""
+
+
+@register(
+    "text_url_dedup",
+    oracle=f"""
+        WITH u AS ({_URL_SQL}),
+        parts AS (
+            SELECT doc_id,
+                   lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+                   lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) AS host,
+                   regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+                   regexp_extract(url, '\\?([^#]*)', 1) AS query
+            FROM u
+        ),
+        canon AS (
+            SELECT doc_id,
+                   scheme || '://' || host
+                   || CASE WHEN path = '/' THEN ''
+                           ELSE regexp_replace(path, '/$', '') END
+                   || CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url
+            FROM (
+                SELECT doc_id, scheme, host, path,
+                       array_to_string(list_sort(list_filter(
+                           string_split(query, '&'),
+                           x -> NOT starts_with(x, 'utm_'))), '&') AS kept
+                FROM parts
+            )
+        )
+        SELECT canonical_url,
+               count(*) AS n_dupes,
+               min(doc_id) AS keep_id
+        FROM canon GROUP BY canonical_url HAVING count(*) > 1
+    """,
+    doc="URL canonicalization + dedup (the crawl-pipeline front door): "
+    "lowercase scheme/host, drop the port, strip tracking (utm_*) params, "
+    "sort surviving params, strip trailing slash and fragment, then group "
+    "by canonical form keeping the min id. Pure regexp/array expressions "
+    "on both engines — one scan + one hash aggregation; the synthetic URL "
+    "column is derived deterministically from doc_id so both sides build "
+    "the identical input.",
+)
+def text_url_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://Site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.COM:443/p/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=feed&id="),
+            (F.col("doc_id") % 25).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("&ref=abc")).otherwise(F.lit("")),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/:?#]+)", 1))
+    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1)
+    query = F.regexp_extract("url", r"\?([^#]*)", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(F.split(query, "&"), lambda x: ~x.startswith("utm_"))
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(path == "/", F.lit("")).otherwise(F.regexp_replace(path, "/$", "")),
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )
+    return (
+        u.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_dupes"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_dupes") > 1)
+    )
