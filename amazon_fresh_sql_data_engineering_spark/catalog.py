@@ -94,6 +94,7 @@ _PRIORITY = [
     "text_decontaminate",
     "op_histogram_equidepth",
     "text_url_dedup",
+    "events_cohort_retention",
 ]
 
 

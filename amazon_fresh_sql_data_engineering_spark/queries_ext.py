@@ -1863,3 +1863,45 @@ def text_url_dedup(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_dupes"), F.min("doc_id").alias("keep_id"))
         .filter(F.col("n_dupes") > 1)
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+            FROM events
+        )
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS INT) AS period,
+               count(DISTINCT a.user_id) AS n_users
+        FROM activity a JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users bucketed by first-seen ISO week, "
+    "counted in each subsequent active week — two aggregations plus one "
+    "join on the (user, week) grain, never a per-user timeline pass; the "
+    "classic product-analytics rollup the events family lacked.",
+)
+def events_cohort_retention(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("CAST(datediff(active_week, cohort_week) div 7 AS INT)").alias(
+                "period"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
