@@ -1416,3 +1416,125 @@ def op_bitwise_aggs(spark, sf_dir):
                count(*) AS n
         FROM __bw_lineitem GROUP BY l_returnflag
     """)
+
+
+@register(
+    "op_outlier_zscore",
+    oracle="""
+        WITH stats AS (
+            SELECT c_nationkey,
+                   count(*) AS n,
+                   sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s1,
+                   sum(CAST(CAST(c_acctbal AS DECIMAL(18,2))
+                            * CAST(c_acctbal AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s2
+            FROM customer GROUP BY c_nationkey
+        ),
+        scored AS (
+            SELECT c.c_nationkey, c.c_custkey,
+                   (CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+                    - CAST(s.s1 AS DOUBLE) / s.n)
+                   / sqrt((CAST(s.s2 AS DOUBLE)
+                           - s.n * (CAST(s.s1 AS DOUBLE) / s.n)
+                                 * (CAST(s.s1 AS DOUBLE) / s.n)) / (s.n - 1)) AS z
+            FROM customer c JOIN stats s USING (c_nationkey)
+            WHERE s.n > 1
+              AND (CAST(s.s2 AS DOUBLE)
+                   - s.n * (CAST(s.s1 AS DOUBLE) / s.n)
+                         * (CAST(s.s1 AS DOUBLE) / s.n)) > 0
+        )
+        SELECT c_nationkey,
+               count(*) AS n_outliers,
+               sum(c_custkey) AS sum_outlier_keys,
+               round(max(abs(z)), 6) AS max_abs_z
+        FROM scored WHERE abs(z) > 1.8
+        GROUP BY c_nationkey
+    """,
+    doc="Grouped anomaly detection: per-nation account-balance z-scores "
+    "with |z| > 1.8 flagged. Group stats come from EXACT decimal sums "
+    "(sum, sum-of-squares) so the mean/variance are order-independent; "
+    "the identical double formula then runs on both engines, making the "
+    "threshold comparison bit-deterministic. The 25-row stats table is "
+    "broadcast back onto the fact scan — no window, no second shuffle of "
+    "the fact table; at 100 TB the pattern is one map-side-combined agg "
+    "plus one broadcast hash join.",
+)
+def op_outlier_zscore(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    bal = dec("c_acctbal")
+    stats = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(bal).alias("s1"),
+        F.sum((bal * bal).cast("decimal(38,4)")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var_num = F.col("s2").cast("double") - F.col("n") * mean * mean
+    scored = (
+        c.join(F.broadcast(stats), "c_nationkey")
+        .filter((F.col("n") > 1) & (var_num > 0))
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            ((bal.cast("double") - mean) / F.sqrt(var_num / (F.col("n") - 1))).alias(
+                "z"
+            ),
+        )
+    )
+    return (
+        scored.filter(F.abs("z") > 1.8)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.sum("c_custkey").alias("sum_outlier_keys"),
+            F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
+        )
+    )
+
+
+@register(
+    "op_incremental_agg",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*), 2) AS avg_price
+        FROM orders GROUP BY 1, 2
+    """,
+    doc="Incremental aggregate maintenance (partial-agg merge): the orders "
+    "fact is split at a cutoff date into a 'published' base and a 'new "
+    "arrivals' delta, each aggregated independently to (count, exact "
+    "decimal sum) partials, then merged by re-aggregating the union — the "
+    "algebraic-merge property that lets a 100 TB pipeline maintain a "
+    "rolling summary by aggregating ONLY the new partition and merging "
+    "partials, never rescanning history. AVG is derived sum/count at "
+    "final projection (it does not merge directly). Oracle is the full "
+    "recompute over all rows — merged partials must equal it exactly.",
+)
+def op_incremental_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("date")
+
+    def partial(df):
+        return df.groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).alias("s"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority", "order_month")
+        .agg(F.sum("n").alias("n_orders"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "o_orderpriority",
+        "order_month",
+        "n_orders",
+        fin("s").alias("revenue"),
+        F.round(F.col("s").cast("double") / F.col("n_orders"), 2).alias("avg_price"),
+    )
