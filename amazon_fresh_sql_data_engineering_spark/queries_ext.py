@@ -1905,3 +1905,148 @@ def events_cohort_retention(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# target mixture weights per language for op_corpus_mixture — the knob a
+# training pipeline turns to rebalance a corpus (e.g. upsample low-resource
+# languages); shared literal between the Spark CASE and the oracle CASE
+_MIX_WEIGHTS = {"en": 4, "de": 2, "fr": 2, "es": 1, "zh": 1}
+
+
+@register(
+    "op_corpus_mixture",
+    oracle=f"""
+        WITH w AS (
+            SELECT lang, count(*) AS n_total,
+                   CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 WHEN 'fr' THEN 2
+                             WHEN 'es' THEN 1 WHEN 'zh' THEN 1 ELSE 1 END AS wt
+            FROM documents GROUP BY lang
+        ),
+        unit AS (SELECT min(n_total // wt) AS u FROM w),
+        rates AS (
+            SELECT lang, n_total, wt,
+                   (wt * u * 1000000) // n_total AS ppm
+            FROM w CROSS JOIN unit
+        )
+        SELECT d.lang, r.n_total, r.ppm AS target_ppm,
+               count(*) AS n_sampled,
+               sum(d.doc_id) AS sum_ids
+        FROM documents d JOIN rates r USING (lang)
+        WHERE CAST(('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000000 < r.ppm
+        GROUP BY 1, 2, 3
+    """,
+    doc="Deterministic corpus mixture sampling (the domain/language "
+    "rebalancing step of a training-data pipeline): per-language target "
+    "weights -> achievable unit = min(count/weight) -> per-language "
+    "acceptance rate in ppm via exact integer arithmetic -> accept a doc "
+    "iff md5(salted id) mod 1e6 < rate. Selection is a pure map-side "
+    "hash-threshold (never rand(), never a rank window over a skewed "
+    "stratum), so it scan-parallelizes at 100 TB; the only shuffles are "
+    "the 5-row counts agg and the final per-language report. The rate "
+    "table is broadcast onto the scan.",
+)
+def op_corpus_mixture(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    wt = F.coalesce(
+        F.create_map(
+            *[x for k, v in _MIX_WEIGHTS.items() for x in (F.lit(k), F.lit(v))]
+        )[F.col("lang")],
+        F.lit(1),
+    ).cast("bigint")
+    w = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total")).withColumn(
+        "wt", wt
+    )
+    unit = w.agg(
+        F.min(F.floor(F.col("n_total") / F.col("wt"))).cast("bigint").alias("u")
+    )
+    rates = w.crossJoin(F.broadcast(unit)).select(
+        "lang",
+        "n_total",
+        ((F.col("wt") * F.col("u") * 1000000) / F.col("n_total"))
+        .cast("bigint")
+        .alias("ppm"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("ppm"))
+        .groupBy("lang", "n_total", F.col("ppm").alias("target_ppm"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+    )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle="""
+        WITH tok AS (
+            SELECT lang, token
+            FROM (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS token
+                  FROM documents)
+            WHERE token <> ''
+        ),
+        vocab AS (
+            SELECT token
+            FROM (SELECT token, count(*) AS c FROM tok GROUP BY token
+                  ORDER BY c DESC, token LIMIT 32)
+        )
+        SELECT t.lang,
+               count(*) AS n_tokens,
+               CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS oov_rate
+        FROM tok t LEFT JOIN vocab v USING (token)
+        GROUP BY t.lang
+    """,
+    doc="Corpus vocabulary build + out-of-vocabulary coverage (tokenizer "
+    "prep): token frequencies -> top-32 vocabulary (ties broken "
+    "lexicographically so both engines cut identically) -> per-language "
+    "OOV occurrence rate. Token counts partial-aggregate map-side before "
+    "the one keyed shuffle; the vocabulary is TakeOrdered-small and "
+    "broadcast back onto the exploded token stream, so the coverage pass "
+    "adds no second full shuffle. At 100 TB the same plan holds with V "
+    "at tokenizer scale (vocab stays broadcast-sized by construction).",
+)
+def text_vocab_coverage(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split("text", r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(32)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )

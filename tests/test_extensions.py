@@ -566,3 +566,43 @@ def test_minhash_recall_vs_ground_truth_corpus(spark, sf_dir):
     # 31-bit-hash Jaccard vs string Jaccard can disagree only via hash
     # collisions (~1e-6); recall gate allows none at this sf
     assert got == exact
+
+
+def test_corpus_mixture_hits_targets_and_is_deterministic(spark, sf_dir):
+    from amazon_fresh_sql_data_engineering_spark.queries_ext import (
+        _MIX_WEIGHTS,
+        op_corpus_mixture,
+    )
+
+    rows = {r.lang: r for r in op_corpus_mixture(spark, sf_dir).collect()}
+    assert set(rows) == set(_MIX_WEIGHTS)
+    total_w = sum(_MIX_WEIGHTS.values())
+    total_sampled = sum(r.n_sampled for r in rows.values())
+    for lang, r in rows.items():
+        # hash-threshold acceptance is binomial around the target ppm:
+        # achieved fraction within 4 sigma of the target mixture share
+        target = _MIX_WEIGHTS[lang] / total_w
+        achieved = r.n_sampled / total_sampled
+        sigma = (target * (1 - target) / max(total_sampled, 1)) ** 0.5
+        assert abs(achieved - target) < 4 * sigma + 0.02, (lang, achieved, target)
+        assert r.n_sampled <= r.n_total
+    # md5 acceptance — bit-identical on rerun
+    again = {r.lang: r for r in op_corpus_mixture(spark, sf_dir).collect()}
+    assert {k: v.sum_ids for k, v in rows.items()} == {
+        k: v.sum_ids for k, v in again.items()
+    }
+
+
+def test_vocab_coverage_rates_well_formed(spark, sf_dir):
+    from amazon_fresh_sql_data_engineering_spark.queries_ext import (
+        text_vocab_coverage,
+    )
+
+    rows = text_vocab_coverage(spark, sf_dir).collect()
+    assert rows, "expected one row per language"
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0.0 <= r.oov_rate <= 1.0
+    # a 32-word vocab over a small closed vocabulary corpus must cover
+    # a nontrivial share: every language's OOV rate strictly below 1
+    assert all(r.oov_rate < 1.0 for r in rows)
