@@ -150,3 +150,50 @@ def test_zorder_write_narrows_file_stats(spark, sf_dir, tmp_path):
     assert all(s < 0.8 for s in z_spans), z_spans
     # row preservation
     assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_zorder_read_path_skips_row_groups(spark, sf_dir, tmp_path):
+    """End-to-end skipping proof: a selective filter through Spark's own
+    parquet reader decodes FAR fewer rows from the z-ordered layout than
+    from a hash layout (pushed min/max filters prune whole row groups
+    before decode — the scan node's numOutputRows metric counts decoded
+    rows). This is the read-side payoff the write-side stats test above
+    only implies."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath, hpath = str(tmp_path / "z"), str(tmp_path / "h")
+    sinks.ctas_zordered(
+        orders, zpath, ["o_custkey", "o_totalprice"], bits=8, num_files=16
+    )
+    orders.repartition(16).write.parquet(hpath)
+
+    lo, hi = 10, 25  # ~10% of the custkey range
+
+    def decoded_rows(path):
+        df = spark.read.parquet(path).filter(
+            (F.col("o_custkey") >= lo) & (F.col("o_custkey") < hi)
+        )
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            m = leaves.apply(i).metrics()
+            if m.contains("numOutputRows"):
+                total += m.apply("numOutputRows").value()
+        return total
+
+    z_rows, h_rows = decoded_rows(zpath), decoded_rows(hpath)
+    n = orders.count()
+    # hash layout spreads the key range over every file: no skipping
+    assert h_rows == n, (h_rows, n)
+    # z-ordered layout: most row groups pruned by footer stats
+    assert z_rows < 0.5 * h_rows, (z_rows, h_rows)
+    # identical query results from both layouts
+    zr = {r.o_orderkey for r in spark.read.parquet(zpath).filter(
+        (F.col("o_custkey") >= lo) & (F.col("o_custkey") < hi)).collect()}
+    hr = {r.o_orderkey for r in spark.read.parquet(hpath).filter(
+        (F.col("o_custkey") >= lo) & (F.col("o_custkey") < hi)).collect()}
+    assert zr == hr and zr
