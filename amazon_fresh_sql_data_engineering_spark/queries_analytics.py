@@ -1578,3 +1578,98 @@ def op_bloom_prune_join(spark, sf_dir):
             fin(F.sum(dec("l_extendedprice"))).alias("revenue"),
         )
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+        WITH p AS (
+            SELECT event_id, user_id, ts AS purchase_ts,
+                   CAST(value AS DECIMAL(18,6)) AS revenue
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT event_id, user_id, ts,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events WHERE event_type = 'click'
+        ),
+        ranked AS (
+            SELECT p.event_id, p.purchase_ts, p.revenue,
+                   c.ts AS click_ts, c.k,
+                   row_number() OVER (PARTITION BY p.event_id
+                                      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+            FROM p LEFT JOIN c
+              ON c.user_id = p.user_id AND c.ts <= p.purchase_ts
+        ),
+        attributed AS (
+            SELECT CASE
+                     WHEN click_ts IS NULL
+                          OR date_diff('second', click_ts, purchase_ts) > 86400
+                       THEN 'organic'
+                     WHEN k % 3 = 0 THEN 'paid'
+                     WHEN k % 3 = 1 THEN 'social'
+                     ELSE 'search'
+                   END AS channel,
+                   revenue
+            FROM ranked WHERE rn = 1
+        )
+        SELECT channel, count(*) AS n_purchases,
+               round(CAST(sum(revenue) AS DOUBLE), 6) AS revenue
+        FROM attributed GROUP BY channel
+    """,
+    doc="Last-touch marketing attribution with a 24 h lookback: each "
+    "purchase takes the most recent prior click by the same user via the "
+    "union-merge as-of join (ONE shuffle+sort of clicks+purchases — "
+    "operators/asof.py — never the O(pairs) range join the oracle "
+    "replays), goes 'organic' when the click is missing or stale, and "
+    "revenue rolls up per derived channel. The left as-of keeps "
+    "unattributed purchases, which is what makes the staleness bound "
+    "meaningful.",
+)
+def events_attribution(spark, sf_dir):
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").cast("decimal(18,6)").alias("revenue"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        payload={"click_ts": "ts", "k": "k"},
+        tiebreak="event_id",
+        how="left",
+    )
+    channel = (
+        F.when(
+            F.col("click_ts").isNull()
+            | (
+                F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+                > 86400
+            ),
+            "organic",
+        )
+        .when(F.col("k") % 3 == 0, "paid")
+        .when(F.col("k") % 3 == 1, "social")
+        .otherwise("search")
+    )
+    return (
+        joined.select(channel.alias("channel"), "revenue")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            fin(F.sum("revenue"), 6).alias("revenue"),
+        )
+    )
