@@ -134,3 +134,43 @@ def analyze_table(spark: SparkSession, table_name: str, columns: list[str] | Non
         spark.sql(f"ANALYZE TABLE {table_name} COMPUTE STATISTICS FOR COLUMNS {cols}")
     else:
         spark.sql(f"ANALYZE TABLE {table_name} COMPUTE STATISTICS")
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction (the OPTIMIZE of a path-based lakehouse).
+
+    Streaming sinks and incremental upserts accrete many small files;
+    at 100 TB that means millions of parquet footers per scan, task
+    launch overhead per file, and NameNode/object-store listing pain.
+    Compaction rewrites the table into files sized to ``target_file_bytes``
+    (computed from the CURRENT on-disk size, so compression ratio is
+    respected) and swaps atomically via :func:`atomic_swap_write` — readers
+    never see a torn table.
+
+    ``sort_within_by`` optionally re-sorts rows within output files so
+    min/max stats stay tight after compaction (pair with
+    :func:`ctas_zordered` for the multi-column variant).
+
+    Returns ``(files_before, files_after)``.
+    """
+    import glob as _glob
+
+    parts = _glob.glob(os.path.join(path, "part-*"))
+    files_before = len(parts)
+    total_bytes = sum(os.path.getsize(p) for p in parts)
+    n_out = max(1, (total_bytes + target_file_bytes - 1) // target_file_bytes)
+    df = spark.read.parquet(path)
+    if sort_within_by:
+        out = df.repartitionByRange(n_out, *sort_within_by).sortWithinPartitions(
+            *sort_within_by
+        )
+    else:
+        out = df.coalesce(n_out) if n_out < files_before else df.repartition(n_out)
+    atomic_swap_write(out, path)
+    files_after = len(_glob.glob(os.path.join(path, "part-*")))
+    return files_before, files_after

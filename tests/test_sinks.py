@@ -197,3 +197,52 @@ def test_zorder_read_path_skips_row_groups(spark, sf_dir, tmp_path):
     hr = {r.o_orderkey for r in spark.read.parquet(hpath).filter(
         (F.col("o_custkey") >= lo) & (F.col("o_custkey") < hi)).collect()}
     assert zr == hr and zr
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "frag")
+    # simulate a small-file problem: 64 tiny files
+    orders.repartition(64).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(f"{path}/part-*")) == 64
+    before_rows = spark.read.parquet(path).count()
+    before_sum = spark.read.parquet(path).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
+    ).collect()[0].s
+
+    nb, na = sinks.compact_files(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert nb == 64 and na < 8, (nb, na)
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert after.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
+    ).collect()[0].s == before_sum
+
+
+def test_compaction_with_sort_keeps_stats_tight(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    path = str(tmp_path / "frag2")
+    orders.repartition(32).write.parquet(path)
+    sinks.compact_files(
+        spark, path, target_file_bytes=24 * 1024, sort_within_by=["o_custkey"]
+    )
+    import glob
+
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) >= 2
+    # range-partitioned + sorted output: per-file custkey spans are disjoint-ish
+    spans = []
+    for f in files:
+        st = spark.read.parquet(f).agg(
+            F.min("o_custkey").alias("lo"), F.max("o_custkey").alias("hi")
+        ).collect()[0]
+        spans.append((st.lo, st.hi))
+    spans.sort()
+    overlaps = sum(1 for (a, b) in zip(spans, spans[1:]) if a[1] > b[0])
+    assert overlaps <= len(spans) // 4, spans
