@@ -66,3 +66,110 @@ def run_corpus_dedup_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def run_corpus_neardup_upsert(
+    docs_stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+) -> None:
+    """Streaming NEAR-duplicate dedup (MinHash-LSH), sink-held state.
+
+    Online semantics: a document is published iff it is not a near-dup
+    of anything already *published* — within a micro-batch the full batch
+    operator runs (banded candidates -> exact-Jaccard verify -> connected
+    components, keep min id per component), then the surviving
+    representatives are screened against the published table through the
+    same banded-LSH candidate join + verify. Each published row carries
+    its MinHash signature and shingle-hash set, so screening later
+    batches never re-shingles history — the sink table IS the LSH index.
+
+    Differences from the batch operator, stated honestly: transitive
+    closure never spans batches (an arrival matching only never-published
+    dropped docs is itself published), which is inherent to any online
+    dedup — you can only compare arrivals against survivors. The
+    invariant that DOES hold, and that tests assert, is that no two
+    published documents verify as near-dups.
+
+    At 100 TB the published-side band join is the cost to watch: write
+    the sink bucketed/partitioned by band prefix so each batch's
+    candidate probe prunes to matching buckets instead of scanning the
+    full index (the same lever as every LSH family here).
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..operators.dedup import (
+        _candidates_from_sig,
+        dedup_corpus,
+        jaccard,
+        minhash_dedup_pairs,
+        minhash_features,
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates([id_col])
+        # within-batch: full batch semantics (components, min-id reps)
+        pairs = minhash_dedup_pairs(
+            batch, id_col, text_col, threshold, num_hashes, bands, k, seed
+        )
+        reps = dedup_corpus(batch, pairs, id_col)
+        feats = minhash_features(reps, id_col, text_col, num_hashes, k, seed)
+        sig_t = feats.schema["__sig"].dataType
+        h_t = feats.schema["__h"].dataType
+        # left join + empty-array fill: docs under the shingle width have
+        # no features but are still unique content (batch semantics keeps
+        # them); their empty sets can never verify >= threshold
+        out = (
+            reps.join(feats.withColumnRenamed("__id", id_col), on=id_col, how="left")
+            .withColumn("__sig", F.coalesce("__sig", F.array().cast(sig_t)))
+            .withColumn("__h", F.coalesce("__h", F.array().cast(h_t)))
+        )
+        try:
+            published = spark.read.parquet(out_path).select(id_col, "__sig", "__h")
+        except AnalysisException:
+            published = None  # first batch: nothing published yet
+        if published is not None:
+            # ids on the published side are negated so the a<b dedup in the
+            # banded self-join can't collapse a (batch, published) pair with
+            # a same-id batch row, and side membership stays decodable
+            pub_sig = published.select(
+                (-F.col(id_col) - 1).alias("__id"), "__sig"
+            )
+            both = out.select(F.col(id_col).alias("__id"), "__sig").unionByName(
+                pub_sig
+            )
+            cands = _candidates_from_sig(both, num_hashes, bands).filter(
+                # exactly one side published (negative id)
+                (F.col("id_a") < 0) != (F.col("id_b") < 0)
+            )
+            cross = cands.select(
+                F.greatest("id_a", "id_b").alias("__bid"),
+                (-F.least("id_a", "id_b") - 1).alias("__pid"),
+            )
+            ph = published.select(F.col(id_col).alias("__pid"), F.col("__h").alias("__ph"))
+            bh = out.select(F.col(id_col).alias("__bid"), F.col("__h").alias("__bh"))
+            dupe_ids = (
+                cross.join(bh, "__bid")
+                .join(ph, "__pid")
+                .filter(jaccard(F.col("__bh"), F.col("__ph")) >= threshold)
+                .select(F.col("__bid").alias(id_col))
+                .distinct()
+            )
+            out = out.join(dupe_ids, on=id_col, how="left_anti")
+        out.write.mode("append").parquet(out_path)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -347,3 +347,78 @@ def test_corpus_dedup_engine_state_form(spark, sf_dir, tmp_path):
     q.awaitTermination()
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT fp) AS d FROM corpus_dedup_t").collect()[0]
     assert got.n == got.d == 100
+
+
+def test_corpus_neardup_stream_screens_arrivals(spark, sf_dir, tmp_path):
+    """Streaming MinHash near-dup: exact and near copies arriving after
+    their originals are published must be screened out; novel docs must
+    still publish; and the published set must contain no near-dup pair.
+    Re-draining with a fresh checkpoint adds nothing (self-match)."""
+    from amazon_fresh_sql_data_engineering_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+    from amazon_fresh_sql_data_engineering_spark.streaming import corpus as SC
+
+    all_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+    first = all_docs.limit(100)
+    novel = all_docs.filter(
+        (F.col("doc_id") >= 150) & (F.col("doc_id") < 160)
+    )
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "published")
+    ckpt = str(tmp_path / "ckpt")
+
+    first.write.parquet(src)
+    SC.run_corpus_neardup_upsert(
+        SC.stream_documents_from_parquet(spark, src), out, ckpt
+    )
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0
+
+    # wave 2: exact copies, near copies (suffix mutation), and novel docs
+    exact = first.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    near = first.withColumn("doc_id", F.col("doc_id") + 2_000_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" qq ww ee rr tt yy"))
+    )
+    exact.unionByName(near).unionByName(novel).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    SC.run_corpus_neardup_upsert(
+        SC.stream_documents_from_parquet(spark, src), out, ckpt
+    )
+    published = spark.read.parquet(out)
+    pub_ids = {r.doc_id for r in published.select("doc_id").collect()}
+    # exact copies NEVER publish (identical content always verifies 1.0
+    # against its published original, or its original's screener)
+    assert not any(1_000_000 <= i < 2_000_000 for i in pub_ids)
+    # every screened doc has a verified >= threshold pair as its reason;
+    # every published near copy is one whose suffix mutation pushed it
+    # under the threshold (short docs — legitimately not near-dups)
+    all_pairs = minhash_dedup_pairs(
+        spark.read.parquet(src).select("doc_id", "text"),
+        "doc_id",
+        "text",
+        threshold=0.7,
+    ).collect()
+    paired_ids = {i for r in all_pairs for i in (r.id_a, r.id_b)}
+    arrived = {r.doc_id for r in spark.read.parquet(src).select("doc_id").collect()}
+    dropped = arrived - pub_ids
+    assert dropped <= paired_ids, sorted(dropped - paired_ids)[:5]
+    novel_ids = {r.doc_id for r in novel.collect()}
+    assert pub_ids & novel_ids, "at least some novel docs must publish"
+    # the published set is pairwise near-dup free
+    leftover = minhash_dedup_pairs(
+        published.select("doc_id", "text"), "doc_id", "text", threshold=0.7
+    )
+    assert leftover.count() == 0
+    # fresh-checkpoint redrain: everything self-matches, nothing added
+    SC.run_corpus_neardup_upsert(
+        SC.stream_documents_from_parquet(spark, src),
+        out,
+        str(tmp_path / "ckpt2"),
+    )
+    assert spark.read.parquet(out).count() == published.count()
