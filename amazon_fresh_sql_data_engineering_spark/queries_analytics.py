@@ -1446,11 +1446,11 @@ def op_bitwise_aggs(spark, sf_dir):
                count(*) AS n_outliers,
                sum(c_custkey) AS sum_outlier_keys,
                round(max(abs(z)), 6) AS max_abs_z
-        FROM scored WHERE abs(z) > 1.8
+        FROM scored WHERE abs(z) > 1.5
         GROUP BY c_nationkey
     """,
     doc="Grouped anomaly detection: per-nation account-balance z-scores "
-    "with |z| > 1.8 flagged. Group stats come from EXACT decimal sums "
+    "with |z| > 1.5 flagged. Group stats come from EXACT decimal sums "
     "(sum, sum-of-squares) so the mean/variance are order-independent; "
     "the identical double formula then runs on both engines, making the "
     "threshold comparison bit-deterministic. The 25-row stats table is "
@@ -1480,7 +1480,7 @@ def op_outlier_zscore(spark, sf_dir):
         )
     )
     return (
-        scored.filter(F.abs("z") > 1.8)
+        scored.filter(F.abs("z") > 1.5)
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_outliers"),
