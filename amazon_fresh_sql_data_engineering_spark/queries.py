@@ -879,3 +879,47 @@ def q_top_categories(spark, sf_dir):
         .orderBy(F.col("line_count").desc(), "r_name")
         .limit(3)
     )
+
+
+@register(
+    "op_set_ops_all",
+    oracle="""
+        SELECT 'intersect_all' AS op, o_orderpriority AS val, count(*) AS n
+        FROM (
+            SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000
+            INTERSECT ALL
+            SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        ) GROUP BY 2
+        UNION ALL
+        SELECT 'except_all' AS op, o_orderpriority AS val, count(*) AS n
+        FROM (
+            SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000
+            EXCEPT ALL
+            SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        ) GROUP BY 2
+    """,
+    doc="OP-SET multiset variants (SURVEY §2.8 completion): INTERSECT ALL "
+    "keeps min(countA, countB) copies per value, EXCEPT ALL keeps "
+    "countA - countB — bag semantics the DISTINCT set ops in "
+    "op_set_intersect_except cannot express (duplicate *degrees* "
+    "survive). Result is folded to (value, multiplicity) so the output "
+    "is deterministic. Spark's intersectAll/exceptAll lower to a single "
+    "count-based aggregation + generate, not a join — one shuffle each.",
+)
+def op_set_ops_all(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 150000).select("o_orderpriority")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    inter = (
+        a.intersectAll(b)
+        .groupBy(F.col("o_orderpriority").alias("val"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "val", "n")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy(F.col("o_orderpriority").alias("val"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "val", "n")
+    )
+    return inter.unionAll(exc)

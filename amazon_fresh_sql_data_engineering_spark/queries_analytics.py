@@ -1673,3 +1673,49 @@ def events_attribution(spark, sf_dir):
             fin(F.sum("revenue"), 6).alias("revenue"),
         )
     )
+
+
+@register(
+    "op_skew_salted_join",
+    oracle="""
+        WITH dim AS (
+            SELECT DISTINCT o_orderpriority,
+                   CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_rank
+            FROM orders
+        )
+        SELECT d.prio_rank,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS revenue
+        FROM orders o JOIN dim d USING (o_orderpriority)
+        GROUP BY d.prio_rank
+    """,
+    doc="Skew-safe dimension join (operators/skew.salted_broadcast_join, "
+    "the join-side sibling of op_skew_two_phase_agg): o_orderpriority has "
+    "5 values, so a plain shuffle join lands each hot key on one "
+    "reducer. The salted form replicates the broadcast dim 16x on a "
+    "synthetic salt and spreads each hot key across 16 streams; results "
+    "are identical to the plain join (oracle = plain JOIN + GROUP BY). "
+    "At 100 TB this is the standard recipe for any fact-to-small-dim "
+    "join with a pathological key histogram.",
+)
+def op_skew_salted_join(spark, sf_dir):
+    from .operators.skew import salted_broadcast_join
+
+    o = _t(spark, sf_dir, "orders")
+    dim = (
+        o.select("o_orderpriority")
+        .distinct()
+        .withColumn(
+            "prio_rank", F.substring("o_orderpriority", 1, 1).cast("int")
+        )
+    )
+    joined = salted_broadcast_join(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        dim,
+        "o_orderpriority",
+    )
+    return joined.groupBy("prio_rank").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        fin(F.sum(dec("o_totalprice"))).alias("revenue"),
+    )

@@ -2142,3 +2142,142 @@ def text_normalize(spark, sf_dir):
         .alias("n_recovered"),
         F.sum(F.length("cleaned")).cast("bigint").alias("total_norm_chars"),
     )
+
+
+@register(
+    "text_line_dedup",
+    oracle=f"""
+        WITH all_docs AS ({_DOCS_DUPS_SQL}),
+        w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs),
+        segs AS (
+            SELECT doc_id, u.i AS pos,
+                   array_to_string(ws[(u.i*10+1):(u.i*10+10)], ' ') AS seg
+            FROM w, unnest(range(0,
+                greatest(CAST(ceil(len(ws)/10.0) AS BIGINT), 1))) u(i)
+        ),
+        h AS (SELECT doc_id, pos, seg, md5(seg) AS hh FROM segs),
+        firsts AS (
+            SELECT hh, min(doc_id*1000000 + pos) AS first_key
+            FROM h GROUP BY hh
+        ),
+        kept AS (
+            SELECT h.doc_id, h.pos, h.seg
+            FROM h JOIN firsts f ON h.hh = f.hh
+            WHERE h.doc_id*1000000 + h.pos = f.first_key
+        ),
+        tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id),
+        k AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(seg, ' ' ORDER BY pos) AS kept_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_segs,
+               coalesce(k.n_kept, 0) AS n_kept,
+               coalesce(k.kept_text, '') AS kept_text
+        FROM tot t LEFT JOIN k USING (doc_id)
+    """,
+    doc="Line-level (segment) dedup with document reassembly — the "
+    "CCNet/RefinedWeb shape the corpus-level dedup family lacked: each "
+    "document is split into 10-word segments, a segment survives only at "
+    "its globally-first (doc_id, pos) occurrence, and surviving segments "
+    "are re-joined per document in original order (boilerplate lines "
+    "repeated across a crawl vanish; docs reduced to nothing stay as "
+    "empty rows for downstream length filters). Scale shape: the "
+    "first-occurrence group carries the 32-char md5 of the segment, never "
+    "the segment text, so the global shuffle is fixed-width; reassembly "
+    "is one (doc_id)-keyed aggregation. No windows, no collects.",
+)
+def text_line_dedup(spark, sf_dir):
+    d = _docs_with_dups(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_segs = F.greatest(
+        F.ceil(F.size(words) / F.lit(10.0)).cast("int"), F.lit(1)
+    )
+    segs = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+            )
+        ).alias("pos", "seg"),
+    )
+    h = segs.withColumn("hh", F.md5("seg"))
+    occ_key = (F.col("doc_id") * 1000000 + F.col("pos")).alias("occ")
+    firsts = h.groupBy("hh").agg(
+        F.min(F.col("doc_id") * 1000000 + F.col("pos")).alias("first_key")
+    )
+    kept = (
+        h.select("doc_id", "pos", "seg", "hh", occ_key)
+        .join(firsts, "hh")
+        .filter(F.col("occ") == F.col("first_key"))
+    )
+    tot = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s.seg,
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return tot.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        "n_segs",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )
+
+
+@register(
+    "text_entropy_filter",
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id, substr(text, CAST(u.i AS INT), 1) AS ch
+            FROM documents, unnest(range(1, length(text) + 1)) u(i)
+        ),
+        counts AS (
+            SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2
+        ),
+        ent AS (
+            SELECT doc_id, SUM(c) AS n_chars_counted,
+                   round(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS entropy
+            FROM counts GROUP BY doc_id
+        )
+        SELECT doc_id, n_chars_counted, entropy,
+               entropy >= 4.10 AS keep
+        FROM ent
+    """,
+    doc="Character-entropy quality gate (the information-theoretic "
+    "complement to the length/punct ratios in text_quality_langid): "
+    "Shannon entropy over the per-document character distribution, "
+    "H = log2(n) - sum(c*log2(c))/n, keep decided on the ROUNDED value "
+    "so both engines agree at the threshold (4.10 splits the corpus "
+    "~60/40 at every sf). Degenerate spam (one repeated char) scores "
+    "near 0; natural text sits near the alphabet's ~4.2 bits. Scale "
+    "shape: explode to (doc, char) then two map-side-combinable "
+    "aggregations — the (doc_id, ch) shuffle carries one byte of key "
+    "beyond the id and combiners collapse it to at most "
+    "|alphabet| rows per doc.",
+)
+def text_entropy_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    ent = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars_counted"),
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+            4,
+        ).alias("entropy"),
+    )
+    return ent.select(
+        "doc_id",
+        "n_chars_counted",
+        "entropy",
+        (F.col("entropy") >= 4.10).alias("keep"),
+    )
