@@ -2281,3 +2281,105 @@ def text_entropy_filter(spark, sf_dir):
         "entropy",
         (F.col("entropy") >= 4.10).alias("keep"),
     )
+
+
+# containment universe: documents + concatenated "host" docs (every 25th doc
+# concatenated with its successor) — the true-positive shape for containment:
+# each component is ~fully contained in its host while Jaccard sits near 0.5,
+# below any near-dup threshold. Both engines build the identical universe.
+_CONTAIN_SQL = """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        UNION ALL
+        SELECT d.doc_id + 3000000, d.text || ' ' || e.text, d.lang, d.source,
+               d.n_chars + 1 + e.n_chars
+        FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+        WHERE d.doc_id % 25 = 0
+"""
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+        WITH all_docs AS ({_CONTAIN_SQL}),
+        shf AS (
+            SELECT doc_id, lang,
+                   list_distinct(
+                     list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ) AS s
+            FROM (SELECT doc_id, lang,
+                         regexp_split_to_array(trim(text), '\\s+') AS toks
+                  FROM all_docs)
+            WHERE len(toks) >= 3
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / least(len(a.s), len(b.s)), 6) AS containment,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+                   AS jaccard_sim
+        FROM shf a JOIN shf b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / least(len(a.s), len(b.s)) >= 0.9
+    """,
+    doc="Asymmetric containment dedup: C = |A∩B| / min(|A|,|B|) over "
+    "distinct 3-gram shingle sets flags a short document embedded inside "
+    "a longer one (quote farms, page-plus-boilerplate, doc+doc concats) "
+    "— pairs whose Jaccard sits near 0.5 and therefore survive every "
+    "symmetric near-dup gate; jaccard_sim is emitted alongside to show "
+    "the gap. Same sparse inverted-index shape as dedup_ngram_jaccard "
+    "(work ∝ shingle co-occurrences, never block²; the shuffle carries "
+    "int64 shingle hashes, never text; max_df in ngram_inverted_index is "
+    "the boilerplate lever at 100 TB), blocked on lang only since "
+    "containment pairs have *different* sizes by construction — a size "
+    "bucket would split every true positive. Oracle replays with string "
+    "shingles (full-width int64 hashing is injective at ~2^-63).",
+)
+def dedup_containment(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    e = d.select(
+        (F.col("doc_id") - F.lit(1)).alias("__host_id"),
+        F.col("text").alias("__text2"),
+        F.col("n_chars").alias("__n2"),
+    )
+    hosts = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .join(e, F.col("doc_id") == F.col("__host_id"))
+        .select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat("text", F.lit(" "), "__text2").alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + 1 + F.col("__n2")).alias("n_chars"),
+        )
+    )
+    universe = d.unionByName(hosts).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # persist: the pair self-join reads the index twice and its lineage
+    # contains the Arrow shingle UDF (same rationale as the max_df path in
+    # ngram_jaccard_pairs — clearCache() between invocations in a
+    # long-lived session)
+    inv = D.ngram_inverted_index(universe, "doc_id", "text", ["lang"], k=3).persist()
+    a = inv.select(
+        "lang", "__s", F.col("__id").alias("id_a"), F.col("__n").alias("__na")
+    )
+    b = inv.select(
+        "lang", "__s", F.col("__id").alias("id_b"), F.col("__n").alias("__nb")
+    )
+    inter = (
+        a.join(b, on=["lang", "__s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    cont = F.col("__i").cast("double") / F.least("__na", "__nb")
+    jac = F.col("__i").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__i")
+    )
+    return inter.filter(cont >= 0.9).select(
+        "id_a",
+        "id_b",
+        F.round(cont, 6).alias("containment"),
+        F.round(jac, 6).alias("jaccard_sim"),
+    )
