@@ -606,3 +606,52 @@ def test_vocab_coverage_rates_well_formed(spark, sf_dir):
     # a 32-word vocab over a small closed vocabulary corpus must cover
     # a nontrivial share: every language's OOV rate strictly below 1
     assert all(r.oov_rate < 1.0 for r in rows)
+
+
+def test_containment_finds_embedded_docs_jaccard_misses(spark, sf_dir):
+    """The operator's reason to exist: every synthetic host doc (component
+    || ' ' || successor) is flagged against its first component with
+    containment ~1.0 while the pair's Jaccard sits far below the 0.5
+    near-dup threshold used by the symmetric dedup family."""
+    from amazon_fresh_sql_data_engineering_spark.queries_ext import (
+        dedup_containment,
+    )
+
+    rows = dedup_containment(spark, sf_dir).collect()
+    assert rows
+    host_pairs = [r for r in rows if r.id_b >= 3000000 and r.id_a == r.id_b - 3000000]
+    assert host_pairs, "every host must pair with its first component"
+    for r in host_pairs:
+        assert r.containment >= 0.9
+    # the asymmetric gap: most hosts are flagged precisely because
+    # min-normalization ignores the size mismatch that caps Jaccard near
+    # |A|/|B| ~ 0.5 (a few pairs score high on both when the successor
+    # shares much of the closed vocabulary — that's fine)
+    below = [r for r in host_pairs if r.jaccard_sim < 0.75]
+    assert len(below) >= len(host_pairs) // 2, (len(below), len(host_pairs))
+    assert any(r.jaccard_sim < 0.6 for r in host_pairs)
+
+
+def test_line_dedup_exact_copy_loses_every_segment(spark, sf_dir):
+    """Segment-level first-occurrence semantics: an exact-copy doc
+    (id + 1_000_000 in the dup universe) shares every 10-word segment with
+    its original, so the copy keeps zero segments and reassembles to the
+    empty string, while the original keeps all of its own."""
+    from amazon_fresh_sql_data_engineering_spark.queries_ext import (
+        text_line_dedup,
+    )
+
+    out = {r.doc_id: r for r in text_line_dedup(spark, sf_dir).collect()}
+    originals = [i for i in out if i < 1000000 and i % 10 == 0 and i + 1000000 in out]
+    assert originals
+    for i in originals[:20]:
+        orig, copy = out[i], out[i + 1000000]
+        assert orig.n_segs == copy.n_segs
+        assert copy.n_kept == 0 and copy.kept_text == ""
+        # the original is the globally-first occurrence of its segments
+        # unless an earlier doc happens to share one
+        assert orig.n_kept >= 0 and orig.n_segs >= 1
+    # reassembly preserves order: some doc with all segments kept must
+    # round-trip to its own text modulo the final short segment
+    full_keep = [r for r in out.values() if r.n_kept == r.n_segs and r.n_segs > 1]
+    assert full_keep
