@@ -2383,3 +2383,127 @@ def dedup_containment(spark, sf_dir):
         F.round(cont, 6).alias("containment"),
         F.round(jac, 6).alias("jaccard_sim"),
     )
+
+
+_KM_K = 8
+
+_KM_DIST = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(e.v) + 1),
+                                i -> (e.v[i] - {c}.c[i]) * (e.v[i] - {c}.c[i]))),
+                 (a, x) -> a + x)"""
+
+
+@register(
+    "op_kmeans_refine",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {_KM_K}),
+        d1 AS (
+            SELECT e.vec_id, c0.cid, {_KM_DIST.format(c="c0")} AS dist
+            FROM e, c0
+        ),
+        a1 AS (
+            SELECT d1.vec_id, min(d1.cid) AS cid FROM d1
+            JOIN (SELECT vec_id, min(dist) AS md FROM d1 GROUP BY vec_id) m
+              ON d1.vec_id = m.vec_id AND d1.dist = m.md
+            GROUP BY d1.vec_id
+        ),
+        m1 AS (
+            SELECT cid, pos, round(avg(x), 6) AS m FROM (
+                SELECT a1.cid, generate_subscripts(e.v, 1) AS pos,
+                       unnest(e.v) AS x
+                FROM a1 JOIN e USING (vec_id)
+            ) GROUP BY cid, pos
+        ),
+        c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM m1 GROUP BY cid),
+        d2 AS (
+            SELECT e.vec_id, c1.cid, {_KM_DIST.format(c="c1")} AS dist
+            FROM e, c1
+        ),
+        a2 AS (
+            SELECT d2.vec_id, min(d2.cid) AS cid FROM d2
+            JOIN (SELECT vec_id, min(dist) AS md FROM d2 GROUP BY vec_id) m
+              ON d2.vec_id = m.vec_id AND d2.dist = m.md
+            GROUP BY d2.vec_id
+        ),
+        m2 AS (
+            SELECT cid, pos, round(avg(x), 6) AS m FROM (
+                SELECT a2.cid, generate_subscripts(e.v, 1) AS pos,
+                       unnest(e.v) AS x
+                FROM a2 JOIN e USING (vec_id)
+            ) GROUP BY cid, pos
+        ),
+        c2 AS (SELECT cid, list(m ORDER BY pos) AS c FROM m2 GROUP BY cid)
+        SELECT cnt.cid, cnt.n_members,
+               round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(c2.c, m -> m * m)), (a, x) -> a + x)), 6)
+                   AS centroid_norm
+        FROM (SELECT cid, count(*) AS n_members FROM a2 GROUP BY cid) cnt
+        JOIN c2 USING (cid)
+    """,
+    doc=f"Distributed k-means refinement, two unrolled Lloyd iterations "
+    f"(k={_KM_K}, init = the k lowest vec_ids — deterministic, no rand()): "
+    "assign via broadcast of the k-row centroid table against the full "
+    "vector scan (sequential-fold squared-L2 so both engines add in array "
+    "order; ties break to the lowest cid on bit-identical distances), "
+    "recompute per-dim means with the op_vector_centroids shape "
+    "(posexplode -> combiner-collapsed (cid, dim) partial sums -> ordered "
+    "reassembly), centroids ROUNDED to 6 before the next assign so the "
+    "iteration consumes engine-identical values. The iterative-training-"
+    "step pattern at 100 TB: per iteration one broadcast join + one "
+    "map-side-combined shuffle of k x dim partials — vectors are scanned, "
+    "never shuffled; assignments persist across the two downstream reads. "
+    "Oracle unrolls both iterations in SQL.",
+)
+def op_kmeans_refine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    init = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+
+    def assign(cents):
+        d = emb.join(F.broadcast(cents), how="cross")
+        dist = F.aggregate(
+            F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return (
+            d.select("vec_id", "v", "cid", dist.alias("dist"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid", "v")).alias("b"))
+            .select("vec_id", F.col("b.cid").alias("cid"), F.col("b.v").alias("v"))
+        )
+
+    def recompute(assigned):
+        flat = assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        means = flat.groupBy("cid", "pos").agg(F.round(F.avg("x"), 6).alias("m"))
+        return means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+
+    c1 = recompute(assign(init))
+    # a2 feeds both the membership counts and the final centroids; persist
+    # so the first iteration isn't replayed per branch (at scale: the
+    # standard per-iteration materialization point of Lloyd's on Spark)
+    a2 = assign(c1).persist()
+    counts = a2.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    c2 = recompute(a2)
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform("c", lambda m: m * m), F.lit(0.0), lambda a, x: a + x
+            )
+        ),
+        6,
+    )
+    return counts.join(c2, "cid").select(
+        "cid", "n_members", norm.alias("centroid_norm")
+    )
