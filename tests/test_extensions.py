@@ -655,3 +655,64 @@ def test_line_dedup_exact_copy_loses_every_segment(spark, sf_dir):
     # round-trip to its own text modulo the final short segment
     full_keep = [r for r in out.values() if r.n_kept == r.n_segs and r.n_segs > 1]
     assert full_keep
+
+
+def test_entropy_filter_bounds_and_degenerate_doc(spark, sf_dir):
+    """0 <= H <= log2(|alphabet|); a one-char doc scores exactly 0."""
+    import math
+
+    from amazon_fresh_sql_data_engineering_spark.queries_ext import (
+        text_entropy_filter,
+    )
+
+    rows = text_entropy_filter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.entropy <= math.log2(128) + 1e-9
+        assert r.keep == (r.entropy >= 4.10)
+    # degenerate input through the same expression chain
+    from pyspark.sql import functions as F
+
+    one = spark.range(1).select(
+        F.col("id").alias("doc_id"), F.lit("aaaaaaaa").alias("text")
+    )
+    chars = one.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    ent = counts.groupBy("doc_id").agg(
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 4
+        ).alias("entropy")
+    )
+    assert ent.collect()[0].entropy == 0.0
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """Invariant: C = i/min(na,nb) >= J = i/(na+nb-i) for every pair."""
+    from amazon_fresh_sql_data_engineering_spark.queries_ext import (
+        dedup_containment,
+    )
+
+    for r in dedup_containment(spark, sf_dir).collect():
+        assert r.containment >= r.jaccard_sim - 1e-9, r
+
+
+def test_kmeans_refine_partitions_all_vectors(spark, sf_dir):
+    """Cluster sizes sum to the corpus size (every vector assigned exactly
+    once), every surviving cluster is nonempty, and reruns are
+    bit-deterministic (no rand() anywhere in the path)."""
+    from amazon_fresh_sql_data_engineering_spark.queries_ext import (
+        op_kmeans_refine,
+    )
+    from amazon_fresh_sql_data_engineering_spark.registry import tables
+
+    n_vec = tables(spark, sf_dir, "embeddings").count()
+    rows = {r.cid: r for r in op_kmeans_refine(spark, sf_dir).collect()}
+    assert sum(r.n_members for r in rows.values()) == n_vec
+    assert all(r.n_members > 0 for r in rows.values())
+    assert all(r.centroid_norm > 0 for r in rows.values())
+    again = {r.cid: r for r in op_kmeans_refine(spark, sf_dir).collect()}
+    assert {k: (v.n_members, v.centroid_norm) for k, v in rows.items()} == {
+        k: (v.n_members, v.centroid_norm) for k, v in again.items()
+    }
