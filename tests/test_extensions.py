@@ -716,3 +716,24 @@ def test_kmeans_refine_partitions_all_vectors(spark, sf_dir):
     assert {k: (v.n_members, v.centroid_norm) for k, v in rows.items()} == {
         k: (v.n_members, v.centroid_norm) for k, v in again.items()
     }
+
+
+def test_char_entropy_tiers_agree(spark, sf_dir):
+    """The Arrow entropy kernel (no-shuffle throughput tier) must produce
+    the same rounded values as the explode/aggregate oracle-parity tier
+    registered as text_entropy_filter."""
+    from amazon_fresh_sql_data_engineering_spark.catalog import CATALOG
+    from amazon_fresh_sql_data_engineering_spark.functions import text as TXT
+    from amazon_fresh_sql_data_engineering_spark.sources import load_table
+
+    expr = {
+        (r.doc_id): (r.n_chars_counted, r.entropy)
+        for r in CATALOG["text_entropy_filter"].fn(spark, sf_dir).collect()
+    }
+    ent = TXT.char_entropy_udf()
+    d = load_table(spark, sf_dir, "documents")
+    arrow = {
+        r.doc_id: (r.e.n_chars_counted, r.e.entropy)
+        for r in d.select("doc_id", ent(F.col("text")).alias("e")).collect()
+    }
+    assert expr == arrow

@@ -246,3 +246,35 @@ def test_compaction_with_sort_keeps_stats_tight(spark, sf_dir, tmp_path):
     spans.sort()
     overlaps = sum(1 for (a, b) in zip(spans, spans[1:]) if a[1] > b[0])
     assert overlaps <= len(spans) // 4, spans
+
+
+def test_dynamic_partition_pruning_on_fact_dim_join(spark, sf_dir, tmp_path):
+    """The 100 TB fact-dim pattern: fact partitioned on the join key, dim
+    filtered on an attribute the scan can't see statically. Dynamic
+    partition pruning must inject the dim's surviving keys into the fact
+    scan's PartitionFilters at runtime — without it, the fact scan reads
+    every partition and filters post-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "orders_by_prio")
+    orders.write.partitionBy("o_orderpriority").parquet(p)
+    fact = spark.read.parquet(p)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "warm"),
+         ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold")],
+        "o_orderpriority string, tier string",
+    )
+    joined = (
+        fact.join(dim.filter(F.col("tier") == "hot"), on="o_orderpriority")
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    plan = X.physical_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+    got = {r.o_orderpriority: r["count"] for r in joined.collect()}
+    exp = {
+        r.o_orderpriority: r["count"]
+        for r in orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        ).groupBy("o_orderpriority").count().collect()
+    }
+    assert got == exp
