@@ -81,3 +81,45 @@ def load_staging_csv(spark: SparkSession, path: str, columns: list[str]) -> Data
     (ref TablesCreated-Imported.sql:80-103).
     """
     return spark.read.csv(path, header=True, schema=all_string_schema(columns))
+
+
+def load_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """JSONL (newline-delimited JSON) ingest — the interchange format of
+    crawl / training-data pipelines (one document object per line).
+
+    With ``schema`` given (ALWAYS do this in production) the reader skips
+    the inference pass entirely: inference is a full extra scan of the
+    data, which at 100 TB doubles ingest cost and — worse — samples types
+    that can drift between files. Corrupt lines land in
+    ``_corrupt_record`` (PERMISSIVE mode) instead of failing the job,
+    mirroring the quarantine-not-crash contract of the cleaning pipeline
+    and multimodal decode. Pass a DDL string or StructType.
+    """
+    reader = spark.read
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = T._parse_datatype_string(schema)
+        # make room for quarantined lines alongside the declared fields
+        if "_corrupt_record" not in [f.name for f in schema.fields]:
+            schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField("_corrupt_record", T.StringType(), True)]
+            )
+        reader = reader.schema(schema)
+    return reader.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, partitions: int | None = None) -> None:
+    """JSONL export (one object per line, parallel part files). At scale,
+    size partitions so each part file lands in the 100 MB - 1 GB band the
+    downstream consumers want; gzip via .option('compression','gzip') costs
+    splittability — prefer many uncompressed parts or zstd parquet."""
+    if partitions is not None:
+        df = df.repartition(partitions)
+    df.write.mode("overwrite").json(path)

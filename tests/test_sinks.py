@@ -278,3 +278,44 @@ def test_dynamic_partition_pruning_on_fact_dim_join(spark, sf_dir, tmp_path):
         ).groupBy("o_orderpriority").count().collect()
     }
     assert got == exp
+
+
+def test_jsonl_round_trip_and_corrupt_quarantine(spark, sf_dir, tmp_path):
+    """JSONL out -> JSONL in with explicit schema must round-trip the
+    documents table; corrupt lines become _corrupt_record rows, never a
+    failed job."""
+    import json
+    import os
+
+    from amazon_fresh_sql_data_engineering_spark.sources.loaders import (
+        load_jsonl,
+        write_jsonl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, p, partitions=4)
+    back = load_jsonl(
+        spark, p,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).cache()  # Spark disallows querying ONLY _corrupt_record off a raw scan
+    assert back.filter(F.col("_corrupt_record").isNotNull()).count() == 0
+    a = {r.doc_id: r.text for r in docs.collect()}
+    b = {r.doc_id: r.text for r in back.collect()}
+    assert a == b
+    # drop the cache: the second read has a plan-identical scan, and Spark's
+    # cache manager would serve it the pre-injection file listing
+    back.unpersist(blocking=True)
+    # inject a corrupt line plus a valid one into a new file
+    extra = os.path.join(p, "part-extra.json")
+    with open(extra, "w") as f:
+        f.write(json.dumps({"doc_id": 999999, "text": "ok", "lang": "en",
+                            "source": "manual", "n_chars": 2}) + "\n")
+        f.write("{this is not json\n")
+    again = load_jsonl(
+        spark, p,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).cache()
+    assert again.filter(F.col("doc_id") == 999999).count() == 1
+    bad = again.filter(F.col("_corrupt_record").isNotNull())
+    assert bad.count() == 1
