@@ -234,3 +234,60 @@ def run_stream_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def clicks_before_purchase_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    lookback_hours: int = 24,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: each purchase paired with
+    every same-user click in the ``lookback_hours`` window before it (the
+    candidate-generation step of last-touch attribution —
+    ``events_attribution`` is the batch twin that then argmax-picks).
+
+    Works identically on batch DataFrames (watermarks are a no-op there).
+    On streams, BOTH sides carry an event-time watermark and the join
+    condition bounds click time to a purchase-relative range — the two
+    requirements for Spark to know when buffered state can be evicted:
+    state per side is bounded by (watermark delay + lookback), not by the
+    stream's lifetime. At 100 TB/day the state store holds hours, never
+    history.
+
+    Outer-null semantics (the part everyone trips on): a purchase with no
+    matching click is emitted with NULL click columns only once the
+    watermark passes ``purchase_ts + lookback`` — i.e. when a match has
+    provably not arrived. A drained ``availableNow`` stream whose source
+    lands in ONE micro-batch never advances the watermark before the
+    final batch, so unmatched rows need a subsequent batch (or
+    ``maxFilesPerTrigger``) to flush — tests/test_streaming.py
+    demonstrates both sides of this.
+    """
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        "purchase_ts",
+        "revenue",
+    ).withWatermark("purchase_ts", watermark_delay)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark_delay)
+    cond = (
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback_hours} HOURS")
+        )
+    )
+    return p.join(c, cond, "leftOuter").select(
+        "purchase_id",
+        F.col("p_user_id").alias("user_id"),
+        "purchase_ts",
+        "revenue",
+        "click_id",
+        "click_ts",
+    )

@@ -422,3 +422,83 @@ def test_corpus_neardup_stream_screens_arrivals(spark, sf_dir, tmp_path):
         str(tmp_path / "ckpt2"),
     )
     assert spark.read.parquet(out).count() == published.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream LEFT OUTER interval join: matched pairs
+    equal the batch join, and the unmatched purchase's NULL row flushes
+    only after a later micro-batch advances the watermark past
+    purchase_ts + lookback — the state-eviction contract that bounds
+    state at 100 TB."""
+    import os
+
+    from amazon_fresh_sql_data_engineering_spark.streaming.events import (
+        clicks_before_purchase_join,
+    )
+
+    p_schema = "event_id long, user_id long, purchase_ts timestamp, revenue double"
+    c_schema = "event_id long, user_id long, ts timestamp"
+    T0 = TS(2024, 1, 2, 12, 0)
+    purchases = [
+        (100, 1, T0, 10.0),                      # has 2 in-window clicks
+        (101, 2, T0, 20.0),                      # click exists but stale (>24h)
+        (102, 3, T0, 30.0),                      # no click at all
+    ]
+    clicks = [
+        (200, 1, TS(2024, 1, 2, 11, 0)),         # in window
+        (201, 1, TS(2024, 1, 2, 9, 0)),          # in window
+        (202, 1, TS(2024, 1, 2, 13, 0)),         # AFTER purchase -> excluded
+        (203, 2, TS(2024, 1, 1, 11, 0)),         # 25h before -> excluded
+    ]
+    batch = clicks_before_purchase_join(
+        spark.createDataFrame(purchases, p_schema),
+        spark.createDataFrame(clicks, c_schema),
+    )
+    expected = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert expected == {(100, 200), (100, 201), (101, None), (102, None)}
+
+    p_dir, c_dir = str(tmp_path / "p"), str(tmp_path / "c")
+    # one file per write: maxFilesPerTrigger=1 replays files as separate
+    # micro-batches, and out-of-order files would get watermark-dropped
+    spark.createDataFrame(purchases, p_schema).coalesce(1).write.parquet(p_dir)
+    spark.createDataFrame(clicks, c_schema).coalesce(1).write.parquet(c_dir)
+    # a far-future click in a SECOND file: with maxFilesPerTrigger=1 it
+    # lands in a later micro-batch and drags the watermark past
+    # purchase_ts + 24h, flushing the outer-null rows
+    # far-future sentinels in SECOND files on BOTH sides: the join's
+    # eviction watermark is min(click wm, purchase wm), so both must pass
+    # purchase_ts + lookback before the NULL rows can flush. The sentinel
+    # purchase itself never flushes (nothing ever passes ITS horizon) and
+    # stays out of both sides of the comparison.
+    spark.createDataFrame(
+        [(999, 99, TS(2024, 1, 5, 0, 0))], c_schema
+    ).coalesce(1).write.mode("append").parquet(c_dir)
+    spark.createDataFrame(
+        [(998, 98, TS(2024, 1, 5, 0, 0), 0.0)], p_schema
+    ).coalesce(1).write.mode("append").parquet(p_dir)
+    ps = (
+        spark.readStream.schema(p_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p_dir)
+    )
+    cs = (
+        spark.readStream.schema(c_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(c_dir)
+    )
+    joined = clicks_before_purchase_join(ps, cs)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ssj").collect()
+        if r.purchase_id != 998
+    }
+    assert got == expected, got
