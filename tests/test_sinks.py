@@ -319,3 +319,39 @@ def test_jsonl_round_trip_and_corrupt_quarantine(spark, sf_dir, tmp_path):
     assert again.filter(F.col("doc_id") == 999999).count() == 1
     bad = again.filter(F.col("_corrupt_record").isNotNull())
     assert bad.count() == 1
+
+
+def test_versioned_snapshots_time_travel_rollback_vacuum(spark, sf_dir, tmp_path):
+    """MVCC contract of the snapshot layer: publishes are atomic pointer
+    swaps, old snapshots stay readable (time travel), rollback is O(1),
+    vacuum never deletes the pointed-at snapshot."""
+    from amazon_fresh_sql_data_engineering_spark.sources import versioned as V
+
+    t = str(tmp_path / "nation_versioned")
+    nation = load_table(spark, sf_dir, "nation")
+    assert V.current_version(t) is None
+    v1 = V.write_snapshot(nation, t)
+    v2 = V.write_snapshot(nation.filter(F.col("n_regionkey") != 0), t)
+    assert (v1, v2) == (1, 2) and V.current_version(t) == 2
+    n_all = nation.count()
+    n_f = nation.filter(F.col("n_regionkey") != 0).count()
+    assert V.read_snapshot(spark, t).count() == n_f
+    assert V.read_snapshot(spark, t, version=1).count() == n_all  # time travel
+    # a reader holding the old snapshot survives a concurrent publish
+    pinned = V.read_snapshot(spark, t, version=1)
+    v3 = V.write_snapshot(nation.limit(3), t)
+    assert pinned.count() == n_all and V.current_version(t) == 3
+    # O(1) rollback: pointer moves, data doesn't
+    V.rollback(t, 1)
+    assert V.read_snapshot(spark, t).count() == n_all
+    # vacuum keeps the newest keep_last AND the pointed-at snapshot
+    removed = V.vacuum(t, keep_last=1)
+    assert removed == [2]
+    assert sorted(V.list_versions(t)) == [1, 3]
+    assert V.read_snapshot(spark, t).count() == n_all
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        V.read_snapshot(spark, t, version=2)
+    # writes continue from the high-water mark, never reusing a version
+    assert V.write_snapshot(nation, t) == 4
