@@ -28,6 +28,11 @@ try:  # extensions land in a later milestone
 except ImportError:
     _EXT_LOADED = False
 
+try:  # round-3 session additions (expectations/sampling/anomaly/char-LM)
+    from . import queries_ml as _queries_ml  # noqa: F401
+except ImportError:
+    pass
+
 _PRIORITY = [
     # reference-entity pipeline + robustness queries added after the r2
     # sample froze (VERDICT r2 "Missing" items 2 and partially 3)

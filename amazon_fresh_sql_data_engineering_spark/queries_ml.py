@@ -1,0 +1,552 @@
+"""Round-3 session additions: data-quality expectations, order/priority
+sampling, monitoring-style anomaly detection, and a corpus language-model
+quality score.
+
+Same contract as every other query module: each entry is registered with a
+DuckDB oracle that REPLAYS the identical algorithm (same hash-derived
+uniforms, same unioned defect universe, same rounded-value thresholds), so
+parity holds at any scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .operators import expectations as X
+from .registry import register
+from .registry import tables as _t
+
+# ---------------------------------------------------------------------------
+# q_expectations — declarative data-quality gate (operators/expectations.py)
+# ---------------------------------------------------------------------------
+
+# Defect universe: the driver's orders table is clean (its generator enforces
+# the very rules we want to demonstrate), so both engines union in the same
+# deterministic corruption — every 100th order re-appears with a NULL
+# custkey, negative total, and unknown status. The duplicate key also trips
+# the uniqueness rule; the lineitem FK check stays genuinely green so the
+# report carries passing AND failing rows.
+_BAD_ORDERS_SQL = """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, NULL, 'X', -1.0, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 100 = 0
+"""
+
+
+@register(
+    "q_expectations",
+    oracle=f"""
+        WITH u AS ({_BAD_ORDERS_SQL}),
+        s AS (
+            SELECT count(*) AS n,
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null,
+                   sum(CASE WHEN NOT (o_totalprice BETWEEN 0 AND 1000000)
+                            THEN 1 ELSE 0 END) AS v_range,
+                   sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                            THEN 1 ELSE 0 END) AS v_set,
+                   sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                            THEN 1 ELSE 0 END) AS v_regex,
+                   count(*) - count(DISTINCT o_orderkey) AS v_uniq
+            FROM u
+        ),
+        fk AS (
+            SELECT (SELECT count(*) FROM lineitem) AS n,
+                   (SELECT count(*)
+                    FROM lineitem l
+                    LEFT JOIN (SELECT DISTINCT o_orderkey FROM u) o
+                      ON l.l_orderkey = o.o_orderkey
+                    WHERE l.l_orderkey IS NOT NULL
+                      AND o.o_orderkey IS NULL) AS v
+        )
+        SELECT rule, table_name, n_checked, n_violations,
+               n_violations = 0 AS pass
+        FROM (
+            SELECT 'not_null(o_custkey)' AS rule, 'orders' AS table_name,
+                   n AS n_checked, v_null AS n_violations FROM s
+            UNION ALL
+            SELECT 'in_range(o_totalprice)', 'orders', n, v_range FROM s
+            UNION ALL
+            SELECT 'in_set(o_orderstatus)', 'orders', n, v_set FROM s
+            UNION ALL
+            SELECT 'matches(o_orderpriority)', 'orders', n, v_regex FROM s
+            UNION ALL
+            SELECT 'unique(o_orderkey)', 'orders', n, v_uniq FROM s
+            UNION ALL
+            SELECT 'foreign_key(lineitem.l_orderkey)', 'lineitem', n, v FROM fk
+        )
+    """,
+    doc="Declarative data-quality expectations (operators/expectations.py) "
+    "— the reference's hand-run validation SQL (per-column NULL probes, "
+    "bad-value counts, orphan lookups before trusting an import) as ONE "
+    "engine feature: five row/uniqueness rules compile into a single "
+    "conditional-aggregation scan (map-side partials, one thin exchange), "
+    "the FK rule is one anti-join, and everything lands in one "
+    "(rule, table, n_checked, n_violations, pass) report a scheduler can "
+    "gate a publish on. Deterministic defect universe unioned in by both "
+    "engines so failing AND passing rows are exercised.",
+)
+def q_expectations(spark, sf_dir):
+    o, li = _t(spark, sf_dir, "orders", "lineitem")
+    bad = (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .withColumn("o_custkey", F.lit(None).cast("bigint"))
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", F.lit(-1.0))
+    )
+    u = o.unionByName(bad)
+    report = X.run_expectations(
+        u,
+        "orders",
+        [
+            X.not_null("o_custkey"),
+            X.in_range("o_totalprice", 0, 1_000_000),
+            X.in_set("o_orderstatus", ["O", "F", "P"]),
+            X.matches("o_orderpriority", "^[1-5]-"),
+            X.unique("o_orderkey"),
+        ],
+    ).unionByName(
+        X.check_foreign_key(li, "lineitem", "l_orderkey", u, "o_orderkey")
+    )
+    return X.finalize(report)
+
+
+# ---------------------------------------------------------------------------
+# op_weighted_sample — sequential Poisson (order) sampling, k=100 ∝ price
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_weighted_sample",
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               round(priority, 10) AS priority
+        FROM (
+            SELECT o_orderkey, o_totalprice,
+                   ((CAST(('0x' || substr(md5('ws' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+                          AS BIGINT) + 1) / 4294967296.0) / o_totalprice AS priority
+            FROM orders
+        )
+        ORDER BY priority, o_orderkey
+        LIMIT 100
+    """,
+    doc="Weighted sampling without replacement via sequential Poisson / "
+    "order sampling (Ohlsson 1998; the u/w-priority member of the "
+    "Efraimidis–Spirakis order-sampling family, chosen because its key is "
+    "ONE IEEE division — bit-identical across engines, where ln/pow keys "
+    "drift in the last ulp): u = md5-derived 32-bit uniform (never rand(): "
+    "stable across reruns and repartitioning), priority = u / weight, take "
+    "the k smallest with an id tiebreak. Inclusion probability ≈ "
+    "proportional to o_totalprice. Plan: pure map expression + "
+    "TakeOrderedAndProject — per-partition top-k then a k-row merge on the "
+    "driver, no full sort, no shuffle of the table.",
+)
+def op_weighted_sample(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws"), F.col("o_orderkey").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    priority = ((h + 1) / F.lit(4294967296.0)) / F.col("o_totalprice")
+    return (
+        o.select("o_orderkey", "o_totalprice", priority.alias("__p"))
+        .orderBy("__p", "o_orderkey")
+        .limit(100)
+        .select(
+            "o_orderkey", "o_totalprice", F.round("__p", 10).alias("priority")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly — rolling-window z-score spike detection on hourly counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_anomaly",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT event_type, hour, n_events,
+                   count(*) OVER w AS n_prev,
+                   round((n_events - avg(n_events) OVER w)
+                         / NULLIF(stddev_samp(n_events) OVER w, 0), 4) AS z
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, hour, n_events, n_prev, z,
+               coalesce(abs(z) >= 2.5, false) AS is_anomaly
+        FROM scored WHERE n_prev >= 12
+    """,
+    doc="Operational anomaly detection over the event stream's hourly "
+    "counts: per-type rolling mean/stddev over the trailing 24 present "
+    "hours (ROWS frame), z-score on the ROUNDED value so both engines "
+    "agree at the |z| >= 2.5 threshold; warm-up hours (fewer than 12 "
+    "trailing points) are excluded, zero-variance windows yield NULL z "
+    "and anomaly=false. Scale shape: the raw stream collapses to "
+    "(type, hour) grain map-side before any shuffle; the window "
+    "partitions by event_type over HOURLY rows (≤ 8.8k rows/type/year), "
+    "so state per partition stays trivially bounded no matter how many "
+    "raw events feed an hour — the batch twin of a streaming monitor.",
+)
+def events_anomaly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.count("n_events").over(w).alias("n_prev"),
+        F.round(
+            (F.col("n_events") - F.avg("n_events").over(w))
+            / F.nullif(F.stddev_samp("n_events").over(w), F.lit(0.0)),
+            4,
+        ).alias("z"),
+    )
+    return scored.filter(F.col("n_prev") >= 12).select(
+        "event_type",
+        "hour",
+        "n_events",
+        "n_prev",
+        "z",
+        F.coalesce(F.abs(F.col("z")) >= 2.5, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_char_lm_score — corpus character-bigram LM as a quality signal
+# ---------------------------------------------------------------------------
+
+_LM_KEEP_THRESHOLD = 7.5
+
+
+@register(
+    "text_char_lm_score",
+    oracle=f"""
+        WITH scored_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 4000000, regexp_replace(text, '[aeiou]', 'x', 'g')
+            FROM documents WHERE doc_id % 25 = 0
+        ),
+        doc_counts AS (
+            SELECT doc_id, g, count(*) AS c_doc
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, length(text)),
+                                             i -> substr(text, CAST(i AS INT), 2))) AS g
+                FROM scored_docs WHERE length(text) >= 2
+            )
+            GROUP BY 1, 2
+        ),
+        model AS (
+            SELECT g, count(*) AS c
+            FROM (
+                SELECT unnest(list_transform(range(1, length(text)),
+                                             i -> substr(text, CAST(i AS INT), 2))) AS g
+                FROM documents WHERE length(text) >= 2
+            )
+            GROUP BY 1
+        ),
+        consts AS (
+            SELECT CAST(sum(c) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v
+            FROM model
+        )
+        SELECT doc_id,
+               CAST(sum(c_doc) AS BIGINT) AS n_bigrams,
+               round(sum(c_doc * -log2((coalesce(c, 0) + 1) / (t + v + 1)))
+                     / sum(c_doc), 4) AS bits_per_gram,
+               round(sum(c_doc * -log2((coalesce(c, 0) + 1) / (t + v + 1)))
+                     / sum(c_doc), 4) <= {_LM_KEEP_THRESHOLD} AS keep
+        FROM doc_counts LEFT JOIN model USING (g) CROSS JOIN consts
+        GROUP BY doc_id
+    """,
+    doc="Perplexity-proxy quality score — the CCNet shape, self-contained "
+    "with a character-bigram model: train the LM on the CLEAN corpus "
+    "(documents), score clean + injected junk (every 25th doc with vowels "
+    "struck — the out-of-distribution true positives both engines build "
+    "identically), add-one smoothing over the model vocab so OOV bigrams "
+    "get a finite penalty instead of -inf. Score = average -log2 p in "
+    "bits per bigram (low = predictable text, high = junk); keep decided "
+    "on the ROUNDED score so engines agree at the threshold (clean sits "
+    "~6.5-6.9, junk ~8+). Scale shape: bigram explode collapses to "
+    "(doc, gram) counts map-side; the model is |charset|^2 rows — "
+    "broadcast back against the per-doc counts, so the corpus-sized side "
+    "sees narrow ops and ONE keyed aggregation only.",
+)
+def text_char_lm_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    junk = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 4000000)
+        .withColumn("text", F.regexp_replace("text", "[aeiou]", "x"))
+    )
+    bigrams = F.explode(
+        F.expr(
+            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+        )
+    ).alias("g")
+    doc_counts = (
+        d.unionByName(junk)
+        .filter(F.length("text") >= 2)
+        .select("doc_id", bigrams)
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c_doc"))
+    )
+    model = (
+        d.filter(F.length("text") >= 2)
+        .select(bigrams)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    consts = model.agg(
+        F.sum("c").cast("double").alias("t"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    smoothed_p = (F.coalesce(F.col("c"), F.lit(0)) + 1) / (
+        F.col("t") + F.col("v") + 1
+    )
+    score = F.round(
+        F.sum(F.col("c_doc") * -F.log2(smoothed_p)) / F.sum("c_doc"), 4
+    )
+    return (
+        doc_counts.join(F.broadcast(model), "g", "left")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_doc").cast("bigint").alias("n_bigrams"),
+            score.alias("bits_per_gram"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "bits_per_gram",
+            (F.col("bits_per_gram") <= _LM_KEEP_THRESHOLD).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_pagerank — weighted link analysis over the nation trade graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_pagerank",
+    oracle="""
+        WITH edges AS (
+            SELECT cn.n_name AS src, sn.n_name AS dst,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            GROUP BY 1, 2
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        k AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        ow AS (SELECT src, sum(w) AS w_out FROM edges GROUP BY 1),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS r FROM nodes, k),
+        c1 AS (
+            SELECT e.dst, sum(r0.r * (e.w / ow.w_out)) AS s
+            FROM edges e JOIN ow ON e.src = ow.src
+            JOIN r0 ON e.src = r0.node
+            GROUP BY 1
+        ),
+        r1 AS (
+            SELECT node,
+                   round(CAST(0.15 AS DOUBLE) / n
+                         + CAST(0.85 AS DOUBLE) * coalesce(s, 0), 8) AS r
+            FROM nodes CROSS JOIN k LEFT JOIN c1 ON node = c1.dst
+        ),
+        c2 AS (
+            SELECT e.dst, sum(r1.r * (e.w / ow.w_out)) AS s
+            FROM edges e JOIN ow ON e.src = ow.src
+            JOIN r1 ON e.src = r1.node
+            GROUP BY 1
+        ),
+        r2 AS (
+            SELECT node,
+                   round(CAST(0.15 AS DOUBLE) / n
+                         + CAST(0.85 AS DOUBLE) * coalesce(s, 0), 8) AS r
+            FROM nodes CROSS JOIN k LEFT JOIN c2 ON node = c2.dst
+        )
+        SELECT node, round(r, 6) AS rank FROM r2
+    """,
+    doc="Weighted PageRank (operators/graph.py), two synchronous "
+    "iterations over the customer-nation -> supplier-nation trade graph "
+    "(edge weight = lineitem count): which markets the flow of goods "
+    "concentrates on. Joins-and-aggregates formulation — per iteration "
+    "one src-keyed shuffle and one combiner-collapsed dst aggregation; "
+    "edges never leave the cluster, the only driver action is the "
+    "node-count scalar. Ranks ROUNDED to 8 dp between iterations so both "
+    "engines feed identical values forward (op_kmeans_refine discipline); "
+    "damping constants enter as DOUBLE literals on both sides (0.15, "
+    "never Python's 1-0.85). Leaky formulation: dangling mass is not "
+    "redistributed, documented in the operator.",
+)
+def op_pagerank(spark, sf_dir):
+    from .operators.graph import pagerank
+
+    li, o, c, s, n = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == cn["c_nk"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == sn["s_nk"])
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    ranks = pagerank(edges, iterations=2)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic — SemDeDup: cluster-then-pairwise embedding dedup
+# ---------------------------------------------------------------------------
+
+_SD_K = 8
+_SD_THRESHOLD = 0.95
+
+_SD_L2 = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(e.v) + 1),
+                              i -> (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i]))),
+               (acc, x) -> acc + x)"""
+
+
+def _sd_fold(expr_a: str, expr_b: str) -> str:
+    return f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(a.v) + 1),
+                              i -> {expr_a}[i] * {expr_b}[i])),
+               (acc, x) -> acc + x)"""
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+        WITH all_e AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000, embedding
+            FROM embeddings WHERE vec_id % 25 = 0
+        ),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM all_e),
+        c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {_SD_K}),
+        d1 AS (SELECT e.vec_id, c0.cid, {_SD_L2} AS dist FROM e, c0),
+        a1 AS (
+            SELECT d1.vec_id, min(d1.cid) AS cid FROM d1
+            JOIN (SELECT vec_id, min(dist) AS md FROM d1 GROUP BY vec_id) m
+              ON d1.vec_id = m.vec_id AND d1.dist = m.md
+            GROUP BY d1.vec_id
+        ),
+        av AS (SELECT a1.vec_id, a1.cid, e.v FROM a1 JOIN e USING (vec_id)),
+        drops AS (
+            SELECT DISTINCT b.vec_id
+            FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE {_sd_fold("a.v", "b.v")}
+                  / (sqrt({_sd_fold("a.v", "a.v")})
+                     * sqrt({_sd_fold("b.v", "b.v")}))
+                  >= CAST({_SD_THRESHOLD} AS DOUBLE)
+        )
+        SELECT av.vec_id, av.cid, d.vec_id IS NULL AS keep
+        FROM av LEFT JOIN drops d ON av.vec_id = d.vec_id
+    """,
+    doc=f"SemDeDup (Abbas et al. 2023): k-means-style cluster assignment "
+    f"(k={_SD_K}, deterministic lowest-id init, broadcast centroids, "
+    "sequential-fold L2 with min-cid ties — op_kmeans_refine's assign "
+    "step) bounds the search space, then exact-cosine pairwise WITHIN "
+    "each cluster drops every vector that has a smaller-id neighbor at "
+    ">= 0.95. This is the scale story for embedding dedup when sign-LSH "
+    "recall isn't wanted: at 100 TB, k grows with the corpus so cluster "
+    "size (and the per-cluster quadratic) stays bounded — the pairwise "
+    "join is keyed on cid and never crosses clusters. Exact duplicates "
+    "synthesized (vec_id%25) land in the same cluster by determinism of "
+    "the assignment, so true positives exist at every sf. Oracle replays "
+    "assignment AND pairwise with the same sequential folds.",
+)
+def dedup_semantic(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    copies = e.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    emb = (
+        e.unionByName(copies)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    cents = emb.filter(F.col("vec_id") < _SD_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    dist = F.aggregate(
+        F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cid", dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid", "v")).alias("b"))
+        .select("vec_id", F.col("b.cid").alias("cid"), F.col("b.v").alias("v"))
+        .persist()
+    )
+
+    def fold(va, vb):
+        return F.aggregate(
+            F.zip_with(va, vb, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    a = assigned.select(
+        "cid", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cid", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    cos = fold(F.col("va"), F.col("vb")) / (
+        F.sqrt(fold(F.col("va"), F.col("va")))
+        * F.sqrt(fold(F.col("vb"), F.col("vb")))
+    )
+    drops = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= F.lit(_SD_THRESHOLD))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return assigned.join(drops, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+    )
