@@ -550,3 +550,219 @@ def dedup_semantic(spark, sf_dir):
         "cid",
         F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# op_bm25_search — full-text relevance ranking over the documents table
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+@register(
+    "op_bm25_search",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents WHERE trim(coalesce(text, '')) <> ''
+        ),
+        dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS len FROM toks GROUP BY 1),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+            FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+            FROM toks WHERE tok IN ('spark', 'join', 'window')
+            GROUP BY 1, 2
+        ),
+        df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        scored AS (
+            SELECT tf.doc_id,
+                   sum(ln((n - df + 0.5) / (df + 0.5) + 1)
+                       * (tf / (tf + CAST(1.2 AS DOUBLE)
+                                * (CAST(0.25 AS DOUBLE)
+                                   + CAST(0.75 AS DOUBLE) * (len / avgdl)))))
+                       AS score
+            FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+            GROUP BY 1
+        )
+        SELECT doc_id, round(score, 4) AS bm25
+        FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 ranked retrieval (Robertson/Sparck-Jones; the Lucene "
+    "log(1 + (N-df+0.5)/(df+0.5)) idf so scores stay positive when "
+    "df > N/2, k1=1.2, b=0.75) for a 3-term query over the documents "
+    "table — the relevance-search sibling of text_tfidf_top_terms. "
+    "Scale shape: token explode collapses to (doc, term) counts "
+    "map-side and ONLY query terms survive the filter; df is "
+    "|terms| rows and the length/avgdl stats one row — both broadcast "
+    "back; top-20 via TakeOrderedAndProject (per-partition heads, k-row "
+    "driver merge, no global sort). Constants enter as DOUBLE literals "
+    "on both engines; ordering is on the ROUNDED score with doc_id "
+    "tiebreak so both engines cut the same top-k.",
+)
+def op_bm25_search(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.sum("len").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * (F.col("len") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * (F.col("tf") / denom)).alias("score"))
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# op_time_weighted_avg — duration-weighted mean of an irregular time series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_time_weighted_avg",
+    oracle="""
+        WITH stepped AS (
+            SELECT user_id, value,
+                   lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                   - epoch_us(ts) AS dt_us
+            FROM events
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(dt_us) AS BIGINT) AS span_us,
+               round(sum(value * CAST(dt_us AS DOUBLE))
+                     / CAST(sum(dt_us) AS DOUBLE), 4) AS twa_value
+        FROM stepped WHERE dt_us IS NOT NULL
+        GROUP BY user_id HAVING sum(dt_us) > 0
+    """,
+    doc="Time-weighted average (the TimescaleDB/kdb 'time_weight' "
+    "operator): each observation of an IRREGULAR series holds until the "
+    "next one, so the mean weights every value by its holding duration "
+    "(last-observation-carried-forward integral / elapsed time) — the "
+    "correct aggregate for sensor/price/gauge streams where plain avg() "
+    "over-counts bursts. Durations computed on exact integer "
+    "microseconds (unix_micros/epoch_us — identical across engines), "
+    "(ts, event_id) ordering so timestamp ties are deterministic. Scale "
+    "shape: ONE per-user window pass for lead + one combiner-collapsed "
+    "aggregation; partitions by user, never a global sort.",
+)
+def op_time_weighted_avg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    stepped = e.select(
+        "user_id", "value", (F.lead(us).over(w) - us).alias("dt_us")
+    )
+    return (
+        stepped.filter(F.col("dt_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("dt_us").cast("bigint").alias("span_us"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us").cast("double"))
+                / F.sum("dt_us").cast("double"),
+                4,
+            ).alias("twa_value"),
+        )
+        .filter(F.col("span_us") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_sliding_distinct — 24h sliding distinct users (shifted-copy rewrite)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sliding_distinct",
+    oracle="""
+        WITH presence AS (
+            SELECT DISTINCT event_type, user_id,
+                   date_trunc('hour', ts) AS hour
+            FROM events
+        ),
+        observed AS (SELECT DISTINCT event_type, hour FROM presence),
+        contrib AS (
+            SELECT DISTINCT event_type, user_id,
+                   hour + u.i * INTERVAL 1 HOUR AS target
+            FROM presence, unnest(range(0, 24)) u(i)
+        )
+        SELECT c.event_type, c.target AS hour,
+               CAST(count(DISTINCT c.user_id) AS BIGINT) AS distinct_users
+        FROM contrib c
+        JOIN observed o
+          ON c.event_type = o.event_type AND c.target = o.hour
+        GROUP BY 1, 2
+    """,
+    doc="Sliding-window COUNT(DISTINCT): distinct users per event type "
+    "over the trailing 24 hours, at every observed hour. SQL window "
+    "frames cannot express DISTINCT, so this is the shifted-copy "
+    "rewrite: collapse the stream to (type, user, hour) presence "
+    "(map-side, the big win — each user contributes one row per hour "
+    "regardless of event volume), fan each presence row out to the 24 "
+    "target hours it covers, dedup, and count distinct per target. "
+    "Work scales with presence x (window/step), NOT events x window — "
+    "the standard trade for exact sliding distinct at scale; swap the "
+    "final count_distinct for approx_count_distinct when the user set "
+    "per window stops fitting a shuffle partition.",
+)
+def events_sliding_distinct(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    presence = e.select(
+        "event_type", "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).distinct()
+    observed = presence.select(
+        F.col("event_type").alias("o_type"), F.col("hour").alias("o_hour")
+    ).distinct()
+    contrib = (
+        presence.select(
+            "event_type",
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("i"),
+            "hour",
+        )
+        .select(
+            "event_type",
+            "user_id",
+            F.expr("timestampadd(HOUR, i, hour)").alias("target"),
+        )
+        .distinct()
+    )
+    return (
+        contrib.join(
+            observed,
+            (F.col("event_type") == F.col("o_type"))
+            & (F.col("target") == F.col("o_hour")),
+        )
+        .select("event_type", F.col("target").alias("hour"), "user_id")
+        .groupBy("event_type", "hour")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("distinct_users"))
+    )
