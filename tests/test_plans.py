@@ -145,3 +145,44 @@ def test_approx_percentile_error_bounded(spark, sf_dir):
         assert abs(ap[k][1] - ex[k][1]) / ex[k][1] < 0.02
         # and the GK sketch landed inside the exact [p45,p55]/[p85,p95] envelope
         assert ap[k][2] and ap[k][3]
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """Order sampling must plan as TakeOrderedAndProject (per-partition
+    top-k + k-row driver merge), never a global sort of the table."""
+    df = CATALOG["op_weighted_sample"].fn(spark, sf_dir)
+    assert X.has_take_ordered(df), X.physical_plan(df)[:2000]
+
+
+def test_bm25_broadcasts_model_sides(spark, sf_dir):
+    """df (|terms| rows) and corpus stats (1 row) must broadcast — the
+    doc-sized side may not shuffle for them."""
+    df = CATALOG["op_bm25_search"].fn(spark, sf_dir)
+    assert X.has_broadcast_join(df)
+    assert X.has_take_ordered(df), X.physical_plan(df)[:2000]
+
+
+def test_char_lm_model_broadcasts(spark, sf_dir):
+    df = CATALOG["text_char_lm_score"].fn(spark, sf_dir)
+    assert X.has_broadcast_join(df), X.physical_plan(df)[:2000]
+
+
+def test_pagerank_no_cartesian_and_bounded_shuffles(spark, sf_dir):
+    """Two PageRank iterations = edges⋈ranks + dst-agg + node join per
+    iteration. Shuffle count must stay linear in iterations (no plan
+    blowup), and there must be no cartesian product."""
+    plan = X.physical_plan(CATALOG["op_pagerank"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    df = CATALOG["op_pagerank"].fn(spark, sf_dir)
+    assert X.shuffle_count(df) <= 14, X.shuffle_count(df)
+
+
+def test_semantic_dedup_pairs_stay_cluster_keyed(spark, sf_dir):
+    """The pairwise stage must join on cid (cluster-bounded quadratic),
+    never cross-cluster: no cartesian in the plan; centroid side
+    broadcasts."""
+    plan = X.physical_plan(CATALOG["dedup_semantic"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", ""
+    )
+    assert "BroadcastExchange" in plan
