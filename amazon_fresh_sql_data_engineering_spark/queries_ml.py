@@ -711,7 +711,7 @@ def op_time_weighted_avg(spark, sf_dir):
         ),
         observed AS (SELECT DISTINCT event_type, hour FROM presence),
         contrib AS (
-            SELECT DISTINCT event_type, user_id,
+            SELECT event_type, user_id,
                    hour + u.i * INTERVAL 1 HOUR AS target
             FROM presence, unnest(range(0, 24)) u(i)
         )
@@ -728,7 +728,9 @@ def op_time_weighted_avg(spark, sf_dir):
     "rewrite: collapse the stream to (type, user, hour) presence "
     "(map-side, the big win — each user contributes one row per hour "
     "regardless of event volume), fan each presence row out to the 24 "
-    "target hours it covers, dedup, and count distinct per target. "
+    "target hours it covers, and count distinct per target — the final "
+    "distinct aggregation dedups the shifted copies itself, so the "
+    "fanned rows take exactly ONE shuffle. "
     "Work scales with presence x (window/step), NOT events x window — "
     "the standard trade for exact sliding distinct at scale; swap the "
     "final count_distinct for approx_count_distinct when the user set "
@@ -754,7 +756,6 @@ def events_sliding_distinct(spark, sf_dir):
             "user_id",
             F.expr("timestampadd(HOUR, i, hour)").alias("target"),
         )
-        .distinct()
     )
     return (
         contrib.join(
