@@ -767,3 +767,147 @@ def events_sliding_distinct(spark, sf_dir):
         .groupBy("event_type", "hour")
         .agg(F.count_distinct("user_id").cast("bigint").alias("distinct_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC: changelog -> snapshot (log compaction) and snapshot -> changelog
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_cdc_apply",
+    oracle="""
+        WITH log AS (
+            SELECT 'I' AS op, o_orderkey, o_orderstatus, o_totalprice,
+                   1 AS seq
+            FROM orders
+            UNION ALL
+            SELECT 'U', o_orderkey, o_orderstatus, o_totalprice + 10.0, 2
+            FROM orders WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT 'D', o_orderkey, NULL, NULL, 3
+            FROM orders WHERE o_orderkey % 100 = 0
+        ),
+        latest AS (
+            SELECT * FROM (
+                SELECT log.*,
+                       row_number() OVER (PARTITION BY o_orderkey
+                                          ORDER BY seq DESC) AS rn
+                FROM log
+            ) WHERE rn = 1
+        )
+        SELECT o_orderkey, o_orderstatus, o_totalprice, seq
+        FROM latest WHERE op <> 'D'
+    """,
+    doc="CDC log compaction (operators/cdc.changelog_apply): materialize "
+    "current state from an ordered I/U/D changelog — highest sequence "
+    "number per key wins, keys whose last event is a delete disappear. "
+    "Both engines synthesize the same feed from orders (insert all, "
+    "update every 10th with +10 price, delete every 100th). ONE "
+    "key-partitioned window pass (the dedup-keep-latest idiom): no "
+    "global sort, no join — the MERGE-free way to consume a Debezium/"
+    "binlog feed into a 100 TB table, and the compaction step a "
+    "versioned-table writer runs before publishing a snapshot.",
+)
+def op_cdc_apply(spark, sf_dir):
+    from .operators.cdc import changelog_apply
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.lit("I").alias("op"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(1).alias("seq"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.lit("U").alias("op"),
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+        F.lit(2).alias("seq"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.lit("D").alias("op"),
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(3).alias("seq"),
+    )
+    log = base.unionByName(upd).unionByName(dele)
+    return changelog_apply(log, ["o_orderkey"], "seq")
+
+
+_NEW_SNAPSHOT_SQL = """
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 100 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % 50 = 0
+"""
+
+
+@register(
+    "op_snapshot_diff",
+    oracle=f"""
+        WITH old_s AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ),
+        new_s AS ({_NEW_SNAPSHOT_SQL}),
+        j AS (
+            SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                   o.o_orderkey IS NOT NULL AS in_old,
+                   n.o_orderkey IS NOT NULL AS in_new,
+                   o.o_orderstatus AS old_o_orderstatus,
+                   o.o_totalprice AS old_o_totalprice,
+                   n.o_orderstatus AS new_o_orderstatus,
+                   n.o_totalprice AS new_o_totalprice
+            FROM old_s o FULL JOIN new_s n ON o.o_orderkey = n.o_orderkey
+        )
+        SELECT op, o_orderkey, old_o_orderstatus, old_o_totalprice,
+               new_o_orderstatus, new_o_totalprice
+        FROM (
+            SELECT CASE WHEN NOT in_old THEN 'I'
+                        WHEN NOT in_new THEN 'D'
+                        WHEN (old_o_orderstatus IS DISTINCT FROM new_o_orderstatus)
+                          OR (old_o_totalprice IS DISTINCT FROM new_o_totalprice)
+                        THEN 'U' END AS op,
+                   j.* FROM j
+        ) WHERE op IS NOT NULL
+    """,
+    doc="Snapshot differencing (operators/cdc.snapshot_diff): recover the "
+    "minimal I/U/D changelog between two published table versions — what "
+    "an incremental consumer reads when the writer didn't emit a CDC "
+    "feed, and the inverse of op_cdc_apply (round-trip asserted in "
+    "tests/test_cdc.py). ONE full-outer key join + null-safe column "
+    "comparison; unchanged rows never leave the join. Both engines "
+    "derive the same new snapshot from orders (every 100th deleted, "
+    "every 10th repriced, every 50th re-inserted under a new key).",
+)
+def op_snapshot_diff(spark, sf_dir):
+    from .operators.cdc import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    new = (
+        o.filter(F.col("o_orderkey") % 100 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + F.lit(10.0)
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 50 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])

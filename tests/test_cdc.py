@@ -1,0 +1,93 @@
+"""Unit + law tests for operators/cdc.py: log compaction semantics,
+diff minimality, and the round-trip law (old + diff == new)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from amazon_fresh_sql_data_engineering_spark.catalog import CATALOG
+from amazon_fresh_sql_data_engineering_spark.operators.cdc import (
+    changelog_apply,
+    snapshot_diff,
+)
+
+
+def test_changelog_apply_latest_wins_and_delete_removes(spark):
+    log = spark.createDataFrame(
+        [
+            ("I", 1, "a", 1),
+            ("U", 1, "b", 2),
+            ("I", 2, "x", 1),
+            ("D", 2, None, 2),
+            ("I", 3, "z", 5),
+        ],
+        "op string, k bigint, v string, seq int",
+    )
+    state = {r["k"]: r["v"] for r in changelog_apply(log, ["k"], "seq").collect()}
+    assert state == {1: "b", 3: "z"}
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k bigint, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k bigint, v string"
+    )
+    rows = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert set(rows) == {2, 3, 4}  # k=1 unchanged -> absent
+    assert rows[2]["op"] == "U" and rows[2]["new_v"] == "B"
+    assert rows[3]["op"] == "D"
+    assert rows[4]["op"] == "I" and rows[4]["old_v"] is None
+
+
+def test_null_transitions_are_updates(spark):
+    old = spark.createDataFrame([(1, None), (2, "b")], "k bigint, v string")
+    new = spark.createDataFrame([(1, "a"), (2, None)], "k bigint, v string")
+    ops = {r["k"]: r["op"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    # NULL -> value and value -> NULL must both register as changes
+    assert ops == {1: "U", 2: "U"}
+
+
+def test_diff_then_apply_round_trips(spark, sf_dir):
+    """old + snapshot_diff(old, new) replayed as a changelog == new."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    old = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    new = old.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    diff = snapshot_diff(old, new, ["o_orderkey"])
+    log = old.select(
+        F.lit("I").alias("op"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(0).alias("seq"),
+    ).unionByName(
+        diff.select(
+            "op",
+            "o_orderkey",
+            F.col("new_o_orderstatus").alias("o_orderstatus"),
+            F.col("new_o_totalprice").alias("o_totalprice"),
+            F.lit(1).alias("seq"),
+        )
+    )
+    rebuilt = changelog_apply(log, ["o_orderkey"], "seq").drop("seq")
+    assert rebuilt.exceptAll(new).count() == 0
+    assert new.exceptAll(rebuilt).count() == 0
+
+
+def test_cdc_catalog_queries_consistent(spark, sf_dir):
+    state = CATALOG["op_cdc_apply"].fn(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = orders.count()
+    deleted = orders.filter(F.col("o_orderkey") % 100 == 0).count()
+    assert state.count() == n - deleted
+    # every surviving %10 key carries the updated price (seq 2)
+    assert (
+        state.filter((F.col("o_orderkey") % 10 == 0) & (F.col("seq") != 2)).count()
+        == 0
+    )
