@@ -911,3 +911,50 @@ def op_snapshot_diff(spark, sf_dir):
         )
     )
     return snapshot_diff(old, new, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# q_masked_view — column masking + row-level security (operators/governance)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_masked_view",
+    oracle="""
+        SELECT c_custkey,
+               sha256('gv1' || c_name) AS c_name,
+               CASE WHEN length(c_name) <= 3 THEN c_name
+                    ELSE repeat('*', length(c_name) - 3)
+                         || substr(c_name, length(c_name) - 2, 3) END
+                   AS name_display,
+               floor(c_acctbal / 1000.0) * 1000.0 AS c_acctbal,
+               c_mktsegment
+        FROM customer
+        WHERE c_acctbal >= 0
+    """,
+    doc="Governance view (operators/governance.py): salted-SHA-256 "
+    "pseudonymization of the name (deterministic, so masked joins still "
+    "line up across tables), a trailing-3 partial-mask display form, "
+    "k-anonymity bucketing of the balance to 1000-wide bins, column drop "
+    "of the nation quasi-identifier, and row-level security hiding "
+    "negative-balance accounts. Everything is ONE narrow select over the "
+    "scan — masking costs zero shuffles, and the RLS predicate pushes "
+    "into the parquet scan like any other filter (plan-asserted).",
+)
+def q_masked_view(spark, sf_dir):
+    from .operators import governance as G
+
+    c = _t(spark, sf_dir, "customer")
+    with_display = c.withColumn("name_display", G.partial_mask("c_name", keep=3))
+    masked = G.apply_policy(
+        with_display,
+        masks={
+            "c_name": G.hash_mask("c_name", "gv1"),
+            "c_acctbal": G.bucket_mask("c_acctbal", 1000.0),
+        },
+        row_policy=F.col("c_acctbal") >= 0,
+        drop=["c_nationkey"],
+    )
+    return masked.select(
+        "c_custkey", "c_name", "name_display", "c_acctbal", "c_mktsegment"
+    )

@@ -186,3 +186,11 @@ def test_semantic_dedup_pairs_stay_cluster_keyed(spark, sf_dir):
         "BroadcastNestedLoopJoin", ""
     )
     assert "BroadcastExchange" in plan
+
+
+def test_rls_predicate_pushes_into_scan(spark, sf_dir):
+    """Row-level security is an ordinary filter — it must reach the
+    parquet scan, not run post-masking."""
+    df = CATALOG["q_masked_view"].fn(spark, sf_dir)
+    pf = X.pushed_filters(df)
+    assert "c_acctbal" in pf, pf
