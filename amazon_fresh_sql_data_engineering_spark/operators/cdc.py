@@ -36,13 +36,28 @@ def changelog_apply(
     be nondeterministic, so the window orders by (seq desc) only after
     that contract.
     """
+    return (
+        compact_log(log, keys, seq_col)
+        .filter(F.col(op_col) != F.lit(delete_op))
+        .drop(op_col)
+    )
+
+
+def compact_log(log: DataFrame, keys: list[str], seq_col: str) -> DataFrame:
+    """Latest event per key, TOMBSTONES RETAINED (op column kept).
+
+    This is the storage form of log compaction (what Kafka compacted
+    topics / LSM stores keep): deletes survive as tombstones so that
+    merging an older log segment can never resurrect a deleted key.
+    ``changelog_apply`` is this plus the reader-side tombstone filter;
+    the streaming apply (streaming/cdc.py) persists THIS form in its
+    sink and filters on read.
+    """
     w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
     return (
         log.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-        .filter(F.col(op_col) != F.lit(delete_op))
-        .drop(op_col)
     )
 
 

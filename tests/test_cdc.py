@@ -91,3 +91,68 @@ def test_cdc_catalog_queries_consistent(spark, sf_dir):
         state.filter((F.col("o_orderkey") % 10 == 0) & (F.col("seq") != 2)).count()
         == 0
     )
+
+
+def test_streaming_cdc_apply_matches_batch_and_restarts_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """The changelog arrives as three files (inserts, updates, deletes)
+    in separate micro-batches; the sink-state streaming apply must land
+    on exactly the batch op_cdc_apply state, and a restart over the same
+    checkpoint must change nothing."""
+    from amazon_fresh_sql_data_engineering_spark.streaming.cdc import (
+        read_current_state,
+        run_cdc_apply_stream,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.select(
+        F.lit("I").alias("op"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(1).alias("seq"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.lit("U").alias("op"),
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+        F.lit(2).alias("seq"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.lit("D").alias("op"),
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(3).alias("seq"),
+    )
+    src = str(tmp_path / "log")
+    for i, part in enumerate([base, upd, dele]):
+        part.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    run_cdc_apply_stream(stream, out, ckpt, ["o_orderkey"], "seq")
+
+    batch = CATALOG["op_cdc_apply"].fn(spark, sf_dir)
+    streamed = read_current_state(spark, out)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+    # restart over the same checkpoint: nothing new to consume, state
+    # identical (idempotence under re-run)
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_cdc_apply_stream(stream2, out, ckpt, ["o_orderkey"], "seq")
+    again = read_current_state(spark, out)
+    assert again.exceptAll(batch).count() == 0
+    assert batch.exceptAll(again).count() == 0
