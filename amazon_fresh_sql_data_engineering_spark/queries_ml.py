@@ -14,7 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .operators import expectations as X
-from .registry import register
+from .registry import CATALOG, register
 from .registry import tables as _t
 
 # ---------------------------------------------------------------------------
@@ -957,4 +957,97 @@ def q_masked_view(spark, sf_dir):
     )
     return masked.select(
         "c_custkey", "c_name", "name_display", "c_acctbal", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_sliding_distinct_hll — the sketch-merge tier of sliding distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sliding_distinct_hll",
+    # Datasketches blobs are engine-specific, so the checked output is the
+    # exact counts + a ±10% envelope computed INDEPENDENTLY on both sides
+    # with integer arithmetic, plus the in-envelope boolean (the oracle's
+    # TRUE literal fails the hash the moment any window's estimate lands
+    # outside its cross-checked bounds). lgConfigK=14 is ~0.8% rse — 10%
+    # is a >10-sigma envelope, per window, over every window.
+    oracle="""
+        WITH presence AS (
+            SELECT DISTINCT event_type, user_id,
+                   date_trunc('hour', ts) AS hour
+            FROM events
+        ),
+        observed AS (SELECT DISTINCT event_type, hour FROM presence),
+        contrib AS (
+            SELECT event_type, user_id,
+                   hour + u.i * INTERVAL 1 HOUR AS target
+            FROM presence, unnest(range(0, 24)) u(i)
+        ),
+        exact AS (
+            SELECT c.event_type, c.target AS hour,
+                   CAST(count(DISTINCT c.user_id) AS BIGINT) AS exact_users
+            FROM contrib c
+            JOIN observed o
+              ON c.event_type = o.event_type AND c.target = o.hour
+            GROUP BY 1, 2
+        )
+        SELECT event_type, hour, exact_users,
+               (exact_users * 9) // 10 AS lo,
+               (exact_users * 11 + 9) // 10 AS hi,
+               true AS within_10pct
+        FROM exact
+    """,
+    doc="Sliding distinct users, SKETCH-MERGE tier (the 100 TB form of "
+    "events_sliding_distinct): one HLL Datasketch per (type, hour) — "
+    "built in a single pass over the raw stream — then the 24-hour "
+    "window is answered by UNIONING 24 mergeable sketches per target "
+    "hour. The shifted-copy fanout now carries ONE fixed-size sketch "
+    "blob per source hour instead of every distinct user: window state "
+    "is O(types x hours x 16KB) regardless of user cardinality, which "
+    "is what makes trailing-distinct dashboards feasible when the exact "
+    "rewrite's presence table stops fitting. Checked against the exact "
+    "rewrite row-by-row through the independently-computed ±10% "
+    "envelope (estimate is ~0.8% rse at lgConfigK=14).",
+)
+def events_sliding_distinct_hll(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hourly_sk = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    observed = hourly_sk.select(
+        F.col("event_type").alias("o_type"), F.col("hour").alias("o_hour")
+    )
+    fanned = hourly_sk.select(
+        "event_type",
+        "sk",
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("i"),
+        "hour",
+    ).select(
+        "event_type", "sk", F.expr("timestampadd(HOUR, i, hour)").alias("target")
+    )
+    est = (
+        fanned.join(
+            observed,
+            (F.col("event_type") == F.col("o_type"))
+            & (F.col("target") == F.col("o_hour")),
+        )
+        .groupBy("event_type", F.col("target").alias("hour"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+        )
+    )
+    exact = CATALOG["events_sliding_distinct"].fn(spark, sf_dir).select(
+        "event_type", "hour", F.col("distinct_users").alias("exact_users")
+    )
+    return exact.join(est, ["event_type", "hour"]).select(
+        "event_type",
+        "hour",
+        "exact_users",
+        F.expr("(exact_users * 9) div 10").alias("lo"),
+        F.expr("(exact_users * 11 + 9) div 10").alias("hi"),
+        F.col("approx_users")
+        .between(F.expr("(exact_users * 9) div 10"), F.expr("(exact_users * 11 + 9) div 10"))
+        .alias("within_10pct"),
     )
