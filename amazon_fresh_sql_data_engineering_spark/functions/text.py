@@ -10,7 +10,7 @@ operators/dedup.py as Arrow-batched pandas UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 # Small embedded marker lists: enough for a deterministic n-gram/stopword
@@ -123,6 +123,49 @@ def fingerprint(c: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * FP_BASE + x) % FP_MOD,
     )
+
+
+def winnow_fingerprints(docs, id_col: str, text_col: str, k: int = 3, w: int = 4):
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, MOSS):
+    per document, hash every word ``k``-gram, slide a window of ``w``
+    consecutive hashes, and keep the window minimum — rightmost position on
+    hash ties, the published tie rule. Guarantees every shared run of
+    ``w + k - 1`` words between two documents shares >= 1 fingerprint while
+    storing only ~``2/(w+1)`` of all gram hashes — the local-substring
+    analogue of the global minhash family in ``operators/dedup.py``.
+
+    Returns ``(doc_id, fp)`` distinct selected fingerprints, where ``fp`` is
+    ``md5(gram) || 9-digit inverted position`` — the hash plus which window
+    slot it was chosen at (inverted so a plain ``min`` realizes the
+    rightmost-tie rule; engines agree on string order of hex+digits).
+
+    Scale shape: one narrow gram explode (never materialized — the window
+    consumes it sorted), one ``doc_id``-keyed window sort, one distinct.
+    Window state is w rows; no joins, no collects. Docs shorter than ``k``
+    words yield no fingerprints (nothing to guarantee).
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tokens(text_col)) - (k - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(tokens(text_col), i, k))
+                ),
+            )
+        ).alias("pos0", "h"),
+    ).where(F.size(tokens(text_col)) >= k)
+    key = F.concat(
+        F.col("h"),
+        F.lpad((F.lit(100000000) - F.col("pos0") - 1).cast("string"), 9, "0"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos0").rowsBetween(0, w - 1)
+    sel = grams.select(
+        "doc_id",
+        F.min(key).over(win).alias("fp"),
+        F.count(F.lit(1)).over(win).alias("__cnt"),
+    )
+    return sel.where(F.col("__cnt") == w).select("doc_id", "fp").distinct()
 
 
 def tfidf_terms(docs, id_col: str, text_col: str):

@@ -2507,3 +2507,59 @@ def op_kmeans_refine(spark, sf_dir):
     return counts.join(c2, "cid").select(
         "cid", "n_members", norm.alias("centroid_norm")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_winnow_fingerprint — MOSS winnowing (functions/text.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(ws[i:i+2], ' ')) AS h
+            FROM t, unnest(range(1, len(ws) - 1)) AS u(i)
+            WHERE len(ws) >= 3
+        ),
+        s AS (
+            SELECT doc_id,
+                   min(h || lpad(CAST(100000000 - pos AS VARCHAR), 9, '0'))
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                   count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+            FROM g
+        ),
+        f AS (SELECT DISTINCT doc_id, fp FROM s WHERE cnt = 4)
+        SELECT doc_id, count(*) AS n_fp,
+               md5(string_agg(fp, '' ORDER BY fp)) AS fp_digest
+        FROM f GROUP BY 1
+    """,
+    doc="Winnowing fingerprint selection (MOSS; Schleimer et al. 2003): "
+    "word-3-gram md5 hashes, window w=4, keep each window's minimum with "
+    "the rightmost tie rule (realized as plain min over hash||inverted-pos "
+    "— no argmin needed, engines agree on string order). Guarantees any "
+    "shared 6-word run between two documents shares a fingerprint while "
+    "keeping ~2/(w+1) of grams — the local-substring sibling of "
+    "dedup_minhash's global signatures. One narrow gram explode consumed "
+    "streaming by a doc-keyed window sort, a distinct, one aggregation; "
+    "no joins or collects, so the shape is scan-rate at 100 TB. Output is "
+    "one row per doc (fingerprint count + order-insensitive md5 digest of "
+    "the full fingerprint set) so the driver compare pins every selected "
+    "fingerprint without shipping them all.",
+)
+def text_winnow_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fps = TXT.winnow_fingerprints(d, "doc_id", "text", k=3, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list("fp")))).alias(
+            "fp_digest"
+        ),
+    )

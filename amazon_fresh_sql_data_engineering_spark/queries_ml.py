@@ -1051,3 +1051,104 @@ def events_sliding_distinct_hll(spark, sf_dir):
         .between(F.expr("(exact_users * 9) div 10"), F.expr("(exact_users * 11 + 9) div 10"))
         .alias("within_10pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# op_triangle_count — degree-oriented triangle counting (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+_TRADE_EDGES_SQL = """
+        SELECT least(cn.n_name, sn.n_name) AS a,
+               greatest(cn.n_name, sn.n_name) AS b,
+               count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE cn.n_name <> sn.n_name
+        GROUP BY 1, 2
+"""
+
+
+@register(
+    "op_triangle_count",
+    oracle=f"""
+        WITH und0 AS ({_TRADE_EDGES_SQL}),
+        aw AS (SELECT avg(w) AS aw FROM und0),
+        und AS (SELECT a, b FROM und0, aw WHERE w > aw),
+        deg AS (
+            SELECT node, count(*) AS deg FROM (
+                SELECT a AS node FROM und UNION ALL SELECT b FROM und
+            ) GROUP BY 1
+        ),
+        wd AS (
+            SELECT und.a, und.b, da.deg AS deg_a, db.deg AS deg_b
+            FROM und JOIN deg da ON und.a = da.node
+                     JOIN deg db ON und.b = db.node
+        ),
+        oriented AS (
+            SELECT a AS u, b AS v, deg_b AS dv FROM wd
+            WHERE deg_a < deg_b OR (deg_a = deg_b AND a < b)
+            UNION ALL
+            SELECT b AS u, a AS v, deg_a AS dv FROM wd
+            WHERE NOT (deg_a < deg_b OR (deg_a = deg_b AND a < b))
+        ),
+        wedges AS (
+            SELECT e1.u, e1.v, e2.v AS w
+            FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u
+            WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)
+        ),
+        tris AS (
+            SELECT wg.u, wg.v, wg.w
+            FROM wedges wg JOIN oriented c ON wg.v = c.u AND wg.w = c.v
+        )
+        SELECT node, count(*) AS triangles FROM (
+            SELECT u AS node FROM tris
+            UNION ALL SELECT v FROM tris
+            UNION ALL SELECT w FROM tris
+        ) GROUP BY 1
+    """,
+    doc="Per-node triangle counts (operators/graph.py triangle_count) over "
+    "the undirected nation trade graph, thinned to above-average-weight "
+    "edges so the graph keeps real structure at every sf (the avg scalar "
+    "is computed in-plan and broadcast — no collect). Degree-ordered "
+    "orientation bounds wedge enumeration by the O(sqrt(m)) effective "
+    "out-degree — the standard hub-proof O(m^1.5) formulation, so the "
+    "same plan survives a 100 TB edge list; every step is an equi-join "
+    "on a node id. Counts are exact integers — no rounding contract "
+    "needed. Graph analytics sibling of op_pagerank and "
+    "dedup_cluster_corpus.",
+)
+def op_triangle_count(spark, sf_dir):
+    from .operators.graph import triangle_count
+
+    li, o, c, s, n = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cnm"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("snm"))
+    und0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == cn["c_nk"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == sn["s_nk"])
+        .where(F.col("cnm") != F.col("snm"))
+        .groupBy(
+            F.least("cnm", "snm").alias("a"), F.greatest("cnm", "snm").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        # feeds both the avg scalar and the thinned edge list; checkpoint
+        # (not persist) so the fence keeps AQE-sized partitions — see
+        # operators/graph.py triangle_count
+        .localCheckpoint(eager=True)
+    )
+    aw = und0.agg(F.avg("w").alias("aw"))
+    kept = (
+        und0.crossJoin(F.broadcast(aw))
+        .where(F.col("w") > F.col("aw"))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return triangle_count(kept)

@@ -737,3 +737,40 @@ def test_char_entropy_tiers_agree(spark, sf_dir):
         for r in d.select("doc_id", ent(F.col("text")).alias("e")).collect()
     }
     assert expr == arrow
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing theorem: two documents sharing a run of >= w+k-1
+    words share at least one fingerprint; selection keeps well under all
+    grams (expected density 2/(w+1))."""
+    from amazon_fresh_sql_data_engineering_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot"  # 6 words = w+k-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six seven eight nine"),
+            (2, f"red green blue {shared} cyan magenta yellow black white"),
+            (3, "totally different words with no overlap at all here now"),
+            (4, "ab cd"),  # shorter than k -> no fingerprints
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs, "doc_id", "text", k=3, w=4)
+    rows = fps.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"][:32])  # hash part
+    assert by_doc[1] & by_doc[2], "shared 6-word run must share a fingerprint"
+    assert not (by_doc[3] & by_doc[1])
+    assert 4 not in by_doc
+    # density: far fewer fingerprints than grams (13 grams per long doc)
+    assert all(len(v) <= 8 for v in by_doc.values())
+    # determinism
+    again = {
+        (r["doc_id"], r["fp"]) for r in winnow_fingerprints(
+            docs, "doc_id", "text", k=3, w=4
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["fp"]) for r in rows}

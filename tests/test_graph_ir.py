@@ -79,3 +79,46 @@ def test_sliding_distinct_dominates_single_hour(spark, sf_dir):
     assert joined.filter(F.col("distinct_users") < F.col("one_hour")).count() == 0
     # and the window must actually widen coverage somewhere
     assert joined.filter(F.col("distinct_users") > F.col("one_hour")).count() > 0
+
+
+def test_triangle_count_known_graphs(spark):
+    from amazon_fresh_sql_data_engineering_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # K4: every node sits in C(3,2)=3 triangles; 4 triangles total.
+    k4 = [(a, b) for a in "ABCD" for b in "ABCD" if a < b]
+    out = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(
+            spark.createDataFrame(k4, ["src", "dst"])
+        ).collect()
+    }
+    assert out == {"A": 3, "B": 3, "C": 3, "D": 3}
+
+    # Star graph (hub + 5 leaves): wedges galore, zero triangles — the
+    # degree orientation points every edge AT the hub, so the hub has no
+    # out-wedges and the enumeration stays empty, not quadratic.
+    star = [("HUB", f"L{i}") for i in range(5)]
+    assert triangle_count(spark.createDataFrame(star, ["src", "dst"])).count() == 0
+
+    # Direction/duplicate/self-loop insensitivity: triangle A-B-C plus
+    # noise edges reversed, duplicated, and looped.
+    messy = [
+        ("A", "B"), ("B", "A"), ("B", "C"), ("C", "A"),
+        ("A", "A"), ("C", "A"), ("C", "D"),
+    ]
+    out = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(
+            spark.createDataFrame(messy, ["src", "dst"])
+        ).collect()
+    }
+    assert out == {"A": 1, "B": 1, "C": 1}
+
+
+def test_triangle_count_catalog_query_nonempty(spark, sf_dir):
+    df = CATALOG["op_triangle_count"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["triangles"] >= 1 for r in rows)
