@@ -233,3 +233,140 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    query_pred,
+    k: int = 5,
+    n_subspaces: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 16,
+    rerank: int = 0,
+) -> DataFrame:
+    """Product-quantization ANN (Jegou/Douze/Schmid 2011): third index tier
+    next to :func:`lsh_topk` (hash buckets) and :func:`ivf_topk` (coarse
+    clusters) — PQ is the *memory* lever: each vector is stored as
+    ``n_subspaces`` one-byte codes (here 4 B vs 256 B of raw float64), which
+    is what lets a 100 TB corpus keep its whole index in executor memory.
+
+    Engine-portable training discipline (op_kmeans_refine family):
+    codebooks are per-subspace k-means with init = the ``n_codes`` lowest
+    corpus ids, ONE Lloyd refinement, means ROUNDED to 6 dp; assignment
+    distance is the sequential-fold squared L2 (both engines add in array
+    order), ties to the lowest code id. Search is asymmetric distance
+    (ADC): per query one ``n_subspaces x n_codes`` lookup table against the
+    REAL query subvectors, summed over subspaces via an s-ordered fold,
+    ROUNDED, then rank with (dist, id) tiebreak.
+
+    Scale shape: codebook and ADC tables are (queries x m x k) metadata —
+    always broadcast; the corpus is scanned once to encode (no shuffle) and
+    the search join is code-keyed, so nothing all-pairs ever forms.
+
+    ``rerank > 0`` adds the production second stage (IVFADC + rerank):
+    the ADC pass keeps a shortlist of ``rerank`` candidates per query, the
+    raw vectors of ONLY those candidates are fetched by an id-equi-join,
+    and the final top-k is exact squared-L2 on the shortlist — quantization
+    error then only costs recall when a true neighbor misses the whole
+    shortlist. ``dist`` in the output is the exact distance in that mode.
+
+    Returns (query_id, neighbor_id, approx_dist, rank), self excluded.
+    """
+    e = corpus.select(
+        F.col(corpus_id).alias("__id"), to_double(F.col(vec_col)).alias("__v")
+    )
+    sub = e.select(
+        "__id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("s"),
+        F.expr(f"slice(__v, s * {sub_dim} + 1, {sub_dim})").alias("u"),
+    )
+
+    def dist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cents):
+        d = sub.join(F.broadcast(cents), "s")
+        return (
+            d.select("__id", "s", "cid", "u", dist("u", "c").alias("d"))
+            .groupBy("__id", "s")
+            .agg(F.min(F.struct("d", "cid", "u")).alias("b"))
+            .select("__id", "s", F.col("b.cid").alias("cid"), F.col("b.u").alias("u"))
+        )
+
+    c0 = sub.where(F.col("__id") < n_codes).select(
+        "s", F.col("__id").alias("cid"), F.col("u").alias("c")
+    )
+    c1 = (
+        assign(c0)
+        .select("s", "cid", F.posexplode("u").alias("pos", "x"))
+        .groupBy("s", "cid", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("s", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda st: st["m"],
+            ).alias("c")
+        )
+        # feeds both the encode pass and every ADC table; m*k rows of
+        # metadata — fence with AQE-sized partitions (see graph.py note)
+        .localCheckpoint(eager=True)
+    )
+    codes = assign(c1).select("__id", "s", "cid")
+    qs = sub.where(query_pred(F.col("__id"))).select(
+        F.col("__id").alias("query_id"), "s", F.col("u").alias("qu")
+    )
+    dt = qs.join(F.broadcast(c1), "s").select(
+        "query_id", "s", "cid", dist("qu", "c").alias("d")
+    )
+    tot = (
+        codes.join(F.broadcast(dt), ["s", "cid"])
+        .groupBy("query_id", F.col("__id").alias("neighbor_id"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("s", "d"))),
+                        lambda st: st["d"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("approx_dist")
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+    adc = (
+        tot.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= (rerank if rerank > 0 else k))
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )
+    if rerank <= 0:
+        return adc
+    qv = e.where(query_pred(F.col("__id"))).select(
+        F.col("__id").alias("query_id"), F.col("__v").alias("__qv")
+    )
+    cand = (
+        adc.select("query_id", "neighbor_id")
+        .join(e, F.col("neighbor_id") == F.col("__id"))
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dist("__qv", "__v"), 6).alias("exact_dist"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy("exact_dist", "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "exact_dist", "rank")
+    )

@@ -2563,3 +2563,154 @@ def text_winnow_fingerprint(spark, sf_dir):
             "fp_digest"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_pq — product-quantization ANN (operators/similarity.py pq_topk)
+# ---------------------------------------------------------------------------
+
+_PQ_FOLD = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, 17),
+                                i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))),
+                 (acc, x) -> acc + x)"""
+
+_PQ_CTES = f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        sub AS (
+            SELECT vec_id, s, v[s*16+1 : s*16+16] AS u
+            FROM e, unnest(range(0, 4)) AS t(s)
+        ),
+        c0 AS (SELECT s, vec_id AS cid, u AS c FROM sub WHERE vec_id < 16),
+        d1 AS (
+            SELECT sub.vec_id, sub.s, c0.cid,
+                   {_PQ_FOLD.format(a="sub.u", b="c0.c")} AS d
+            FROM sub JOIN c0 ON sub.s = c0.s
+        ),
+        a1 AS (
+            SELECT d1.vec_id, d1.s, min(d1.cid) AS cid
+            FROM d1 JOIN (
+                SELECT vec_id, s, min(d) AS md FROM d1 GROUP BY 1, 2
+            ) m ON d1.vec_id = m.vec_id AND d1.s = m.s AND d1.d = m.md
+            GROUP BY 1, 2
+        ),
+        m1 AS (
+            SELECT s, cid, pos, round(avg(x), 6) AS m FROM (
+                SELECT a1.s, a1.cid, generate_subscripts(sub.u, 1) AS pos,
+                       unnest(sub.u) AS x
+                FROM a1 JOIN sub ON a1.vec_id = sub.vec_id AND a1.s = sub.s
+            ) GROUP BY 1, 2, 3
+        ),
+        c1 AS (SELECT s, cid, list(m ORDER BY pos) AS c FROM m1 GROUP BY 1, 2),
+        d2 AS (
+            SELECT sub.vec_id, sub.s, c1.cid,
+                   {_PQ_FOLD.format(a="sub.u", b="c1.c")} AS d
+            FROM sub JOIN c1 ON sub.s = c1.s
+        ),
+        codes AS (
+            SELECT d2.vec_id, d2.s, min(d2.cid) AS cid
+            FROM d2 JOIN (
+                SELECT vec_id, s, min(d) AS md FROM d2 GROUP BY 1, 2
+            ) m ON d2.vec_id = m.vec_id AND d2.s = m.s AND d2.d = m.md
+            GROUP BY 1, 2
+        ),
+        q AS (
+            SELECT vec_id AS query_id, s, u AS qu FROM sub WHERE vec_id < 10
+        ),
+        dt AS (
+            SELECT q.query_id, c1.s, c1.cid,
+                   {_PQ_FOLD.format(a="q.qu", b="c1.c")} AS d
+            FROM q JOIN c1 ON q.s = c1.s
+        ),
+        tot AS (
+            SELECT dt.query_id, codes.vec_id AS neighbor_id,
+                   round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list(dt.d ORDER BY dt.s)), (a, x) -> a + x), 6)
+                       AS approx_dist
+            FROM codes JOIN dt ON codes.s = dt.s AND codes.cid = dt.cid
+            WHERE codes.vec_id <> dt.query_id
+            GROUP BY 1, 2
+        )
+"""
+
+
+@register(
+    "sim_ann_pq",
+    oracle=f"""{_PQ_CTES}
+        SELECT query_id, neighbor_id, approx_dist, rank FROM (
+            SELECT query_id, neighbor_id, approx_dist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY approx_dist, neighbor_id)
+                       AS rank
+            FROM tot
+        ) WHERE rank <= 5
+    """,
+    doc="Product-quantization ANN (operators/similarity.py pq_topk): 4 "
+    "subspaces x 16 dims, 16-code codebooks per subspace (init = lowest "
+    "vec_ids, one Lloyd refinement, means rounded to 6 — the "
+    "op_kmeans_refine training discipline), asymmetric-distance search "
+    "via per-query broadcast lookup tables, subspace distances summed in "
+    "s-order (deterministic fold), round-then-rank with (dist, id) ties. "
+    "The memory tier of the ANN family: a PQ code is 4 bytes/vector vs "
+    "256 raw, so the whole 100 TB index fits executor RAM; the corpus is "
+    "scanned once to encode and the search join is code-keyed — nothing "
+    "all-pairs. Oracle replays codebook training, encoding, and ADC "
+    "end-to-end in SQL.",
+)
+def sim_ann_pq(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return S.pq_topk(
+        e, "vec_id", "embedding", query_pred=lambda c: c < 10, k=5
+    )
+
+
+_PQ_FOLD64 = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, 65),
+                                i -> (qe.v[i] - ne.v[i]) * (qe.v[i] - ne.v[i]))),
+                 (acc, x) -> acc + x)"""
+
+
+@register(
+    "sim_ann_pq_rerank",
+    oracle=f"""{_PQ_CTES}
+        , short AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY approx_dist, neighbor_id)
+                           AS rn
+                FROM tot
+            ) WHERE rn <= 40
+        ),
+        ex AS (
+            SELECT short.query_id, short.neighbor_id,
+                   round({_PQ_FOLD64}, 6) AS exact_dist
+            FROM short
+            JOIN e qe ON short.query_id = qe.vec_id
+            JOIN e ne ON short.neighbor_id = ne.vec_id
+        )
+        SELECT query_id, neighbor_id, exact_dist, rank FROM (
+            SELECT query_id, neighbor_id, exact_dist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY exact_dist, neighbor_id)
+                       AS rank
+            FROM ex
+        ) WHERE rank <= 5
+    """,
+    doc="PQ + exact re-rank (operators/similarity.py pq_topk rerank=40): "
+    "the production two-stage shape — the compressed-code ADC pass keeps "
+    "a 40-candidate shortlist per query, then ONLY those 40 raw vectors "
+    "are fetched by id-equi-join and scored with exact sequential-fold "
+    "squared L2, so quantization error costs recall only when a true "
+    "neighbor misses the whole shortlist (measured: mean recall@5 rises "
+    "from 1.3 to 3.5 of 5 vs pure ADC on this corpus; the recall gate "
+    "lives in tests/test_extensions.py). At 100 TB the shortlist fetch "
+    "touches queries x 40 rows — the full-precision vectors never "
+    "broadcast or shuffle beyond that. Oracle replays both stages.",
+)
+def sim_ann_pq_rerank(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return S.pq_topk(
+        e, "vec_id", "embedding", query_pred=lambda c: c < 10, k=5, rerank=40
+    )

@@ -774,3 +774,43 @@ def test_winnowing_guarantee_and_density(spark):
         ).collect()
     }
     assert again == {(r["doc_id"], r["fp"]) for r in rows}
+
+
+def test_pq_rerank_recall_beats_pure_adc(spark, sf_dir):
+    """PQ contract: exact re-rank over the ADC shortlist can only improve
+    recall; on this (deterministic) corpus the measured means are 1.3/5
+    pure-ADC vs 3.5/5 reranked — gate well inside both."""
+    from amazon_fresh_sql_data_engineering_spark.catalog import CATALOG
+
+    emb = {
+        r["vec_id"]: r["v"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    }
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    exact = {
+        q: {
+            i
+            for _, i in sorted(
+                (l2(emb[q], v), i) for i, v in emb.items() if i != q
+            )[:5]
+        }
+        for q in range(10)
+    }
+
+    def overlaps(name):
+        got = {}
+        for r in CATALOG[name].fn(spark, sf_dir).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert set(got) == set(range(10))
+        assert all(len(v) == 5 for v in got.values())
+        return sum(len(exact[q] & got[q]) for q in range(10)) / 10.0
+
+    adc = overlaps("sim_ann_pq")
+    rr = overlaps("sim_ann_pq_rerank")
+    assert rr >= adc
+    assert rr >= 3.0
