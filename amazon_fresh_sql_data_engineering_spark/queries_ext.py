@@ -2714,3 +2714,74 @@ def sim_ann_pq_rerank(spark, sf_dir):
     return S.pq_topk(
         e, "vec_id", "embedding", query_pred=lambda c: c < 10, k=5, rerank=40
     )
+
+
+# ---------------------------------------------------------------------------
+# text_hashing_vectorizer — hashing-trick featurization (no vocab build)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_hashing_vectorizer",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, t
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                FROM documents
+            ) WHERE t <> ''
+        ),
+        b AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256
+                       AS bucket,
+                   count(*) AS cnt
+            FROM tok GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               sum(cnt) AS n_tokens,
+               count(*) AS n_buckets,
+               md5(string_agg(CAST(bucket AS VARCHAR) || ':'
+                              || CAST(cnt AS VARCHAR), ',' ORDER BY bucket))
+                   AS vec_digest
+        FROM b GROUP BY 1
+    """,
+    doc="Hashing-trick vectorizer (Weinberger et al. 2009): tokens hash "
+    "straight into 256 feature buckets (md5-derived, engine-portable) — "
+    "NO vocabulary pass, which is the point at 100 TB: tfidf_terms needs "
+    "a document-frequency aggregation over the full corpus first, while "
+    "feature hashing is one stateless map + one (doc, bucket) count, so "
+    "new data streams through without re-fitting anything. Output pins "
+    "the whole sparse vector per doc (token count, bucket count, md5 "
+    "digest of the bucket:count list in bucket order) without shipping "
+    "the vectors.",
+)
+def text_hashing_vectorizer(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(TXT.tokens("text")).alias("t")
+    ).where(F.col("t") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("bigint") % 256
+    )
+    b = tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return b.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bucket", "cnt"))),
+                    lambda s: F.concat(
+                        s["bucket"].cast("string"),
+                        F.lit(":"),
+                        s["cnt"].cast("string"),
+                    ),
+                ),
+            )
+        ).alias("vec_digest"),
+    )

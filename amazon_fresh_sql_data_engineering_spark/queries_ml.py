@@ -1152,3 +1152,119 @@ def op_triangle_count(spark, sf_dir):
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
     return triangle_count(kept)
+
+
+# ---------------------------------------------------------------------------
+# op_interpolate_gaps — dense-spine linear interpolation of a sparse series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_interpolate_gaps",
+    oracle="""
+        WITH h AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
+            FROM events WHERE user_id % 50 = 0 GROUP BY 1, 2
+        ),
+        b AS (
+            SELECT event_type, min(hr) AS h0, max(hr) AS h1 FROM h GROUP BY 1
+        ),
+        spine AS (
+            SELECT event_type,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM b
+        ),
+        j AS (
+            SELECT s.event_type, s.hour, h.c
+            FROM spine s LEFT JOIN h
+              ON s.event_type = h.event_type AND s.hour = h.hr
+        ),
+        x AS (
+            SELECT event_type, hour, c,
+                   last_value(c IGNORE NULLS) OVER wp AS pc,
+                   last_value(CASE WHEN c IS NOT NULL THEN hour END
+                              IGNORE NULLS) OVER wp AS ph,
+                   first_value(c IGNORE NULLS) OVER wn AS nc,
+                   first_value(CASE WHEN c IS NOT NULL THEN hour END
+                               IGNORE NULLS) OVER wn AS nh
+            FROM j
+            WINDOW wp AS (PARTITION BY event_type ORDER BY hour
+                          ROWS UNBOUNDED PRECEDING),
+                   wn AS (PARTITION BY event_type ORDER BY hour
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, hour,
+               CASE WHEN c IS NOT NULL THEN round(CAST(c AS DOUBLE), 6)
+                    ELSE round(CAST(pc AS DOUBLE)
+                               + (CAST(nc AS DOUBLE) - CAST(pc AS DOUBLE))
+                                 * (CAST(date_diff('hour', ph, hour) AS DOUBLE)
+                                    / CAST(date_diff('hour', ph, nh) AS DOUBLE)),
+                               6)
+               END AS n_filled,
+               c IS NULL AS was_gap
+        FROM x
+    """,
+    doc="Time-series gap repair: hourly counts of a sparse event subset "
+    "(user_id % 50) are densified onto a per-type min..max hour spine "
+    "(sequence/explode — generated, not joined from a calendar table) and "
+    "gaps are LINEARLY interpolated between the bracketing observed "
+    "hours via IGNORE NULLS window endpoints — the continuous sibling of "
+    "op_forward_fill. Interpolation arithmetic is pinned engine-portable: "
+    "integer hour offsets cast to DOUBLE, one division, one multiply, "
+    "one add, rounded at 6. Spine endpoints are observed by "
+    "construction, so the bracketing values never go NULL. Scale shape: "
+    "one groupBy, a generated spine (|types| x span rows), two "
+    "partitioned window passes — no self-joins.",
+)
+def op_interpolate_gaps(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") % 50 == 0)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    j = spine.join(
+        hourly.select(
+            "event_type", F.col("hr").alias("hour"), "c"
+        ),
+        ["event_type", "hour"],
+        "left",
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    wp = w.rowsBetween(Window.unboundedPreceding, 0)
+    wn = w.rowsBetween(0, Window.unboundedFollowing)
+    obs_hour = F.when(F.col("c").isNotNull(), F.col("hour"))
+    pc = F.last("c", ignorenulls=True).over(wp).cast("double")
+    ph = F.last(obs_hour, ignorenulls=True).over(wp)
+    nc = F.first("c", ignorenulls=True).over(wn).cast("double")
+    nh = F.first(obs_hour, ignorenulls=True).over(wn)
+    frac = F.expr("CAST(timestampdiff(HOUR, __ph, hour) AS DOUBLE)") / F.expr(
+        "CAST(timestampdiff(HOUR, __ph, __nh) AS DOUBLE)"
+    )
+    staged = j.select(
+        "event_type",
+        "hour",
+        "c",
+        pc.alias("__pc"),
+        ph.alias("__ph"),
+        nc.alias("__nc"),
+        nh.alias("__nh"),
+    )
+    filled = F.when(
+        F.col("c").isNotNull(), F.round(F.col("c").cast("double"), 6)
+    ).otherwise(
+        F.round(F.col("__pc") + (F.col("__nc") - F.col("__pc")) * frac, 6)
+    )
+    return staged.select(
+        "event_type",
+        "hour",
+        filled.alias("n_filled"),
+        F.col("c").isNull().alias("was_gap"),
+    )

@@ -122,3 +122,33 @@ def test_triangle_count_catalog_query_nonempty(spark, sf_dir):
     rows = df.collect()
     assert len(rows) > 0
     assert all(r["triangles"] >= 1 for r in rows)
+
+
+def test_interpolate_gaps_spine_and_bounds(spark, sf_dir):
+    """Spine is dense per type (consecutive hours, observed endpoints);
+    interpolated values are bounded by the bracketing observed counts and
+    observed rows pass through unchanged."""
+    df = CATALOG["op_interpolate_gaps"].fn(spark, sf_dir).collect()
+    by_type = {}
+    for r in df:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert len(by_type) == 5
+    total_gaps = 0
+    for rows in by_type.values():
+        rows.sort(key=lambda r: r["hour"])
+        # dense hourly spine
+        hours = [r["hour"] for r in rows]
+        assert all(
+            (b - a).total_seconds() == 3600 for a, b in zip(hours, hours[1:])
+        )
+        # endpoints observed
+        assert not rows[0]["was_gap"] and not rows[-1]["was_gap"]
+        # every value positive; gap values bounded by neighbors' envelope
+        obs = [r["n_filled"] for r in rows if not r["was_gap"]]
+        lo, hi = min(obs), max(obs)
+        for r in rows:
+            assert r["n_filled"] > 0
+            if r["was_gap"]:
+                total_gaps += 1
+                assert lo <= r["n_filled"] <= hi
+    assert total_gaps > 0
