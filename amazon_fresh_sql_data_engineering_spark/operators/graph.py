@@ -109,11 +109,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .select("u", "v", "w")
     )
     closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    tris = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    tris = wedges.join(closing, ["v", "w"])
+    # one explode pass, NOT a 3-way union of selects — a union would
+    # re-run the wedge+closing joins once per corner
     return (
-        tris.select(F.col("u").alias("node"))
-        .union(tris.select(F.col("v")))
-        .union(tris.select(F.col("w")))
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )

@@ -194,3 +194,50 @@ def test_rls_predicate_pushes_into_scan(spark, sf_dir):
     df = CATALOG["q_masked_view"].fn(spark, sf_dir)
     pf = X.pushed_filters(df)
     assert "c_acctbal" in pf, pf
+
+
+def test_triangle_count_single_wedge_pass_no_cartesian(spark, sf_dir):
+    """Wedge enumeration and the closing probe are equi-joins on node
+    ids, run EXACTLY ONCE (the per-corner counting is one explode, not a
+    3-way union that would replay the joins); the degree broadcast lives
+    inside the checkpointed orientation segment, so the final plan reads
+    the oriented edges as a single fenced scan."""
+    df = CATALOG["op_triangle_count"].fn(spark, sf_dir)
+    plan = X.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    import re
+
+    # formatted explain shows each operator in the tree AND its detail
+    # section — count the numbered detail headers only
+    wedge_joins = len(
+        re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin)", plan)
+    )
+    assert wedge_joins <= 2, plan[:2000]
+
+
+def test_pq_adc_join_broadcasts_lookup_tables(spark, sf_dir):
+    """PQ search: codebook + per-query ADC tables are metadata — the
+    corpus side must never shuffle into a sort-merge join against them
+    and nothing may go cartesian."""
+    df = CATALOG["sim_ann_pq"].fn(spark, sf_dir)
+    plan = X.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_winnowing_is_window_over_single_doc_shuffle(spark, sf_dir):
+    """Winnowing = gram explode consumed by ONE doc-keyed window pass +
+    distinct + final agg; no joins at all."""
+    df = CATALOG["text_winnow_fingerprint"].fn(spark, sf_dir)
+    plan = X.physical_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert X.shuffle_count(df) <= 3, X.shuffle_count(df)
+
+
+def test_interpolate_gaps_no_single_partition_windows(spark, sf_dir):
+    """Both interpolation window passes partition by event_type — no
+    global single-partition window; spine generation is an explode, not
+    a join against a calendar table."""
+    df = CATALOG["op_interpolate_gaps"].fn(spark, sf_dir)
+    plan = X.physical_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
