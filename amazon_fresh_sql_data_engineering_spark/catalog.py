@@ -33,6 +33,11 @@ try:  # round-3 session additions (expectations/sampling/anomaly/char-LM)
 except ImportError:
     pass
 
+try:  # round-3 session additions, batch 4 (stats/sequence analytics)
+    from . import queries_stats as _queries_stats  # noqa: F401
+except ImportError:
+    pass
+
 _PRIORITY = [
     # reference-entity pipeline + robustness queries added after the r2
     # sample froze (VERDICT r2 "Missing" items 2 and partially 3)

@@ -1,0 +1,386 @@
+"""Round-3 session additions, batch 4: inferential statistics and
+sequence/time-series analytics over the event stream and the order book.
+
+- ``events_markov_transitions`` — first-order Markov transition matrix of
+  per-user event-type sequences (sequence-model / user-journey prep).
+- ``events_ohlc`` — hourly open/high/low/close downsampling of the event
+  value series (classic time-series rollup; the batch twin of a streaming
+  candlestick aggregator).
+- ``op_chi_square`` — chi-square test of independence on a contingency
+  table (nation x order priority) with per-cell expected counts and
+  contributions.
+- ``op_ab_test_welch`` — Welch's unequal-variance t statistic comparing a
+  deterministic A/B split of users, one conditional-aggregation scan.
+- ``op_rfm_segmentation`` — recency/frequency/monetary quartile scoring via
+  the two-phase ``global_ntile`` (operators/ranking.py), no
+  single-partition pass over the customer table.
+
+Same contract as every other query module: each entry's DuckDB oracle
+replays the identical algorithm with the identical rounding, so parity
+holds at any scale factor. Determinism rules follow the repo conventions:
+exact DECIMAL for money sums, ``CAST(... AS DOUBLE)`` everywhere a DuckDB
+bare literal would otherwise parse as DECIMAL, squares written as ``x*x``
+(never ``pow`` — libm pow is not guaranteed bit-identical across engines),
+and every float aggregate rounded before it reaches a threshold or an
+ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .operators.ranking import global_ntile
+from .registry import dec, fin, register
+from .registry import tables as _t
+
+# ---------------------------------------------------------------------------
+# events_markov_transitions — user-journey transition matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+        WITH pairs AS (
+            SELECT event_type AS src,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS dst
+            FROM events
+        ),
+        c AS (
+            SELECT src, dst, count(*) AS n_trans
+            FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT src, dst, n_trans,
+               round(CAST(n_trans AS DOUBLE)
+                     / CAST(sum(n_trans) OVER (PARTITION BY src) AS DOUBLE),
+                     6) AS p
+        FROM c
+    """,
+    doc="First-order Markov chain over per-user event sequences: LEAD "
+    "within (user_id) ordered by (ts, event_id) — a total order, so the "
+    "successor is deterministic — then transition counts and row-"
+    "normalized probabilities. Scale shape: one shuffle on user_id for "
+    "the sequence window (per-user state is the user's own events, "
+    "bounded), then the stream collapses to the (src, dst) grain — at "
+    "most |event_types|^2 rows — so the normalizing window runs over "
+    "metadata-sized data. This is the prep step for session sequence "
+    "models / next-action prediction over a 100 TB event log.",
+)
+def events_markov_transitions(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_trans"))
+    wsrc = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(wsrc).cast("double"),
+            6,
+        ).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_ohlc — hourly open/high/low/close downsampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ohlc",
+    oracle="""
+        WITH h AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   ts, event_id, value
+            FROM events
+        ),
+        r AS (
+            SELECT event_type, hour, value,
+                   row_number() OVER (PARTITION BY event_type, hour
+                                      ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY event_type, hour
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM h
+        )
+        SELECT event_type, hour,
+               max(CASE WHEN rn_a = 1 THEN value END) AS px_open,
+               max(value) AS px_high,
+               min(value) AS px_low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS px_close,
+               count(*) AS n_events
+        FROM r GROUP BY 1, 2
+    """,
+    doc="Hourly OHLC (candlestick) downsampling of the event value series "
+    "per event type. Open/close are selected — not computed — values "
+    "(min_by/max_by on the total order (ts, event_id)), so no float "
+    "arithmetic happens and no rounding is needed; the oracle realizes "
+    "the same selection with row_number + conditional max. Scale shape: "
+    "single hash aggregation to the (type, hour) grain with map-side "
+    "partial min_by/max_by combine — the raw stream never shuffles "
+    "row-for-row, only per-group partial states do. The batch twin of a "
+    "streaming tumbling-window OHLC aggregator.",
+)
+def events_ohlc(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("px_open"),
+            F.max("value").alias("px_high"),
+            F.min("value").alias("px_low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("px_close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_chi_square — test of independence over a contingency table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_chi_square",
+    oracle="""
+        WITH cells AS (
+            SELECT n.n_name, o.o_orderpriority AS priority, count(*) AS obs
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT n_name, priority, obs,
+                   CAST(sum(obs) OVER (PARTITION BY n_name) AS DOUBLE) AS rt,
+                   CAST(sum(obs) OVER (PARTITION BY priority) AS DOUBLE) AS ct,
+                   CAST(sum(obs) OVER () AS DOUBLE) AS g
+            FROM cells
+        )
+        SELECT n_name, priority, obs,
+               round(rt * ct / g, 6) AS expected,
+               round((CAST(obs AS DOUBLE) - rt * ct / g)
+                     * (CAST(obs AS DOUBLE) - rt * ct / g)
+                     / (rt * ct / g), 6) AS contrib
+        FROM t
+    """,
+    doc="Chi-square test of independence: contingency table of customer "
+    "nation x order priority with per-cell observed count, expected "
+    "count under independence (row_total*col_total/grand), and the "
+    "cell's chi-square contribution. All inputs to the float division "
+    "are exact integers (products < 2^53 at any plausible scale), so "
+    "expected/contrib are bit-identical across engines before the "
+    "defensive round(6); the square is written x*x, never pow. Scale "
+    "shape: orders shuffle once on custkey for the customer join, "
+    "nation broadcasts, then everything collapses to the <= "
+    "|nations|*|priorities| cell grain — the marginal-total windows "
+    "(including the empty-frame grand total) run over ~125 rows of "
+    "metadata, not data.",
+)
+def op_chi_square(spark, sf_dir):
+    o, c, n = _t(spark, sf_dir, "orders", "customer", "nation")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    rt = F.sum("obs").over(Window.partitionBy("n_name")).cast("double")
+    ct = F.sum("obs").over(Window.partitionBy("priority")).cast("double")
+    g = F.sum("obs").over(Window.partitionBy()).cast("double")
+    exp = rt * ct / g
+    d = F.col("obs").cast("double") - exp
+    return cells.select(
+        "n_name",
+        "priority",
+        "obs",
+        F.round(exp, 6).alias("expected"),
+        F.round(d * d / exp, 6).alias("contrib"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_ab_test_welch — Welch's t over a deterministic A/B user split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_ab_test_welch",
+    oracle="""
+        WITH s AS (
+            SELECT event_type,
+                   count(*) FILTER (WHERE user_id % 2 = 0) AS n_a,
+                   count(*) FILTER (WHERE user_id % 2 = 1) AS n_b,
+                   avg(value) FILTER (WHERE user_id % 2 = 0) AS ma,
+                   avg(value) FILTER (WHERE user_id % 2 = 1) AS mb,
+                   var_samp(value) FILTER (WHERE user_id % 2 = 0) AS va,
+                   var_samp(value) FILTER (WHERE user_id % 2 = 1) AS vb
+            FROM events
+            GROUP BY 1
+        )
+        SELECT event_type, n_a, n_b,
+               round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+               round((ma - mb) / sqrt(NULLIF(va / n_a + vb / n_b,
+                                             CAST(0 AS DOUBLE))), 4) AS t_stat,
+               round((va / n_a + vb / n_b) * (va / n_a + vb / n_b)
+                     / NULLIF((va / n_a) * (va / n_a) / (n_a - 1)
+                              + (vb / n_b) * (vb / n_b) / (n_b - 1),
+                              CAST(0 AS DOUBLE)), 2) AS df
+        FROM s
+    """,
+    doc="Welch's unequal-variance t-test per event type, variant assigned "
+    "deterministically as user_id % 2 (the reproducible-experiment "
+    "idiom — never rand()). One conditional-aggregation scan produces "
+    "per-variant n/mean/var; the t statistic and Welch-Satterthwaite "
+    "df are scalar math on those aggregates. Float means/variances are "
+    "summation-order-dependent in the last ulp, so every derived value "
+    "is rounded (4 for means/t, 2 for df) — |value| <= ~330 and n >= "
+    "dozens keep the ulp noise orders of magnitude below the rounding "
+    "grain. Scale shape: a single map-side-combinable groupBy on "
+    "event_type; no second scan, no join, output is |event_types| rows.",
+)
+def op_ab_test_welch(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    a = F.col("user_id") % 2 == 0
+    b = F.col("user_id") % 2 == 1
+    s = e.groupBy("event_type").agg(
+        F.count(F.when(a, F.lit(1))).alias("n_a"),
+        F.count(F.when(b, F.lit(1))).alias("n_b"),
+        F.avg(F.when(a, F.col("value"))).alias("ma"),
+        F.avg(F.when(b, F.col("value"))).alias("mb"),
+        F.var_samp(F.when(a, F.col("value"))).alias("va"),
+        F.var_samp(F.when(b, F.col("value"))).alias("vb"),
+    )
+    sea = F.col("va") / F.col("n_a")
+    seb = F.col("vb") / F.col("n_b")
+    se2 = sea + seb
+    return s.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("ma", 4).alias("mean_a"),
+        F.round("mb", 4).alias("mean_b"),
+        F.round(
+            (F.col("ma") - F.col("mb"))
+            / F.sqrt(F.nullif(se2, F.lit(0.0))),
+            4,
+        ).alias("t_stat"),
+        F.round(
+            se2 * se2
+            / F.nullif(
+                sea * sea / (F.col("n_a") - 1) + seb * seb / (F.col("n_b") - 1),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_rfm_segmentation — quartile customer scoring via two-phase ntile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_rfm_segmentation",
+    oracle="""
+        WITH base AS (
+            SELECT o_custkey,
+                   date_diff('day', CAST(max(o_orderdate) AS DATE),
+                             (SELECT CAST(max(o_orderdate) AS DATE)
+                              FROM orders)) AS recency_days,
+                   count(*) AS frequency,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS monetary
+            FROM orders GROUP BY 1
+        ),
+        scored AS (
+            SELECT *,
+                   ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+                   ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+                   ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+            FROM base
+        )
+        SELECT o_custkey, recency_days, frequency, monetary,
+               r_score, f_score, m_score,
+               CASE WHEN r_score = 1 AND f_score = 1 THEN 'champion'
+                    WHEN f_score <= 2 THEN 'loyal'
+                    WHEN r_score >= 3 THEN 'at_risk'
+                    ELSE 'regular' END AS segment
+        FROM scored
+    """,
+    doc="RFM customer segmentation: per-customer recency (days since last "
+    "order, against the corpus max date), frequency (order count), and "
+    "monetary (exact DECIMAL spend, rounded on exit), each scored into "
+    "quartiles with SQL NTILE semantics. All three NTILEs are the "
+    "two-phase global_ntile (operators/ranking.py) — range-partitioned "
+    "sort + per-partition numbering + broadcast offsets — so despite "
+    "three global orderings there is no single-partition pass over the "
+    "customer table (the only SinglePartition exchanges touch the "
+    "per-partition count rows, <= shuffle partitions each). Orderings "
+    "include custkey as tiebreaker => total order => deterministic "
+    "tiles; DESC orderings pass explicit sort Columns. Segment labels "
+    "are a CASE over the scores (champion/loyal/at_risk/regular). "
+    "Chaining three two-phase ntiles re-embeds the upstream subtree in "
+    "every plan branch (each ntile reads its input from the window "
+    "side, the counts side, and the join-back), so the stages are "
+    "fenced with eager localCheckpoint — measured 7.4 s -> 2.0 s at "
+    "sf0.1. The fenced frame is the per-customer aggregate, already "
+    "reduced from the raw fact table; at cluster scale with executor "
+    "loss in play swap the fences for persist(MEMORY_AND_DISK) — "
+    "localCheckpoint blocks are not recomputable.",
+)
+def op_rfm_segmentation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("__last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        fin(F.sum(dec("o_totalprice"))).alias("monetary"),
+    )
+    maxd = o.agg(F.max("o_orderdate").alias("__max_ts"))
+    base = (
+        per_cust.join(F.broadcast(maxd))
+        .withColumn(
+            "recency_days",
+            F.datediff(
+                F.col("__max_ts").cast("date"), F.col("__last_ts").cast("date")
+            ).cast("bigint"),
+        )
+        .select("o_custkey", "recency_days", "frequency", "monetary")
+        # fence: see doc — the chained ntiles otherwise replay this subtree
+        # once per plan branch (9+ times by the third ntile)
+        .localCheckpoint(eager=True)
+    )
+    scored = global_ntile(
+        base, 4, [F.col("recency_days").asc(), F.col("o_custkey").asc()], "r_score"
+    ).localCheckpoint(eager=True)
+    scored = global_ntile(
+        scored, 4, [F.col("frequency").desc(), F.col("o_custkey").asc()], "f_score"
+    ).localCheckpoint(eager=True)
+    scored = global_ntile(
+        scored, 4, [F.col("monetary").desc(), F.col("o_custkey").asc()], "m_score"
+    )
+    seg = (
+        F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), "champion")
+        .when(F.col("f_score") <= 2, "loyal")
+        .when(F.col("r_score") >= 3, "at_risk")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        seg.alias("segment"),
+    )

@@ -1,0 +1,162 @@
+"""Invariant tests for the stats/sequence-analytics batch (queries_stats.py).
+
+Oracle parity is covered by tests/test_oracle_parity.py's full-catalog sweep;
+these tests pin the *mathematical* invariants each operator must satisfy so a
+future refactor that keeps parity-by-accident (both engines wrong the same
+way) still gets caught.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from amazon_fresh_sql_data_engineering_spark.catalog import CATALOG
+
+
+def _rows(spark, sf_dir, name):
+    return CATALOG[name].fn(spark, sf_dir).collect()
+
+
+class TestMarkovTransitions:
+    def test_probabilities_normalize_per_source(self, spark, sf_dir):
+        rows = _rows(spark, sf_dir, "events_markov_transitions")
+        by_src: dict[str, float] = {}
+        for r in rows:
+            by_src[r.src] = by_src.get(r.src, 0.0) + r.p
+        assert by_src, "no transitions found"
+        for src, total in by_src.items():
+            # per-row round(6) => drift bounded by 0.5e-6 * fan-out
+            assert abs(total - 1.0) < 1e-4, (src, total)
+
+    def test_transition_count_conservation(self, spark, sf_dir):
+        """Every user with k events contributes exactly k-1 transitions."""
+        df = CATALOG["events_markov_transitions"].fn(spark, sf_dir)
+        got = df.agg(F.sum("n_trans")).collect()[0][0]
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        per_user = e.groupBy("user_id").count()
+        expected = per_user.agg(F.sum(F.col("count") - 1)).collect()[0][0]
+        assert got == expected
+
+
+class TestOhlc:
+    def test_ohlc_bounds_and_conservation(self, spark, sf_dir):
+        rows = _rows(spark, sf_dir, "events_ohlc")
+        assert rows
+        for r in rows:
+            assert r.px_low <= min(r.px_open, r.px_close)
+            assert r.px_high >= max(r.px_open, r.px_close)
+            assert r.n_events >= 1
+        total = sum(r.n_events for r in rows)
+        n_raw = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert total == n_raw
+
+    def test_single_event_hour_degenerates(self, spark, sf_dir):
+        """Where n_events == 1 all four prices are the same observation."""
+        singles = [r for r in _rows(spark, sf_dir, "events_ohlc") if r.n_events == 1]
+        for r in singles:
+            assert r.px_open == r.px_high == r.px_low == r.px_close
+
+
+class TestChiSquare:
+    def test_marginals_and_statistic(self, spark, sf_dir):
+        rows = _rows(spark, sf_dir, "op_chi_square")
+        grand_obs = sum(r.obs for r in rows)
+        n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+        assert grand_obs == n_orders  # every order has a valid customer+nation
+        # expected counts reproduce the observed marginals
+        exp_total = sum(r.expected for r in rows)
+        assert abs(exp_total - grand_obs) < 1e-2
+        for r in rows:
+            assert r.expected > 0
+            assert r.contrib >= 0
+            # contrib recomputable from (obs, expected) to rounding precision
+            recomputed = (r.obs - r.expected) ** 2 / r.expected
+            assert abs(recomputed - r.contrib) < 1e-3
+
+
+class TestWelch:
+    def test_counts_and_sign(self, spark, sf_dir):
+        rows = _rows(spark, sf_dir, "op_ab_test_welch")
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        totals = {r.event_type: r.n for r in e.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert {r.event_type for r in rows} == set(totals)
+        for r in rows:
+            assert r.n_a + r.n_b == totals[r.event_type]
+            if r.t_stat is not None:
+                assert (r.t_stat >= 0) == (r.mean_a >= r.mean_b)
+            if r.df is not None:
+                # Welch df is bounded by min(n-1) below and n_a+n_b-2 above
+                assert min(r.n_a, r.n_b) - 1 <= r.df <= r.n_a + r.n_b - 2 + 1e-9
+
+    def test_null_split_is_insignificant(self, spark, sf_dir):
+        """user_id %% 2 is independent of value by construction — the t
+        statistic should not scream (|t| < 6 leaves vast headroom while
+        still catching a broken formula that returns, say, raw sums)."""
+        for r in _rows(spark, sf_dir, "op_ab_test_welch"):
+            if r.t_stat is not None:
+                assert abs(r.t_stat) < 6.0, r
+
+
+class TestRfm:
+    def test_scores_are_balanced_quartiles(self, spark, sf_dir):
+        rows = _rows(spark, sf_dir, "op_rfm_segmentation")
+        n = len(rows)
+        assert n > 0
+        for col in ["r_score", "f_score", "m_score"]:
+            sizes = [0, 0, 0, 0]
+            for r in rows:
+                v = getattr(r, col)
+                assert 1 <= v <= 4, (col, v)
+                sizes[v - 1] += 1
+            # SQL NTILE: first n%4 tiles get one extra row
+            base = n // 4
+            expected = [base + (1 if i < n % 4 else 0) for i in range(4)]
+            assert sizes == expected, (col, sizes, expected)
+
+    def test_segment_rule_consistency(self, spark, sf_dir):
+        for r in _rows(spark, sf_dir, "op_rfm_segmentation"):
+            if r.r_score == 1 and r.f_score == 1:
+                assert r.segment == "champion"
+            elif r.f_score <= 2:
+                assert r.segment == "loyal"
+            elif r.r_score >= 3:
+                assert r.segment == "at_risk"
+            else:
+                assert r.segment == "regular"
+            assert r.recency_days >= 0
+            assert r.frequency >= 1
+            assert r.monetary > 0
+
+    def test_monetary_ordering_matches_score(self, spark, sf_dir):
+        """Higher monetary must never get a worse (higher) m_score than a
+        strictly lower one — monotonicity of ntile over the sort key."""
+        rows = sorted(
+            _rows(spark, sf_dir, "op_rfm_segmentation"),
+            key=lambda r: (-r.monetary, r.o_custkey),
+        )
+        scores = [r.m_score for r in rows]
+        assert scores == sorted(scores)
+
+
+class TestRfmPlan:
+    def test_windows_never_global(self, spark, sf_dir):
+        """The global ntiles must not plan a global (unpartitioned) Window
+        over the customer table: every Window in the executed plan must
+        partition by the two-phase range-partition id. (The plan is fenced
+        by localCheckpoint, so the visible plan is the final ntile — the
+        exact operator a naive NTILE() OVER (ORDER BY ...) regression
+        would turn into a SinglePartition sort.)"""
+        plan = CATALOG["op_rfm_segmentation"].fn(
+            spark, sf_dir
+        )._jdf.queryExecution().executedPlan().toString()
+        windows = [
+            line
+            for line in plan.splitlines()
+            if "Window " in line and "windowspecdefinition" in line
+        ]
+        assert windows, plan
+        for line in windows:
+            assert "__gr_pid" in line, line
