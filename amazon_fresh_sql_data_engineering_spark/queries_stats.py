@@ -384,3 +384,235 @@ def op_rfm_segmentation(spark, sf_dir):
         "m_score",
         seg.alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# op_word_pmi — pointwise mutual information of word co-occurrence
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_DF = 5
+
+
+@register(
+    "op_word_pmi",
+    oracle=f"""
+        WITH dw AS (
+            SELECT DISTINCT doc_id, lower(tok) AS w
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents
+            ) WHERE tok != ''
+        ),
+        df AS (
+            SELECT w, count(*) AS df FROM dw GROUP BY 1
+            HAVING count(*) >= {_PMI_MIN_DF}
+        ),
+        kept AS (SELECT dw.doc_id, dw.w, df.df FROM dw JOIN df USING (w)),
+        n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM dw),
+        co AS (
+            SELECT a.w AS w1, a.df AS df1, b.w AS w2, b.df AS df2,
+                   count(*) AS n_co
+            FROM kept a JOIN kept b
+              ON a.doc_id = b.doc_id AND a.w < b.w
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT w1, w2, n_co,
+               round(ln(CAST(n_co AS DOUBLE) * n.n
+                        / (CAST(df1 AS DOUBLE) * CAST(df2 AS DOUBLE))),
+                     6) AS pmi
+        FROM co, n
+    """,
+    doc="Pointwise mutual information over document-level word "
+    "co-occurrence — the classic collocation / word-association signal "
+    "(Church & Hanks 1990) and the input to PPMI embedding matrices. "
+    "Tokenization is the repo-standard whitespace split (identical "
+    "regex both engines), presence is per-doc DISTINCT, and rare words "
+    "(df < 5) are pruned BEFORE the pair join — at 100 TB that df cut "
+    "(plus a max-df stopword cut, same lever as dedup_ngram_jaccard_"
+    "maxdf) is what bounds the self-join: work is sum over docs of "
+    "kept-words^2, and the output grain is vocab^2, not corpus-sized. "
+    "All PMI inputs cast to double individually (exact-integer products "
+    "would overflow 2^53 at web scale), the ratio/log is identical "
+    "IEEE math both engines, and round(6) absorbs the log's last-ulp "
+    "libm difference (JVM Math.log vs libm log).",
+)
+def op_word_pmi(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    dw = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select("doc_id", F.lower(F.col("tok")).alias("w"))
+        .distinct()
+    )
+    df = dw.groupBy("w").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") >= _PMI_MIN_DF
+    )
+    kept = dw.join(F.broadcast(df), "w").select("doc_id", "w", "df")
+    n = dw.agg(F.countDistinct("doc_id").cast("double").alias("n"))
+    a = kept.select(
+        "doc_id", F.col("w").alias("w1"), F.col("df").alias("df1")
+    )
+    b = kept.select(
+        "doc_id", F.col("w").alias("w2"), F.col("df").alias("df2")
+    )
+    co = (
+        a.join(b, ["doc_id"])
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "df1", "w2", "df2")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    return co.join(F.broadcast(n)).select(
+        "w1",
+        "w2",
+        "n_co",
+        F.round(
+            F.log(
+                F.col("n_co").cast("double")
+                * F.col("n")
+                / (F.col("df1").cast("double") * F.col("df2").cast("double"))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_time_to_convert — signup -> first purchase latency distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+        WITH su AS (
+            SELECT user_id, min(ts) AS s_ts
+            FROM events WHERE event_type = 'signup' GROUP BY 1
+        ),
+        pu AS (
+            SELECT e.user_id, min(e.ts) AS p_ts
+            FROM events e JOIN su ON e.user_id = su.user_id
+                               AND e.ts >= su.s_ts
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1
+        ),
+        d AS (
+            SELECT su.user_id,
+                   CAST(epoch_us(pu.p_ts) - epoch_us(su.s_ts) AS DOUBLE)
+                   / CAST(60000000 AS DOUBLE) AS mins
+            FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+        )
+        SELECT count(*) AS n_signups,
+               count(mins) AS n_converted,
+               round(CAST(count(mins) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 4) AS conv_rate,
+               round(quantile_cont(mins, 0.5), 4) AS p50_minutes,
+               round(quantile_cont(mins, 0.9), 4) AS p90_minutes
+        FROM d
+    """,
+    doc="Funnel latency: per user, first signup and first purchase AT OR "
+    "AFTER it, then the conversion rate and the exact interpolated "
+    "p50/p90 of the latency in minutes. Latencies are integer-"
+    "microsecond differences divided once (exact IEEE both engines); "
+    "F.percentile == quantile_cont bit-for-bit (op_percentiles "
+    "precedent), rounded 4 on exit. Scale shape: both sides collapse "
+    "to per-user scalars before the user-keyed join; the final "
+    "aggregate is a single metadata-sized reduction. At 100 TB the "
+    "exact percentile over per-user latencies is the one global sort — "
+    "swap to approx_percentile at that scale (op_approx_percentile is "
+    "the catalog's sketch tier).",
+)
+def events_time_to_convert(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    d = su.join(pu, "user_id", "left").select(
+        (
+            (F.unix_micros("p_ts") - F.unix_micros("s_ts")).cast("double")
+            / F.lit(60000000).cast("double")
+        ).alias("mins")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.count("mins").alias("n_converted"),
+        F.round(
+            F.count("mins").cast("double") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("conv_rate"),
+        F.round(F.percentile("mins", 0.5), 4).alias("p50_minutes"),
+        F.round(F.percentile("mins", 0.9), 4).alias("p90_minutes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_ewma — exponentially weighted moving average of hourly volume
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ewma",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS DOUBLE) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        lists AS (
+            SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events,
+                   list(n_events) OVER (
+                       PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS xs
+            FROM hourly
+        )
+        SELECT event_type, hour, n_events,
+               round(list_reduce(xs, (a, b) -> 0.5 * a + 0.5 * b), 6) AS ewma
+        FROM lists
+    """,
+    doc="EWMA smoothing (alpha = 0.5) of per-type hourly event volume — "
+    "the standard operational-dashboard trend line. The recursion "
+    "y_t = a*x_t + (1-a)*y_{t-1} is a LEFT FOLD over the trailing-12 "
+    "ordered window list with the first element as seed, realized as "
+    "F.aggregate on Spark and list_reduce on DuckDB — identical "
+    "sequential fold order => bit-identical doubles (the mm_embed_ann "
+    "idiom), alpha = 0.5 keeps every halving exact; round(6) is "
+    "defensive only. Scale shape: the raw stream collapses map-side to "
+    "the (type, hour) grain before the window; per-partition window "
+    "state is the 12-element frame — O(1) per row. The batch twin of a "
+    "streaming EWMA monitor (applyInPandasWithState carries the same "
+    "recursion as running state).",
+)
+def events_ewma(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-11, Window.currentRow)
+    )
+    lists = hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.collect_list(F.col("n_events").cast("double")).over(w).alias("xs"),
+    )
+    fold = F.expr(
+        "aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)), xs[0],"
+        " (a, x) -> CAST(0.5 AS DOUBLE) * a + CAST(0.5 AS DOUBLE) * x)"
+    )
+    return lists.select(
+        "event_type", "hour", "n_events", F.round(fold, 6).alias("ewma")
+    )

@@ -141,6 +141,83 @@ class TestRfm:
         assert scores == sorted(scores)
 
 
+class TestWordPmi:
+    def test_pmi_symmetric_definition_and_bounds(self, spark, sf_dir):
+        rows = _rows(spark, sf_dir, "op_word_pmi")
+        assert rows
+        n_docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.trim("text") != "")
+            .count()
+        )
+        for r in rows:
+            assert r.w1 < r.w2  # canonical pair orientation, no mirrored dupes
+            assert 1 <= r.n_co <= n_docs
+            # PMI upper bound: co <= min(df1, df2) => pmi <= log(N/max_df)
+            # <= log(N); lower bound with co >= 1: pmi >= log(N / df1*df2)
+            # >= -log(N) given df <= N
+            assert abs(r.pmi) <= math.log(n_docs) + 1e-6
+
+    def test_cooccurrence_against_direct_count(self, spark, sf_dir):
+        """Spot-check one pair's n_co against a direct Spark recount."""
+        rows = _rows(spark, sf_dir, "op_word_pmi")
+        r = max(rows, key=lambda r: r.n_co)
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        both = (
+            d.filter(
+                F.array_contains(
+                    F.split(F.lower(F.trim("text")), r"\s+"), r.w1
+                )
+                & F.array_contains(
+                    F.split(F.lower(F.trim("text")), r"\s+"), r.w2
+                )
+            ).count()
+        )
+        assert both == r.n_co
+
+
+class TestTimeToConvert:
+    def test_funnel_counts_and_percentile_order(self, spark, sf_dir):
+        (r,) = _rows(spark, sf_dir, "events_time_to_convert")
+        assert 0 <= r.n_converted <= r.n_signups
+        assert abs(r.conv_rate - round(r.n_converted / r.n_signups, 4)) < 1e-9
+        if r.n_converted:
+            assert 0 <= r.p50_minutes <= r.p90_minutes
+
+
+class TestEwma:
+    def test_ewma_is_convex_and_seeds_exact(self, spark, sf_dir):
+        rows = _rows(spark, sf_dir, "events_ewma")
+        by_type: dict[str, list] = {}
+        for r in rows:
+            by_type.setdefault(r.event_type, []).append(r)
+        for series in by_type.values():
+            series.sort(key=lambda r: r.hour)
+            # first hour: the fold seed is the value itself
+            assert series[0].ewma == float(series[0].n_events)
+            for r in series:
+                assert r.ewma >= 0
+
+    def test_ewma_matches_recursion_on_window(self, spark, sf_dir):
+        """Replay the alpha=0.5 recursion in Python over the trailing-12
+        frame and compare (round 6 both sides)."""
+        rows = _rows(spark, sf_dir, "events_ewma")
+        by_type: dict[str, list] = {}
+        for r in rows:
+            by_type.setdefault(r.event_type, []).append(r)
+        for series in by_type.values():
+            series.sort(key=lambda r: r.hour)
+            vals = [float(r.n_events) for r in series]
+            for i, r in enumerate(series):
+                xs = vals[max(0, i - 11) : i + 1]
+                acc = xs[0]
+                for x in xs[1:]:
+                    acc = 0.5 * acc + 0.5 * x
+                # engine rounds HALF_UP to 6; Python round() is banker's —
+                # compare unrounded with the rounding grain as tolerance
+                assert abs(acc - r.ewma) <= 5.000001e-7, (r.event_type, r.hour)
+
+
 class TestRfmPlan:
     def test_windows_never_global(self, spark, sf_dir):
         """The global ntiles must not plan a global (unpartitioned) Window
