@@ -218,6 +218,106 @@ class TestEwma:
                 assert abs(acc - r.ewma) <= 5.000001e-7, (r.event_type, r.hour)
 
 
+class TestGini:
+    def test_gini_bounds_and_share_ordering(self, spark, sf_dir):
+        (r,) = _rows(spark, sf_dir, "op_gini_concentration")
+        assert 0 <= r.gini < 1
+        assert 0 < r.top1_share <= r.top10_share <= 1
+        # top 10% of customers must hold at least 10% of revenue
+        assert r.top10_share >= 0.1 - 1e-9
+        assert r.n_customers > 0 and r.total_spend > 0
+
+    def test_gini_matches_numpy_replica(self, spark, sf_dir):
+        """Recompute the Gini from raw per-customer spend in Python."""
+        import numpy as np
+
+        (r,) = _rows(spark, sf_dir, "op_gini_concentration")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        spend = sorted(
+            row.s
+            for row in o.groupBy("o_custkey")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
+            )
+            .collect()
+        )
+        x = np.array([float(s) for s in spend])
+        n = len(x)
+        i = np.arange(1, n + 1)
+        gini = 2 * (i * x).sum() / (n * x.sum()) - (n + 1) / n
+        assert abs(gini - r.gini) < 1e-4
+
+
+    def test_gini_windows_never_global(self, spark, sf_dir):
+        """The ascending numbering must be the two-phase form: every Window
+        in the plan partitions by the range-pid — a naive ROW_NUMBER()
+        OVER (ORDER BY ...) would plan an unpartitioned Window."""
+        plan = CATALOG["op_gini_concentration"].fn(
+            spark, sf_dir
+        )._jdf.queryExecution().executedPlan().toString()
+        windows = [
+            line
+            for line in plan.splitlines()
+            if "Window " in line and "windowspecdefinition" in line
+        ]
+        assert windows, plan
+        for line in windows:
+            assert "__gr_pid" in line, line
+
+
+class TestTopPaths:
+    def test_paths_well_formed_and_ranked(self, spark, sf_dir):
+        rows = _rows(spark, sf_dir, "events_top_paths")
+        assert 0 < len(rows) <= 20
+        types = {
+            r.event_type
+            for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("event_type")
+            .distinct()
+            .collect()
+        }
+        ns = [r.n for r in rows]
+        assert ns == sorted(ns, reverse=True)
+        for r in rows:
+            steps = r.path.split(">")
+            assert len(steps) == 3
+            assert set(steps) <= types
+
+    def test_path_total_conservation(self, spark, sf_dir):
+        """If every path fits in the top-20 (small sf), totals must equal
+        sum over users of max(k_u - 2, 0)."""
+        rows = _rows(spark, sf_dir, "events_top_paths")
+        if len(rows) == 20:
+            return  # truncated — conservation not checkable
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        expected = (
+            e.groupBy("user_id")
+            .count()
+            .agg(F.sum(F.greatest(F.col("count") - 2, F.lit(0))))
+            .collect()[0][0]
+        )
+        assert sum(r.n for r in rows) == expected
+
+
+class TestBasketLift:
+    def test_lift_identities(self, spark, sf_dir):
+        rows = _rows(spark, sf_dir, "op_basket_lift")
+        assert rows
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        n = l.select("l_orderkey").distinct().count()
+        for r in rows:
+            assert r.p1 < r.p2
+            assert 1 <= r.n_co <= min(r.s1, r.s2)
+            assert max(r.s1, r.s2) <= n
+            # identity: lift = confidence / P(p2)
+            lift_rec = (r.n_co * n) / (r.s1 * r.s2)
+            assert abs(lift_rec - r.lift) < 1e-3
+            assert abs(r.n_co / n - r.support) < 1e-3
+            assert abs(r.n_co / r.s1 - r.confidence) < 1e-3
+        lifts = [r.lift for r in rows]
+        assert lifts == sorted(lifts, reverse=True)
+
+
 class TestRfmPlan:
     def test_windows_never_global(self, spark, sf_dir):
         """The global ntiles must not plan a global (unpartitioned) Window
