@@ -291,3 +291,157 @@ def clicks_before_purchase_join(
         "click_id",
         "click_ts",
     )
+
+
+def ohlc_hourly_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of :func:`ohlc_hourly_stream` (same schema/semantics as
+    the catalog's ``events_ohlc``: open/close selected via min_by/max_by on
+    the (ts, event_id) total order — no float arithmetic anywhere)."""
+    return (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("px_open"),
+            F.max("value").alias("px_high"),
+            F.min("value").alias("px_low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("px_close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def ohlc_hourly_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming OHLC: tumbling 1-hour event-time windows per event type.
+
+    min_by/max_by are ordinary declarative aggregates, so Spark maintains
+    them incrementally in the window state store — per-(type, hour) state
+    is five scalars + the argmin/argmax keys, NOT the events. With the
+    watermark, append mode emits each candle exactly once when its hour
+    closes (the production shape); tests drain with ``complete`` mode so
+    the final table equals the batch twin without waiting out the
+    watermark. Late rows inside the watermark update the open candle;
+    later ones are dropped — the documented tradeoff of any watermarked
+    aggregation."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("px_open"),
+            F.max("value").alias("px_high"),
+            F.min("value").alias("px_low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("px_close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("hour"),
+            "px_open",
+            "px_high",
+            "px_low",
+            "px_close",
+            "n_events",
+        )
+    )
+
+
+def ewma_hourly_batch(events: DataFrame, window: int = 12) -> DataFrame:
+    """Batch twin of :func:`ewma_hourly_stateful` — identical to the
+    catalog's ``events_ewma``: alpha=0.5 EWMA as a left fold over the
+    trailing-``window`` ordered hour list."""
+    from pyspark.sql import Window as W
+
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-(window - 1), W.currentRow)
+    )
+    lists = hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.collect_list(F.col("n_events").cast("double")).over(w).alias("xs"),
+    )
+    fold = F.expr(
+        "aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)), xs[0],"
+        " (a, x) -> CAST(0.5 AS DOUBLE) * a + CAST(0.5 AS DOUBLE) * x)"
+    )
+    return lists.select(
+        "event_type", "hour", "n_events", F.round(fold, 6).alias("ewma")
+    )
+
+
+def ewma_hourly_stateful(
+    events: DataFrame, alpha: float = 0.5, window: int = 12
+) -> DataFrame:
+    """Streaming EWMA monitor: per-event-type trailing-``window`` EWMA of
+    hourly volume via ``applyInPandasWithState``.
+
+    State per key is two bounded arrays — the last ``window`` present
+    hours and their counts — O(types * window) total regardless of event
+    volume; at cluster scale the state store is RocksDB-backed and
+    partitioned by the groupBy key. Each micro-batch merges its per-hour
+    counts into the state and re-emits (hour, n_events, ewma) for every
+    hour it touched, where the EWMA is the SAME left fold over the
+    trailing present-hour frame as the batch twin — so with hour-ordered
+    arrival (micro-batches never resurrect an hour older than the newest
+    seen) the final emission per hour is bit-identical to
+    :func:`ewma_hourly_batch`. A batch that re-touches an already-closed
+    hour re-emits that hour correctly but does NOT retract later hours'
+    values (update-mode semantics — same contract as any streaming
+    aggregation in update mode)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        hours: list[int] = []
+        counts: list[int] = []
+        if state.exists:
+            h, c = state.get
+            hours, counts = list(h), list(c)
+        merged = dict(zip(hours, counts))
+        new: dict[int, int] = {}
+        for pdf in pdfs:
+            eh = pdf["ts"].dt.floor("h").astype("int64") // (3600 * 10**9)
+            for hh, cnt in eh.value_counts().items():
+                new[int(hh)] = new.get(int(hh), 0) + int(cnt)
+        for hh, cnt in new.items():
+            merged[hh] = merged.get(hh, 0) + cnt
+        all_hours = sorted(merged)
+        out_h, out_n, out_e = [], [], []
+        for hh in sorted(new):
+            upto = [h for h in all_hours if h <= hh][-window:]
+            xs = [float(merged[h]) for h in upto]
+            acc = xs[0]
+            for x in xs[1:]:
+                acc = alpha * x + (1.0 - alpha) * acc
+            out_h.append(hh)
+            out_n.append(merged[hh])
+            out_e.append(round(acc, 6))
+        keep = all_hours[-window:]
+        state.update(
+            ([int(h) for h in keep], [int(merged[h]) for h in keep])
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(out_h),
+                "hour": pd.to_datetime(
+                    [h * 3600 for h in out_h], unit="s"
+                ),
+                "n_events": out_n,
+                "ewma": out_e,
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "event_type string, hour timestamp, n_events long, ewma double"
+        ),
+        stateStructType="hours array<long>, counts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -502,3 +502,102 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         if r.purchase_id != 998
     }
     assert got == expected, got
+
+
+def test_ohlc_stream_matches_batch(spark, tmp_path):
+    """Streaming tumbling-window OHLC (complete mode) == batch twin,
+    including the min_by/max_by open/close selection across micro-batches
+    within the same hour."""
+    from amazon_fresh_sql_data_engineering_spark.streaming.events import (
+        ohlc_hourly_batch,
+        ohlc_hourly_stream,
+    )
+
+    src = str(tmp_path / "src")
+    rows1 = [
+        (1, TS(2024, 1, 1, 10, 0), 1, "click", 5.0),
+        (2, TS(2024, 1, 1, 10, 30), 1, "click", 9.0),
+        (3, TS(2024, 1, 1, 11, 5), 2, "view", 4.0),
+    ]
+    rows2 = [
+        (4, TS(2024, 1, 1, 10, 45), 2, "click", 1.0),  # same 10:00 candle
+        (5, TS(2024, 1, 1, 11, 40), 1, "view", 8.0),
+    ]
+    _events_df(spark, rows1).write.mode("overwrite").parquet(src)
+    _events_df(spark, rows2).write.mode("append").parquet(src)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        ohlc_hourly_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ohlc_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.event_type, r.hour): (r.px_open, r.px_high, r.px_low, r.px_close, r.n_events)
+        for r in spark.sql("select * from ohlc_stream").collect()
+    }
+    want = {
+        (r.event_type, r.hour): (r.px_open, r.px_high, r.px_low, r.px_close, r.n_events)
+        for r in ohlc_hourly_batch(_events_df(spark, rows1 + rows2)).collect()
+    }
+    assert got == want
+    # the 10:00 click candle spans both micro-batches: open from batch 1,
+    # close from batch 2
+    assert got[("click", TS(2024, 1, 1, 10, 0))] == (5.0, 9.0, 1.0, 1.0, 3)
+
+
+def test_ewma_stream_matches_batch(spark, tmp_path):
+    """Stateful streaming EWMA == batch fold twin after draining two
+    hour-ordered micro-batches; the second batch's hours prove the state
+    (trailing hour/count arrays) carries across batches."""
+    from amazon_fresh_sql_data_engineering_spark.streaming.events import (
+        ewma_hourly_batch,
+        ewma_hourly_stateful,
+    )
+
+    src = str(tmp_path / "src")
+    rows1 = [
+        (1, TS(2024, 1, 1, 10, 0), 1, "click", 1.0),
+        (2, TS(2024, 1, 1, 10, 30), 1, "click", 1.0),
+        (3, TS(2024, 1, 1, 11, 5), 1, "click", 1.0),
+    ]
+    rows2 = [
+        (4, TS(2024, 1, 1, 12, 10), 1, "click", 1.0),
+        (5, TS(2024, 1, 1, 12, 20), 1, "click", 1.0),
+        (6, TS(2024, 1, 1, 12, 30), 1, "click", 1.0),
+        (7, TS(2024, 1, 1, 13, 0), 1, "click", 1.0),
+    ]
+    # ONE file per logical batch: hour-ordered arrival is the operator's
+    # documented contract, and a multi-file write would let the file source
+    # interleave hours across micro-batches
+    _events_df(spark, rows1).coalesce(1).write.mode("overwrite").parquet(src)
+    _events_df(spark, rows2).coalesce(1).write.mode("append").parquet(src)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        ewma_hourly_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("select * from ewma_stream").collect()
+    # update mode re-emits per touched hour; keep the last emission per hour
+    got = {}
+    for r in emitted:
+        got[(r.event_type, r.hour)] = (r.n_events, r.ewma)
+    want = {
+        (r.event_type, r.hour): (r.n_events, r.ewma)
+        for r in ewma_hourly_batch(_events_df(spark, rows1 + rows2)).collect()
+    }
+    assert got == want
+    # hand-check the fold: counts 2,1,3,1 -> ewma 2, 1.5, 2.25, 1.625
+    assert got[("click", TS(2024, 1, 1, 13, 0))] == (1, 1.625)
