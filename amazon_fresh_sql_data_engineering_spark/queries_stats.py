@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .operators.ranking import global_ntile, global_row_number
+from .operators.ranking import global_cumsum, global_ntile, global_row_number
 from .registry import dec, fin, register
 from .registry import tables as _t
 
@@ -866,4 +866,202 @@ def op_basket_lift(spark, sf_dir):
         )
         .orderBy(F.col("lift").desc(), "p1", "p2")
         .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_abc_analysis — cumulative-revenue part classification
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_abc_analysis",
+    oracle="""
+        WITH rev AS (
+            SELECT l_partkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS revenue
+            FROM lineitem GROUP BY 1
+        ),
+        c AS (
+            SELECT l_partkey, revenue,
+                   sum(revenue) OVER (
+                       ORDER BY revenue DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_rev,
+                   sum(revenue) OVER () AS tot
+            FROM rev
+        )
+        SELECT l_partkey,
+               round(CAST(revenue AS DOUBLE), 4) AS revenue,
+               round(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                   AS cum_share,
+               CASE WHEN round(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE),
+                               6) <= 0.80 THEN 'A'
+                    WHEN round(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE),
+                               6) <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM c
+    """,
+    doc="ABC (Pareto) inventory classification: parts ranked by exact-"
+    "DECIMAL discounted revenue, cumulative share of the total, class A "
+    "<= 80%%, B <= 95%%, C above — thresholds compared on the ROUNDED "
+    "share so both engines agree at the boundary. The running total is "
+    "the two-phase global_cumsum (operators/ranking.py): range-"
+    "partitioned ROWS frame + broadcast offsets, no single-partition "
+    "pass over parts (its one SinglePartition exchange aggregates the "
+    "<= shuffle-partition-count per-partition totals — metadata); the "
+    "grand total joins back as a broadcast scalar instead of a "
+    "sum-over-empty-window. All sums are DECIMAL (exact, order-free); "
+    "the one double division per row is identical IEEE both engines. "
+    "Companion of op_gini_concentration (same revenue-concentration "
+    "family, per-item actionable output).",
+)
+def op_abc_analysis(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+    rev = l.groupBy("l_partkey").agg(
+        F.sum(
+            dec("l_extendedprice") * (F.lit(1) - dec("l_discount", "3,2"))
+        ).alias("revenue")
+    )
+    cum = global_cumsum(
+        rev,
+        [F.col("revenue").desc(), F.col("l_partkey").asc()],
+        "revenue",
+        "cum_rev",
+    )
+    tot = rev.agg(F.sum("revenue").alias("tot"))
+    share = F.round(
+        F.col("cum_rev").cast("double") / F.col("tot").cast("double"), 6
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            fin("revenue", 4).alias("revenue"),
+            share.alias("cum_share"),
+            F.when(share <= 0.80, "A")
+            .when(share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_benford — first-digit distribution vs Benford's law
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_benford",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM orders WHERE o_totalprice >= 1
+        ),
+        c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
+        SELECT digit, n,
+               round(CAST(n AS DOUBLE) / tot, 6) AS observed,
+               round(log10(1 + CAST(1 AS DOUBLE) / digit), 6) AS expected,
+               round(CAST(n AS DOUBLE) / tot
+                     - log10(1 + CAST(1 AS DOUBLE) / digit), 6) AS deviation
+        FROM c, t
+    """,
+    doc="Benford first-digit profile of order totals — the classic "
+    "anomaly/fraud screen: observed leading-digit shares vs the "
+    "log10(1 + 1/d) law, with per-digit deviation. Digit extraction is "
+    "exact integer/string work; shares and the law are one double "
+    "division + log10 (round 6 absorbs JVM-vs-libm last-ulp). Scale "
+    "shape: one map-side-combinable aggregation to <= 9 rows, the "
+    "grand total broadcast back — nothing data-sized after the scan. "
+    "(TPC-H totals are sums of uniforms, so the fit is loose — the "
+    "DEVIATION column is the signal; the oracle replays it exactly.)",
+)
+def op_benford(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("double").alias("tot"))
+    obs = F.col("n").cast("double") / F.col("tot")
+    exp = F.log10(F.lit(1) + F.lit(1.0) / F.col("digit"))
+    return c.join(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed"),
+        F.round(exp, 6).alias("expected"),
+        F.round(obs - exp, 6).alias("deviation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_inter_arrival — inter-arrival gap distribution per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_inter_arrival",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id))
+                       AS BIGINT) AS gap_us
+            FROM events
+        )
+        SELECT event_type,
+               count(gap_us) AS n_gaps,
+               round(CAST(sum(gap_us) AS DOUBLE)
+                     / CAST(count(gap_us) AS DOUBLE)
+                     / CAST(1000000 AS DOUBLE), 4) AS mean_gap_s,
+               round(quantile_cont(CAST(gap_us AS DOUBLE)
+                                   / CAST(1000000 AS DOUBLE), 0.5), 4) AS p50_s,
+               round(quantile_cont(CAST(gap_us AS DOUBLE)
+                                   / CAST(1000000 AS DOUBLE), 0.9), 4) AS p90_s,
+               round(quantile_cont(CAST(gap_us AS DOUBLE)
+                                   / CAST(1000000 AS DOUBLE), 0.99), 4) AS p99_s
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY 1
+    """,
+    doc="Inter-arrival-time distribution per event type: LAG over the "
+    "(ts, event_id) total order, integer-microsecond gaps (exact), "
+    "mean from the exact BIGINT gap sum (one double division at the "
+    "end — never a float sum), p50/p90/p99 via F.percentile == "
+    "quantile_cont bit-for-bit on the exactly-divided per-row seconds. "
+    "The workload-characterization / burst-detection primitive (arrival "
+    "process fitting, capacity planning). Scale shape: one type-keyed "
+    "window pass then a per-type aggregate; exact percentiles sort "
+    "within type — swap to approx_percentile at 100 TB (documented "
+    "sketch tier).",
+)
+def events_inter_arrival(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    sec = F.col("gap_us").cast("double") / F.lit(1000000).cast("double")
+    gs = g.withColumn("gap_s", sec)
+    return gs.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(
+            F.sum("gap_us").cast("double")
+            / F.count("gap_us").cast("double")
+            / F.lit(1000000).cast("double"),
+            4,
+        ).alias("mean_gap_s"),
+        F.round(F.percentile("gap_s", 0.5), 4).alias("p50_s"),
+        F.round(F.percentile("gap_s", 0.9), 4).alias("p90_s"),
+        F.round(F.percentile("gap_s", 0.99), 4).alias("p99_s"),
     )

@@ -318,6 +318,85 @@ class TestBasketLift:
         assert lifts == sorted(lifts, reverse=True)
 
 
+class TestAbc:
+    def test_abc_partition_and_monotone_shares(self, spark, sf_dir):
+        rows = _rows(spark, sf_dir, "op_abc_analysis")
+        assert rows
+        rows.sort(key=lambda r: (-r.revenue, r.l_partkey))
+        shares = [r.cum_share for r in rows]
+        assert shares == sorted(shares)  # cumulative share is monotone
+        assert abs(shares[-1] - 1.0) < 1e-6  # last row reaches 100%
+        seen = []
+        for r in rows:
+            assert r.abc_class in ("A", "B", "C")
+            seen.append(r.abc_class)
+        # classes appear in A..C order along the ranking
+        assert seen == sorted(seen)
+        # the A block really is the <=80% prefix
+        for r in rows:
+            if r.cum_share <= 0.80:
+                assert r.abc_class == "A"
+            elif r.cum_share <= 0.95:
+                assert r.abc_class == "B"
+            else:
+                assert r.abc_class == "C"
+
+    def test_abc_windows_never_global(self, spark, sf_dir):
+        plan = CATALOG["op_abc_analysis"].fn(
+            spark, sf_dir
+        )._jdf.queryExecution().executedPlan().toString()
+        windows = [
+            line
+            for line in plan.splitlines()
+            if "Window " in line and "windowspecdefinition" in line
+        ]
+        assert windows, plan
+        for line in windows:
+            assert "__gr_pid" in line, line
+
+
+class TestBenford:
+    def test_benford_shares_and_law(self, spark, sf_dir):
+        rows = _rows(spark, sf_dir, "op_benford")
+        digits = {r.digit for r in rows}
+        assert digits <= set(range(1, 10))
+        assert abs(sum(r.observed for r in rows) - 1.0) < 1e-4
+        law = sum(math.log10(1 + 1 / d) for d in range(1, 10))
+        assert abs(law - 1.0) < 1e-12  # sanity of the law itself
+        for r in rows:
+            assert abs(r.expected - round(math.log10(1 + 1 / r.digit), 6)) < 1e-6
+            assert abs(r.deviation - (r.observed - r.expected)) < 2e-6
+
+
+class TestInterArrival:
+    def test_gap_stats_consistency(self, spark, sf_dir):
+        from amazon_fresh_sql_data_engineering_spark.sources.loaders import load_table
+
+        rows = _rows(spark, sf_dir, "events_inter_arrival")
+        e = load_table(spark, sf_dir, "events")  # raw read gives bigint nanos ts
+        counts = {
+            r.event_type: r.n
+            for r in e.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert {r.event_type for r in rows} == set(counts)
+        for r in rows:
+            assert r.n_gaps == counts[r.event_type] - 1
+            assert 0 <= r.p50_s <= r.p90_s <= r.p99_s
+            # mean of gaps telescopes to (last-first)/(n-1)
+            span = (
+                e.filter(F.col("event_type") == r.event_type)
+                .agg(
+                    (
+                        F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+                    ).alias("span")
+                )
+                .collect()[0].span
+            )
+            assert abs(r.mean_gap_s - round(span / r.n_gaps / 1e6, 4)) < 1e-3
+
+
 class TestRfmPlan:
     def test_windows_never_global(self, spark, sf_dir):
         """The global ntiles must not plan a global (unpartitioned) Window
