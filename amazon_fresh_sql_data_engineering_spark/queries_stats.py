@@ -1065,3 +1065,219 @@ def events_inter_arrival(spark, sf_dir):
         F.round(F.percentile("gap_s", 0.9), 4).alias("p90_s"),
         F.round(F.percentile("gap_s", 0.99), 4).alias("p99_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# op_seasonality — day-of-week x hour-of-day activity profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_seasonality",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type,
+                   isodow(ts) AS dow,
+                   CAST(hour(ts) AS INT) AS hod,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2, 3
+        )
+        SELECT event_type, dow, hod, n,
+               round(CAST(n AS DOUBLE)
+                     / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE),
+                     6) AS share,
+               round(CAST(n AS DOUBLE) * CAST(168 AS DOUBLE)
+                     / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE),
+                     4) AS seasonality_index
+        FROM cells
+    """,
+    doc="Weekly seasonality heatmap: per event type, the (ISO day-of-week "
+    "x hour-of-day) activity share and the seasonality index (share x "
+    "168 — 1.0 means a uniform week). ISO dow is the engine-portable "
+    "weekday: Spark's default dayofweek() is 1=Sunday while DuckDB's "
+    "dayofweek() is 0=Sunday, but Spark weekday()+1 == DuckDB isodow() "
+    "== ISO 1=Monday..7=Sunday. Scale shape: the raw stream collapses "
+    "map-side to at most |types| x 168 cells; the normalizing window "
+    "runs over that metadata-sized grain.",
+)
+def op_seasonality(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        (F.weekday("ts") + F.lit(1)).alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type")
+    tot = F.sum("n").over(wt).cast("double")
+    return cells.select(
+        "event_type",
+        "dow",
+        "hod",
+        "n",
+        F.round(F.col("n").cast("double") / tot, 6).alias("share"),
+        F.round(
+            F.col("n").cast("double") * F.lit(168).cast("double") / tot, 4
+        ).alias("seasonality_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_mad_outliers — robust (median/MAD) outlier summary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_mad_outliers",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1
+        ),
+        dev AS (
+            SELECT e.event_type, e.value, med.med,
+                   abs(e.value - med.med) AS adev
+            FROM events e JOIN med ON e.event_type = med.event_type
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY 1
+        )
+        SELECT dev.event_type,
+               count(*) AS n,
+               round(dev.med, 4) AS median_value,
+               round(mad.mad, 4) AS mad,
+               sum(CASE WHEN round(dev.adev
+                              / (CAST(1.4826 AS DOUBLE) * mad.mad), 4)
+                             >= CAST(3.5 AS DOUBLE)
+                        THEN 1 ELSE 0 END) AS n_outliers
+        FROM dev JOIN mad ON dev.event_type = mad.event_type
+        GROUP BY dev.event_type, dev.med, mad.mad
+    """,
+    doc="Robust outlier summary per event type via median/MAD — the "
+    "breakdown-resistant sibling of op_outlier_zscore/op_zscore_"
+    "outliers (a few extreme points cannot move the median the way "
+    "they drag a mean/stddev). Median and MAD are exact interpolated "
+    "percentiles (F.percentile == quantile_cont bit-for-bit); the "
+    "robust z = |x - med| / (1.4826 * MAD) is flagged at >= 3.5 on the "
+    "ROUNDED value so engines agree at the threshold (1.4826 enters as "
+    "an explicit double literal on both sides). Scale shape: two "
+    "type-keyed aggregations with a broadcast-sized (|types|) medians "
+    "join between them; output is |types| rows. At 100 TB swap the "
+    "exact medians for approx_percentile (sketch tier) — the flagging "
+    "pass is unchanged.",
+)
+def op_mad_outliers(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    rz = F.round(
+        F.col("adev") / (F.lit(1.4826).cast("double") * F.col("mad")), 4
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(rz >= F.lit(3.5).cast("double"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("med", 4).alias("median_value"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_xcorr_lagged — lagged cross-correlation of two event series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_xcorr_lagged",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(epoch_us(date_trunc('hour', min(ts)))
+                        // 3600000000 AS BIGINT) AS h0,
+                   CAST(epoch_us(date_trunc('hour', max(ts)))
+                        // 3600000000 AS BIGINT) AS h1
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds
+        ),
+        cnt AS (
+            SELECT CAST(epoch_us(date_trunc('hour', ts))
+                        // 3600000000 AS BIGINT) AS h,
+                   count(*) FILTER (WHERE event_type = 'click') AS a,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS b
+            FROM events GROUP BY 1
+        ),
+        series AS (
+            SELECT spine.h,
+                   CAST(coalesce(cnt.a, 0) AS DOUBLE) AS a,
+                   CAST(coalesce(cnt.b, 0) AS DOUBLE) AS b
+            FROM spine LEFT JOIN cnt ON spine.h = cnt.h
+        )
+        SELECT lag.l AS lag_hours,
+               count(*) AS n,
+               round(corr(s1.a, s2.b), 4) AS r
+        FROM (SELECT unnest([0, 1, 2, 3]) AS l) lag
+        JOIN series s1 ON true
+        JOIN series s2 ON s2.h = s1.h + lag.l
+        GROUP BY 1
+    """,
+    doc="Lagged cross-correlation between the click and purchase hourly "
+    "series (does click volume LEAD purchase volume?) — lag 0..3 hours "
+    "over the DENSE hour spine (missing hours count 0; correlating "
+    "only jointly-present hours would bias r upward). Pearson r via "
+    "the built-in corr on both engines — accumulation differs in the "
+    "last ulp, absorbed by round(4). Scale shape: the raw stream "
+    "collapses to one row per hour (conditional counts), the spine is "
+    "a generated sequence, and each lag is an equi-join of the "
+    "metadata-sized hourly series against its shifted self — 4 lags x "
+    "|hours| rows total, never event-sized work.",
+)
+def op_xcorr_lagged(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hcol = (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(
+        3600000000
+    )).cast("bigint")
+    cnt = e.groupBy(hcol.alias("h")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("a"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("b"),
+    )
+    bounds = e.agg(
+        (F.unix_micros(F.date_trunc("hour", F.min("ts"))) / F.lit(3600000000))
+        .cast("bigint")
+        .alias("h0"),
+        (F.unix_micros(F.date_trunc("hour", F.max("ts"))) / F.lit(3600000000))
+        .cast("bigint")
+        .alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    series = spine.join(cnt, "h", "left").select(
+        "h",
+        F.coalesce(F.col("a"), F.lit(0)).cast("double").alias("a"),
+        F.coalesce(F.col("b"), F.lit(0)).cast("double").alias("b"),
+    )
+    lags = spark.range(0, 4).select(F.col("id").alias("lag_hours"))
+    s1 = series.select(F.col("h"), F.col("a"))
+    s2 = series.select(F.col("h").alias("h2"), F.col("b"))
+    joined = (
+        s1.crossJoin(F.broadcast(lags))
+        .join(s2, F.col("h2") == F.col("h") + F.col("lag_hours"))
+    )
+    return joined.groupBy("lag_hours").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("a", "b"), 4).alias("r"),
+    )

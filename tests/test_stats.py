@@ -397,6 +397,96 @@ class TestInterArrival:
             assert abs(r.mean_gap_s - round(span / r.n_gaps / 1e6, 4)) < 1e-3
 
 
+class TestSeasonality:
+    def test_shares_normalize_and_cells_bounded(self, spark, sf_dir):
+        rows = _rows(spark, sf_dir, "op_seasonality")
+        by_type: dict[str, float] = {}
+        for r in rows:
+            assert 1 <= r.dow <= 7
+            assert 0 <= r.hod <= 23
+            assert r.n >= 1
+            # index is share scaled to a uniform week
+            assert abs(r.seasonality_index - round(r.share * 168, 4)) < 2e-4
+            by_type[r.event_type] = by_type.get(r.event_type, 0.0) + r.share
+        for t, s in by_type.items():
+            assert abs(s - 1.0) < 1e-3, (t, s)
+
+
+class TestMadOutliers:
+    def test_mad_summary_consistency(self, spark, sf_dir):
+        from amazon_fresh_sql_data_engineering_spark.sources.loaders import load_table
+
+        rows = _rows(spark, sf_dir, "op_mad_outliers")
+        e = load_table(spark, sf_dir, "events")
+        counts = {
+            r.event_type: r.n
+            for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        for r in rows:
+            assert r.n == counts[r.event_type]
+            assert r.mad >= 0
+            assert 0 <= r.n_outliers < r.n  # robust stats can't flag everything
+
+    def test_mad_is_robust_to_injected_spike(self, spark, sf_dir):
+        """Replacing 1% of values with a huge constant must barely move the
+        median (vs the mean, which it drags) — the reason MAD exists."""
+        from amazon_fresh_sql_data_engineering_spark.sources.loaders import load_table
+
+        e = load_table(spark, sf_dir, "events")
+        base_med = {
+            r.event_type: r.m
+            for r in e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("m")).collect()
+        }
+        spiked = e.withColumn(
+            "value",
+            F.when(F.col("event_id") % 100 == 0, F.lit(1e9)).otherwise(F.col("value")),
+        )
+        spiked_med = {
+            r.event_type: r.m
+            for r in spiked.groupBy("event_type").agg(F.percentile("value", 0.5).alias("m")).collect()
+        }
+        spiked_mean = {
+            r.event_type: r.m
+            for r in spiked.groupBy("event_type").agg(F.avg("value").alias("m")).collect()
+        }
+        for t in base_med:
+            assert abs(spiked_med[t] - base_med[t]) < 0.1 * base_med[t] + 5
+            assert spiked_mean[t] > 100 * base_med[t]  # mean blew up
+
+
+class TestXcorr:
+    def test_xcorr_lags_and_bounds(self, spark, sf_dir):
+        rows = _rows(spark, sf_dir, "op_xcorr_lagged")
+        assert {r.lag_hours for r in rows} == {0, 1, 2, 3}
+        ns = {r.lag_hours: r.n for r in rows}
+        # each extra lag hour shortens the overlap by exactly one row
+        assert ns[0] - 1 == ns[1] == ns[2] + 1 == ns[3] + 2
+        for r in rows:
+            assert r.r is None or -1.0 - 1e-9 <= r.r <= 1.0 + 1e-9
+
+    def test_lag0_matches_numpy_pearson(self, spark, sf_dir):
+        import numpy as np
+
+        from amazon_fresh_sql_data_engineering_spark.sources.loaders import load_table
+
+        (r0,) = [r for r in _rows(spark, sf_dir, "op_xcorr_lagged") if r.lag_hours == 0]
+        e = load_table(spark, sf_dir, "events")
+        hourly = (
+            e.groupBy((F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(3600000000)).cast("bigint").alias("h"))
+            .agg(
+                F.count(F.when(F.col("event_type") == "click", 1)).alias("a"),
+                F.count(F.when(F.col("event_type") == "purchase", 1)).alias("b"),
+            )
+            .collect()
+        )
+        hmap = {r.h: (r.a, r.b) for r in hourly}
+        h0, h1 = min(hmap), max(hmap)
+        a = np.array([hmap.get(h, (0, 0))[0] for h in range(h0, h1 + 1)], dtype=float)
+        b = np.array([hmap.get(h, (0, 0))[1] for h in range(h0, h1 + 1)], dtype=float)
+        want = np.corrcoef(a, b)[0, 1]
+        assert abs(want - r0.r) < 1e-3
+
+
 class TestRfmPlan:
     def test_windows_never_global(self, spark, sf_dir):
         """The global ntiles must not plan a global (unpartitioned) Window
