@@ -1281,3 +1281,159 @@ def op_xcorr_lagged(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.corr("a", "b"), 4).alias("r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_fit — Zipf's-law fit of the corpus word-frequency curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+        WITH freq AS (
+            SELECT lower(tok) AS w, count(*) AS f
+            FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents
+            ) WHERE tok != ''
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r
+            FROM freq
+        )
+        SELECT count(*) AS n_words,
+               round(regr_slope(log10(CAST(f AS DOUBLE)),
+                                log10(CAST(r AS DOUBLE))), 4) AS zipf_slope,
+               round(regr_intercept(log10(CAST(f AS DOUBLE)),
+                                    log10(CAST(r AS DOUBLE))), 4) AS intercept,
+               round(regr_r2(log10(CAST(f AS DOUBLE)),
+                             log10(CAST(r AS DOUBLE))), 4) AS r2
+        FROM ranked
+    """,
+    doc="Zipf's-law fit: least-squares slope/intercept/R^2 of log10(freq) "
+    "vs log10(rank) over the corpus word-frequency table — the standard "
+    "corpus-health diagnostic (natural text slopes near -1; synthetic "
+    "or template-heavy corpora deviate hard). Uses the built-in "
+    "regr_slope/regr_intercept/regr_r2 on BOTH engines (identical "
+    "estimator; summation-order ulp absorbed by round(4)). Ranking is "
+    "the two-phase global_row_number over the (freq DESC, word) total "
+    "order — the frequency table is vocabulary-sized, but at web scale "
+    "a vocabulary is still hundreds of millions of tokens, so the "
+    "no-single-partition discipline applies to it too. One scan, one "
+    "vocab-grain shuffle, single-row output.",
+)
+def text_zipf_fit(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy(F.lower(F.col("tok")).alias("w"))
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = global_row_number(
+        freq, [F.col("f").desc(), F.col("w").asc()], "r"
+    )
+    ly = F.log10(F.col("f").cast("double"))
+    lx = F.log10(F.col("r").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.regr_slope(ly, lx), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(ly, lx), 4).alias("intercept"),
+        F.round(F.regr_r2(ly, lx), 4).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_dau_wau_mau — active-user counts and stickiness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dau_wau_mau",
+    oracle="""
+        WITH presence AS (
+            SELECT DISTINCT
+                   CAST(epoch_us(date_trunc('day', ts))
+                        // 86400000000 AS BIGINT) AS d,
+                   user_id
+            FROM events
+        ),
+        days AS (SELECT DISTINCT d FROM presence),
+        wau AS (
+            SELECT days.d, count(DISTINCT p.user_id) AS wau
+            FROM days JOIN presence p ON p.d BETWEEN days.d - 6 AND days.d
+            GROUP BY 1
+        ),
+        mau AS (
+            SELECT days.d, count(DISTINCT p.user_id) AS mau
+            FROM days JOIN presence p ON p.d BETWEEN days.d - 29 AND days.d
+            GROUP BY 1
+        ),
+        dau AS (SELECT d, count(*) AS dau FROM presence GROUP BY 1)
+        SELECT CAST(to_timestamp(dau.d * 86400) AS DATE) AS day,
+               dau.dau, wau.wau, mau.mau,
+               round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 4)
+                   AS stickiness
+        FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
+    """,
+    doc="DAU / trailing-7-day WAU / trailing-30-day MAU and stickiness "
+    "(DAU/MAU) per observed day — the core product-analytics triple. "
+    "Computed from the (user, day) PRESENCE grain (already distinct — "
+    "far smaller than the raw stream); the trailing windows are the "
+    "shifted-copy rewrite (each presence row fans to the <= 7 / <= 30 "
+    "target days it can serve, then exact distinct per target) — work "
+    "is presence x window, never events x window, and the final "
+    "distinct dedups the copies (events_sliding_distinct's proven "
+    "shape on the day grain; the oracle states the same semantics as "
+    "a range join). At extreme scale swap exact distinct for the HLL "
+    "sketch tier (events_sliding_distinct_hll's pattern). Stickiness "
+    "is one rounded double division.",
+)
+def events_dau_wau_mau(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    presence = (
+        e.select(
+            (F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(
+                86400000000
+            ))
+            .cast("bigint")
+            .alias("d"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = presence.select("d").distinct()
+    dau = presence.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+
+    def _trailing(width: int, name: str):
+        fanned = presence.select(
+            F.explode(
+                F.sequence(F.col("d"), F.col("d") + F.lit(width - 1))
+            ).alias("td"),
+            "user_id",
+        )
+        return (
+            fanned.join(days.select(F.col("d").alias("td")), "td")
+            .select("td", "user_id")
+            .distinct()
+            .groupBy("td")
+            .agg(F.count(F.lit(1)).alias(name))
+            .withColumnRenamed("td", "d")
+        )
+
+    wau = _trailing(7, "wau")
+    mau = _trailing(30, "mau")
+    out = dau.join(wau, "d").join(mau, "d")
+    return out.select(
+        F.to_timestamp(F.col("d") * 86400).cast("date").alias("day"),
+        "dau",
+        "wau",
+        "mau",
+        F.round(
+            F.col("dau").cast("double") / F.col("mau").cast("double"), 4
+        ).alias("stickiness"),
+    )

@@ -487,6 +487,64 @@ class TestXcorr:
         assert abs(want - r0.r) < 1e-3
 
 
+class TestZipf:
+    def test_fit_against_numpy_polyfit(self, spark, sf_dir):
+        import numpy as np
+
+        (r,) = _rows(spark, sf_dir, "text_zipf_fit")
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        freqs = (
+            d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .count()
+            .collect()
+        )
+        f = np.array(sorted((row["count"] for row in freqs), reverse=True), dtype=float)
+        assert r.n_words == len(f)
+        x = np.log10(np.arange(1, len(f) + 1))
+        y = np.log10(f)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(slope - r.zipf_slope) < 1e-3
+        assert abs(intercept - r.intercept) < 1e-3
+        assert 0 <= r.r2 <= 1
+        assert r.zipf_slope < 0  # frequency falls with rank
+
+
+class TestDauWauMau:
+    def test_active_user_identities(self, spark, sf_dir):
+        rows = sorted(_rows(spark, sf_dir, "events_dau_wau_mau"), key=lambda r: r.day)
+        assert rows
+        from amazon_fresh_sql_data_engineering_spark.sources.loaders import load_table
+
+        e = load_table(spark, sf_dir, "events")
+        total_users = e.select("user_id").distinct().count()
+        for r in rows:
+            assert 1 <= r.dau <= r.wau <= r.mau <= total_users
+            assert abs(r.stickiness - round(r.dau / r.mau, 4)) < 1e-9
+        # the event fixture spans ~30 days: by the last day MAU must see
+        # (nearly) the whole population
+        assert rows[-1].mau >= 0.9 * total_users
+
+    def test_wau_direct_recount_one_day(self, spark, sf_dir):
+        from amazon_fresh_sql_data_engineering_spark.sources.loaders import load_table
+
+        rows = sorted(_rows(spark, sf_dir, "events_dau_wau_mau"), key=lambda r: r.day)
+        r = rows[len(rows) // 2]
+        e = load_table(spark, sf_dir, "events")
+        import datetime as dt
+
+        lo = dt.datetime.combine(r.day - dt.timedelta(days=6), dt.time())
+        hi = dt.datetime.combine(r.day + dt.timedelta(days=1), dt.time())
+        want = (
+            e.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert want == r.wau
+
+
 class TestRfmPlan:
     def test_windows_never_global(self, spark, sf_dir):
         """The global ntiles must not plan a global (unpartitioned) Window
