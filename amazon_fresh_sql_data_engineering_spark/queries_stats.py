@@ -23,6 +23,14 @@ bare literal would otherwise parse as DECIMAL, squares written as ``x*x``
 (never ``pow`` — libm pow is not guaranteed bit-identical across engines),
 and every float aggregate rounded before it reaches a threshold or an
 ORDER BY.
+
+Rounding policy (learned the hard way at sf0.1): round ONLY
+accumulation-order-sensitive values (float sums/avgs/vars, corr, log/ln
+outputs). Values derived purely from integers or exact decimals through
+IEEE divisions are bit-identical across engines UNROUNDED — and rounding
+them ADDS risk, because integer-derived ratios sit on exact decimal
+grids whose half-way points Spark (shortest-string HALF_UP) and DuckDB
+(binary value) round differently.
 """
 
 from __future__ import annotations
@@ -53,9 +61,8 @@ from .registry import tables as _t
             FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2
         )
         SELECT src, dst, n_trans,
-               round(CAST(n_trans AS DOUBLE)
-                     / CAST(sum(n_trans) OVER (PARTITION BY src) AS DOUBLE),
-                     6) AS p
+               CAST(n_trans AS DOUBLE)
+                   / CAST(sum(n_trans) OVER (PARTITION BY src) AS DOUBLE) AS p
         FROM c
     """,
     doc="First-order Markov chain over per-user event sequences: LEAD "
@@ -81,10 +88,9 @@ def events_markov_transitions(spark, sf_dir):
         "src",
         "dst",
         "n_trans",
-        F.round(
+        (
             F.col("n_trans").cast("double")
-            / F.sum("n_trans").over(wsrc).cast("double"),
-            6,
+            / F.sum("n_trans").over(wsrc).cast("double")
         ).alias("p"),
     )
 
@@ -166,10 +172,10 @@ def events_ohlc(spark, sf_dir):
             FROM cells
         )
         SELECT n_name, priority, obs,
-               round(rt * ct / g, 6) AS expected,
-               round((CAST(obs AS DOUBLE) - rt * ct / g)
-                     * (CAST(obs AS DOUBLE) - rt * ct / g)
-                     / (rt * ct / g), 6) AS contrib
+               rt * ct / g AS expected,
+               (CAST(obs AS DOUBLE) - rt * ct / g)
+                   * (CAST(obs AS DOUBLE) - rt * ct / g)
+                   / (rt * ct / g) AS contrib
         FROM t
     """,
     doc="Chi-square test of independence: contingency table of customer "
@@ -177,8 +183,9 @@ def events_ohlc(spark, sf_dir):
     "count under independence (row_total*col_total/grand), and the "
     "cell's chi-square contribution. All inputs to the float division "
     "are exact integers (products < 2^53 at any plausible scale), so "
-    "expected/contrib are bit-identical across engines before the "
-    "defensive round(6); the square is written x*x, never pow. Scale "
+    "expected/contrib are bit-identical across engines and shipped "
+    "UNROUNDED (module rounding policy); the square is written x*x, "
+    "never pow. Scale "
     "shape: orders shuffle once on custkey for the customer join, "
     "nation broadcasts, then everything collapses to the <= "
     "|nations|*|priorities| cell grain — the marginal-total windows "
@@ -202,8 +209,8 @@ def op_chi_square(spark, sf_dir):
         "n_name",
         "priority",
         "obs",
-        F.round(exp, 6).alias("expected"),
-        F.round(d * d / exp, 6).alias("contrib"),
+        exp.alias("expected"),
+        (d * d / exp).alias("contrib"),
     )
 
 
@@ -507,10 +514,10 @@ def op_word_pmi(spark, sf_dir):
         )
         SELECT count(*) AS n_signups,
                count(mins) AS n_converted,
-               round(CAST(count(mins) AS DOUBLE)
-                     / CAST(count(*) AS DOUBLE), 4) AS conv_rate,
-               round(quantile_cont(mins, 0.5), 4) AS p50_minutes,
-               round(quantile_cont(mins, 0.9), 4) AS p90_minutes
+               CAST(count(mins) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS conv_rate,
+               quantile_cont(mins, 0.5) AS p50_minutes,
+               quantile_cont(mins, 0.9) AS p90_minutes
         FROM d
     """,
     doc="Funnel latency: per user, first signup and first purchase AT OR "
@@ -518,7 +525,7 @@ def op_word_pmi(spark, sf_dir):
     "p50/p90 of the latency in minutes. Latencies are integer-"
     "microsecond differences divided once (exact IEEE both engines); "
     "F.percentile == quantile_cont bit-for-bit (op_percentiles "
-    "precedent), rounded 4 on exit. Scale shape: both sides collapse "
+    "precedent) — all outputs integer-derived, shipped unrounded. Scale shape: both sides collapse "
     "to per-user scalars before the user-keyed join; the final "
     "aggregate is a single metadata-sized reduction. At 100 TB the "
     "exact percentile over per-user latencies is the one global sort — "
@@ -548,11 +555,11 @@ def events_time_to_convert(spark, sf_dir):
     return d.agg(
         F.count(F.lit(1)).alias("n_signups"),
         F.count("mins").alias("n_converted"),
-        F.round(
-            F.count("mins").cast("double") / F.count(F.lit(1)).cast("double"), 4
+        (
+            F.count("mins").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("conv_rate"),
-        F.round(F.percentile("mins", 0.5), 4).alias("p50_minutes"),
-        F.round(F.percentile("mins", 0.9), 4).alias("p90_minutes"),
+        F.percentile("mins", 0.5).alias("p50_minutes"),
+        F.percentile("mins", 0.9).alias("p90_minutes"),
     )
 
 
@@ -798,12 +805,10 @@ def events_top_paths(spark, sf_dir):
             GROUP BY 1, 2
         )
         SELECT p1, p2, n_co, s1.s AS s1, s2.s AS s2,
-               round(CAST(n_co AS DOUBLE) / n.n, 6) AS support,
-               round(CAST(n_co AS DOUBLE) / CAST(s1.s AS DOUBLE), 6)
-                   AS confidence,
-               round(CAST(n_co AS DOUBLE) * n.n
-                     / (CAST(s1.s AS DOUBLE) * CAST(s2.s AS DOUBLE)), 6)
-                   AS lift
+               CAST(n_co AS DOUBLE) / n.n AS support,
+               CAST(n_co AS DOUBLE) / CAST(s1.s AS DOUBLE) AS confidence,
+               CAST(n_co AS DOUBLE) * n.n
+                   / (CAST(s1.s AS DOUBLE) * CAST(s2.s AS DOUBLE)) AS lift
         FROM co
         JOIN supp s1 ON co.p1 = s1.l_partkey
         JOIN supp s2 ON co.p2 = s2.l_partkey
@@ -814,10 +819,10 @@ def events_top_paths(spark, sf_dir):
     "P(p2|p1), and lift P(p1,p2)/(P(p1)P(p2)) — op_market_basket's "
     "co-occurrence completed into the classic a-priori rule metrics. "
     "Each ratio's inputs are cast to double INDIVIDUALLY (integer "
-    "products would pass 2^53 at web scale), the divisions are "
-    "identical IEEE both engines, round(6) on exit; ORDER BY the "
-    "ROUNDED lift with (p1, p2) tiebreak keeps the top-50 cut "
-    "deterministic. Scale shape: the self-join is quadratic only in "
+    "products would pass 2^53 at web scale); the divisions are "
+    "identical IEEE both engines, so all three metrics ship UNROUNDED "
+    "(module rounding policy) and ORDER BY lift with (p1, p2) "
+    "tiebreak stays deterministic. Scale shape: the self-join is quadratic only in "
     "per-order basket size (bounded) and co-partitions on l_orderkey; "
     "per-item supports are a part-keyed dim joined onto the pair "
     "grain; top-k is TakeOrderedAndProject (no global sort).",
@@ -856,12 +861,11 @@ def op_basket_lift(spark, sf_dir):
             "n_co",
             "s1",
             "s2",
-            F.round(nco / F.col("n"), 6).alias("support"),
-            F.round(nco / F.col("s1").cast("double"), 6).alias("confidence"),
-            F.round(
+            (nco / F.col("n")).alias("support"),
+            (nco / F.col("s1").cast("double")).alias("confidence"),
+            (
                 nco * F.col("n")
-                / (F.col("s1").cast("double") * F.col("s2").cast("double")),
-                6,
+                / (F.col("s1").cast("double") * F.col("s2").cast("double"))
             ).alias("lift"),
         )
         .orderBy(F.col("lift").desc(), "p1", "p2")
@@ -964,7 +968,7 @@ def op_abc_analysis(spark, sf_dir):
         c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
         t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
         SELECT digit, n,
-               round(CAST(n AS DOUBLE) / tot, 6) AS observed,
+               CAST(n AS DOUBLE) / tot AS observed,
                round(log10(1 + CAST(1 AS DOUBLE) / digit), 6) AS expected,
                round(CAST(n AS DOUBLE) / tot
                      - log10(1 + CAST(1 AS DOUBLE) / digit), 6) AS deviation
@@ -973,8 +977,9 @@ def op_abc_analysis(spark, sf_dir):
     doc="Benford first-digit profile of order totals — the classic "
     "anomaly/fraud screen: observed leading-digit shares vs the "
     "log10(1 + 1/d) law, with per-digit deviation. Digit extraction is "
-    "exact integer/string work; shares and the law are one double "
-    "division + log10 (round 6 absorbs JVM-vs-libm last-ulp). Scale "
+    "exact integer/string work; the observed share is an integer-"
+    "derived division (unrounded), while expected/deviation carry "
+    "log10 and stay rounded (JVM-vs-libm last-ulp). Scale "
     "shape: one map-side-combinable aggregation to <= 9 rows, the "
     "grand total broadcast back — nothing data-sized after the scan. "
     "(TPC-H totals are sums of uniforms, so the fit is loose — the "
@@ -996,7 +1001,7 @@ def op_benford(spark, sf_dir):
     return c.join(F.broadcast(t)).select(
         "digit",
         "n",
-        F.round(obs, 6).alias("observed"),
+        obs.alias("observed"),
         F.round(exp, 6).alias("expected"),
         F.round(obs - exp, 6).alias("deviation"),
     )
@@ -1019,15 +1024,15 @@ def op_benford(spark, sf_dir):
         )
         SELECT event_type,
                count(gap_us) AS n_gaps,
-               round(CAST(sum(gap_us) AS DOUBLE)
-                     / CAST(count(gap_us) AS DOUBLE)
-                     / CAST(1000000 AS DOUBLE), 4) AS mean_gap_s,
-               round(quantile_cont(CAST(gap_us AS DOUBLE)
-                                   / CAST(1000000 AS DOUBLE), 0.5), 4) AS p50_s,
-               round(quantile_cont(CAST(gap_us AS DOUBLE)
-                                   / CAST(1000000 AS DOUBLE), 0.9), 4) AS p90_s,
-               round(quantile_cont(CAST(gap_us AS DOUBLE)
-                                   / CAST(1000000 AS DOUBLE), 0.99), 4) AS p99_s
+               CAST(sum(gap_us) AS DOUBLE)
+                   / CAST(count(gap_us) AS DOUBLE)
+                   / CAST(1000000 AS DOUBLE) AS mean_gap_s,
+               quantile_cont(CAST(gap_us AS DOUBLE)
+                             / CAST(1000000 AS DOUBLE), 0.5) AS p50_s,
+               quantile_cont(CAST(gap_us AS DOUBLE)
+                             / CAST(1000000 AS DOUBLE), 0.9) AS p90_s,
+               quantile_cont(CAST(gap_us AS DOUBLE)
+                             / CAST(1000000 AS DOUBLE), 0.99) AS p99_s
         FROM g WHERE gap_us IS NOT NULL
         GROUP BY 1
     """,
@@ -1035,7 +1040,8 @@ def op_benford(spark, sf_dir):
     "(ts, event_id) total order, integer-microsecond gaps (exact), "
     "mean from the exact BIGINT gap sum (one double division at the "
     "end — never a float sum), p50/p90/p99 via F.percentile == "
-    "quantile_cont bit-for-bit on the exactly-divided per-row seconds. "
+    "quantile_cont bit-for-bit on the exactly-divided per-row "
+    "seconds; everything integer-derived, shipped unrounded. "
     "The workload-characterization / burst-detection primitive (arrival "
     "process fitting, capacity planning). Scale shape: one type-keyed "
     "window pass then a per-type aggregate; exact percentiles sort "
@@ -1055,15 +1061,14 @@ def events_inter_arrival(spark, sf_dir):
     gs = g.withColumn("gap_s", sec)
     return gs.groupBy("event_type").agg(
         F.count("gap_us").alias("n_gaps"),
-        F.round(
+        (
             F.sum("gap_us").cast("double")
             / F.count("gap_us").cast("double")
-            / F.lit(1000000).cast("double"),
-            4,
+            / F.lit(1000000).cast("double")
         ).alias("mean_gap_s"),
-        F.round(F.percentile("gap_s", 0.5), 4).alias("p50_s"),
-        F.round(F.percentile("gap_s", 0.9), 4).alias("p90_s"),
-        F.round(F.percentile("gap_s", 0.99), 4).alias("p99_s"),
+        F.percentile("gap_s", 0.5).alias("p50_s"),
+        F.percentile("gap_s", 0.9).alias("p90_s"),
+        F.percentile("gap_s", 0.99).alias("p99_s"),
     )
 
 
@@ -1083,12 +1088,12 @@ def events_inter_arrival(spark, sf_dir):
             FROM events GROUP BY 1, 2, 3
         )
         SELECT event_type, dow, hod, n,
-               round(CAST(n AS DOUBLE)
-                     / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE),
-                     6) AS share,
-               round(CAST(n AS DOUBLE) * CAST(168 AS DOUBLE)
-                     / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE),
-                     4) AS seasonality_index
+               CAST(n AS DOUBLE)
+                   / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)
+                   AS share,
+               CAST(n AS DOUBLE) * CAST(168 AS DOUBLE)
+                   / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)
+                   AS seasonality_index
         FROM cells
     """,
     doc="Weekly seasonality heatmap: per event type, the (ISO day-of-week "
@@ -1114,9 +1119,9 @@ def op_seasonality(spark, sf_dir):
         "dow",
         "hod",
         "n",
-        F.round(F.col("n").cast("double") / tot, 6).alias("share"),
-        F.round(
-            F.col("n").cast("double") * F.lit(168).cast("double") / tot, 4
+        (F.col("n").cast("double") / tot).alias("share"),
+        (
+            F.col("n").cast("double") * F.lit(168).cast("double") / tot
         ).alias("seasonality_index"),
     )
 
@@ -1376,7 +1381,7 @@ def text_zipf_fit(spark, sf_dir):
         dau AS (SELECT d, count(*) AS dau FROM presence GROUP BY 1)
         SELECT CAST(to_timestamp(dau.d * 86400) AS DATE) AS day,
                dau.dau, wau.wau, mau.mau,
-               round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 4)
+               CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE)
                    AS stickiness
         FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
     """,
@@ -1433,7 +1438,189 @@ def events_dau_wau_mau(spark, sf_dir):
         "dau",
         "wau",
         "mau",
-        F.round(
-            F.col("dau").cast("double") / F.col("mau").cast("double"), 4
+        (
+            F.col("dau").cast("double") / F.col("mau").cast("double")
         ).alias("stickiness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_embedding_norm_stats — vector-store data-quality audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_embedding_norm_stats",
+    oracle="""
+        WITH norms AS (
+            SELECT label,
+                   len(embedding) AS dim,
+                   sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, len(embedding) + 1),
+                           i -> CAST(embedding[i] AS DOUBLE)
+                                * CAST(embedding[i] AS DOUBLE))),
+                       (a, x) -> a + x)) AS nrm
+            FROM embeddings
+        )
+        SELECT label,
+               count(*) AS n_vecs,
+               min(dim) AS min_dim,
+               max(dim) AS max_dim,
+               sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS n_zero,
+               round(avg(nrm), 4) AS mean_norm,
+               round(quantile_cont(nrm, 0.5), 4) AS p50_norm,
+               round(quantile_cont(nrm, 0.9), 4) AS p90_norm
+        FROM norms GROUP BY 1
+    """,
+    doc="Vector-store data-quality audit per label: count, dimension "
+    "consistency (min/max — a mixed-dim store is corrupt), zero-vector "
+    "count (unnormalizable; poisons cosine), and the L2-norm "
+    "distribution (mean/p50/p90 — a collapsed or exploding norm "
+    "distribution is the standard embedding-drift symptom). Norms use "
+    "the repo's sequential-fold idiom (F.aggregate == list_reduce with "
+    "prepended 0.0 seed, identical fold order => bit-identical "
+    "doubles); mean is a float aggregate rounded past ulp; percentiles "
+    "are interpolated on bit-identical inputs. Scale shape: one "
+    "stateless map over the vectors (JVM-side, no UDF) then a "
+    "label-grain aggregate — output is |labels| rows.",
+)
+def op_embedding_norm_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+    )
+    nrm = F.sqrt(
+        F.aggregate(sq, F.lit(0.0).cast("double"), lambda a, x: a + x)
+    )
+    norms = emb.select(
+        "label", F.size("embedding").alias("dim"), nrm.alias("nrm")
+    )
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).alias("n_zero"),
+        F.round(F.avg("nrm"), 4).alias("mean_norm"),
+        F.round(F.percentile("nrm", 0.5), 4).alias("p50_norm"),
+        F.round(F.percentile("nrm", 0.9), 4).alias("p90_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_bot_detection — burst/cadence abuse heuristic
+# ---------------------------------------------------------------------------
+
+# Defect universe: driver-generated users are uniformly human (median
+# inter-event gaps of hours), so both engines union in the same
+# deterministic bot traffic — every 7th user's events re-fired twice at
+# +1 s / +2 s with offset event_ids. Their median gap collapses to ~1 s
+# and their events-per-active-hour triples; real users stay unflagged.
+_BOT_EVENTS_SQL = """
+            SELECT event_id, ts, user_id FROM events
+            UNION ALL
+            SELECT event_id + 1000000000,
+                   ts + INTERVAL 1 SECOND, user_id
+            FROM events WHERE user_id % 7 = 0
+            UNION ALL
+            SELECT event_id + 2000000000,
+                   ts + INTERVAL 2 SECOND, user_id
+            FROM events WHERE user_id % 7 = 0
+"""
+
+
+@register(
+    "events_bot_detection",
+    oracle=f"""
+        WITH u AS ({_BOT_EVENTS_SQL}),
+        g AS (
+            SELECT user_id, ts,
+                   CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id))
+                       AS BIGINT) AS gap_us
+            FROM u
+        ),
+        stats AS (
+            SELECT user_id,
+                   count(*) AS n_events,
+                   count(DISTINCT date_trunc('hour', ts)) AS active_hours,
+                   CAST(count(*) AS DOUBLE)
+                       / CAST(count(DISTINCT date_trunc('hour', ts))
+                              AS DOUBLE) AS events_per_hour,
+                   quantile_cont(CAST(gap_us AS DOUBLE), 0.5)
+                       / CAST(1000000 AS DOUBLE) AS median_gap_s
+            FROM g GROUP BY 1
+        )
+        SELECT user_id, n_events, active_hours, events_per_hour,
+               median_gap_s,
+               (median_gap_s <= CAST(60 AS DOUBLE)
+                OR events_per_hour >= CAST(3 AS DOUBLE)) AS is_bot
+        FROM stats
+    """,
+    doc="Bot/abuse heuristic per user: events-per-active-hour and median "
+    "inter-event gap, flagged when the cadence is machine-like "
+    "(median gap <= 60 s or >= 3 events per active hour — both inputs "
+    "integer-derived and bit-identical across engines, so the "
+    "thresholds compare unrounded values; round(4) here actually "
+    "BROKE parity at sf0.1, a median landing on an exact "
+    "half-way decimal). The driver's users are uniformly "
+    "human, so both engines union the same deterministic bot universe "
+    "(every 7th user's events re-fired at +1 s/+2 s — their median gap "
+    "collapses to ~1 s); real users stay unflagged, so the output "
+    "discriminates at every sf. Scale shape: one user-keyed window for "
+    "gaps + one user-grain aggregate; the exact median swaps for "
+    "approx_percentile at 100 TB (sketch tier).",
+)
+def events_bot_detection(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    bots = e.filter(F.col("user_id") % 7 == 0)
+    u = (
+        e.unionByName(
+            bots.select(
+                (F.col("event_id") + F.lit(1000000000)).alias("event_id"),
+                (F.col("ts") + F.expr("INTERVAL 1 SECOND")).alias("ts"),
+                "user_id",
+            )
+        )
+        .unionByName(
+            bots.select(
+                (F.col("event_id") + F.lit(2000000000)).alias("event_id"),
+                (F.col("ts") + F.expr("INTERVAL 2 SECOND")).alias("ts"),
+                "user_id",
+            )
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = u.select(
+        "user_id",
+        "ts",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    )
+    stats = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.date_trunc("hour", F.col("ts"))).alias(
+            "active_hours"
+        ),
+        (
+            F.count(F.lit(1)).cast("double")
+            / F.countDistinct(F.date_trunc("hour", F.col("ts"))).cast(
+                "double"
+            )
+        ).alias("events_per_hour"),
+        (
+            F.percentile(F.col("gap_us").cast("double"), 0.5)
+            / F.lit(1000000).cast("double")
+        ).alias("median_gap_s"),
+    )
+    return stats.select(
+        "user_id",
+        "n_events",
+        "active_hours",
+        "events_per_hour",
+        "median_gap_s",
+        (
+            (F.col("median_gap_s") <= F.lit(60).cast("double"))
+            | (F.col("events_per_hour") >= F.lit(3).cast("double"))
+        ).alias("is_bot"),
     )

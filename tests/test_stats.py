@@ -180,7 +180,7 @@ class TestTimeToConvert:
     def test_funnel_counts_and_percentile_order(self, spark, sf_dir):
         (r,) = _rows(spark, sf_dir, "events_time_to_convert")
         assert 0 <= r.n_converted <= r.n_signups
-        assert abs(r.conv_rate - round(r.n_converted / r.n_signups, 4)) < 1e-9
+        assert r.conv_rate == r.n_converted / r.n_signups  # unrounded, bit-exact
         if r.n_converted:
             assert 0 <= r.p50_minutes <= r.p90_minutes
 
@@ -394,7 +394,7 @@ class TestInterArrival:
                 )
                 .collect()[0].span
             )
-            assert abs(r.mean_gap_s - round(span / r.n_gaps / 1e6, 4)) < 1e-3
+            assert abs(r.mean_gap_s - span / r.n_gaps / 1e6) < 1e-6
 
 
 class TestSeasonality:
@@ -406,7 +406,7 @@ class TestSeasonality:
             assert 0 <= r.hod <= 23
             assert r.n >= 1
             # index is share scaled to a uniform week
-            assert abs(r.seasonality_index - round(r.share * 168, 4)) < 2e-4
+            assert abs(r.seasonality_index - r.share * 168) < 1e-9
             by_type[r.event_type] = by_type.get(r.event_type, 0.0) + r.share
         for t, s in by_type.items():
             assert abs(s - 1.0) < 1e-3, (t, s)
@@ -521,7 +521,7 @@ class TestDauWauMau:
         total_users = e.select("user_id").distinct().count()
         for r in rows:
             assert 1 <= r.dau <= r.wau <= r.mau <= total_users
-            assert abs(r.stickiness - round(r.dau / r.mau, 4)) < 1e-9
+            assert r.stickiness == r.dau / r.mau  # unrounded, bit-exact
         # the event fixture spans ~30 days: by the last day MAU must see
         # (nearly) the whole population
         assert rows[-1].mau >= 0.9 * total_users
