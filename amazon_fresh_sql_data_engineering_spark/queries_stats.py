@@ -1624,3 +1624,110 @@ def events_bot_detection(spark, sf_dir):
             | (F.col("events_per_hour") >= F.lit(3).cast("double"))
         ).alias("is_bot"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_window_funnel — ClickHouse-style windowed funnel depth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_window_funnel",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1
+            FROM events WHERE event_type = 'signup' GROUP BY 1
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+              AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+            GROUP BY 1
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e
+            JOIN s2 ON e.user_id = s2.user_id
+            JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+            GROUP BY 1
+        ),
+        d AS (
+            SELECT s1.user_id,
+                   CASE WHEN s3.t3 IS NOT NULL THEN 3
+                        WHEN s2.t2 IS NOT NULL THEN 2
+                        ELSE 1 END AS funnel_depth
+            FROM s1
+            LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+        )
+        SELECT funnel_depth, count(*) AS n_users,
+               CAST(count(*) AS DOUBLE)
+                   / CAST(sum(count(*)) OVER () AS DOUBLE) AS share
+        FROM d GROUP BY 1
+    """,
+    doc="Windowed funnel (the windowFunnel operator ClickHouse ships and "
+    "Spark lacks): per user, the deepest signup -> click -> purchase "
+    "chain whose steps are strictly ordered and ALL within 24 h of the "
+    "first signup — first-chain semantics (each step is the EARLIEST "
+    "event after the previous step), which keeps the result a pure "
+    "min-aggregation cascade: no per-user sequence buffers, no UDF, "
+    "deterministic, and replayable in SQL. Output is the depth "
+    "distribution with integer-derived (unrounded) shares. Scale "
+    "shape: three user-keyed min-aggregations with user-keyed joins "
+    "between them — each stage's frame is one row per qualifying user, "
+    "co-partitioned on the join key; the events table is scanned with "
+    "a type filter per stage (at 100 TB, partition events by type/date "
+    "and the scans prune). The events_funnel sibling counts unordered "
+    "step presence; this one enforces order + deadline.",
+)
+def events_window_funnel(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    d = (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("funnel_depth")
+        )
+    )
+    counts = d.groupBy("funnel_depth").agg(F.count(F.lit(1)).alias("n_users"))
+    wall = Window.partitionBy()
+    return counts.select(
+        "funnel_depth",
+        "n_users",
+        (
+            F.col("n_users").cast("double")
+            / F.sum("n_users").over(wall).cast("double")
+        ).alias("share"),
+    )

@@ -545,6 +545,57 @@ class TestDauWauMau:
         assert want == r.wau
 
 
+class TestWindowFunnel:
+    def test_depth_distribution_consistency(self, spark, sf_dir):
+        from amazon_fresh_sql_data_engineering_spark.sources.loaders import load_table
+
+        rows = _rows(spark, sf_dir, "events_window_funnel")
+        depths = {r.funnel_depth for r in rows}
+        assert depths <= {1, 2, 3}
+        e = load_table(spark, sf_dir, "events")
+        n_signup_users = (
+            e.filter(F.col("event_type") == "signup")
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert sum(r.n_users for r in rows) == n_signup_users
+        assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+
+    def test_depth3_user_has_ordered_chain(self, spark, sf_dir):
+        """Replay one depth-3 user's chain in Python; skip if none at this sf."""
+        import datetime as dt
+
+        from amazon_fresh_sql_data_engineering_spark.sources.loaders import load_table
+
+        rows = _rows(spark, sf_dir, "events_window_funnel")
+        if not any(r.funnel_depth == 3 for r in rows):
+            return
+        e = load_table(spark, sf_dir, "events")
+        evs = [
+            (r.ts, r.event_type, r.user_id)
+            for r in e.select("ts", "event_type", "user_id").collect()
+        ]
+        by_user: dict[int, list] = {}
+        for ts, et, uid in evs:
+            by_user.setdefault(uid, []).append((ts, et))
+        n3 = 0
+        for uid, lst in by_user.items():
+            lst.sort()
+            t1 = min((ts for ts, et in lst if et == "signup"), default=None)
+            if t1 is None:
+                continue
+            lim = t1 + dt.timedelta(hours=24)
+            t2 = min((ts for ts, et in lst if et == "click" and t1 < ts <= lim), default=None)
+            if t2 is None:
+                continue
+            t3 = min((ts for ts, et in lst if et == "purchase" and t2 < ts <= lim), default=None)
+            if t3 is not None:
+                n3 += 1
+        got3 = next(r.n_users for r in rows if r.funnel_depth == 3)
+        assert n3 == got3
+
+
 class TestRfmPlan:
     def test_windows_never_global(self, spark, sf_dir):
         """The global ntiles must not plan a global (unpartitioned) Window
