@@ -1731,3 +1731,93 @@ def events_window_funnel(spark, sf_dir):
             / F.sum("n_users").over(wall).cast("double")
         ).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_error_budget — SLO error-budget burn-down
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_error_budget",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(epoch_us(date_trunc('day', ts))
+                        // 86400000000 AS BIGINT) AS d,
+                   count(*) AS n_total,
+                   count(*) FILTER (WHERE event_type = 'error') AS n_error
+            FROM events GROUP BY 1
+        ),
+        cum AS (
+            SELECT d, n_total, n_error,
+                   sum(n_total) OVER w AS cum_total,
+                   sum(n_error) OVER w AS cum_error
+            FROM daily
+            WINDOW w AS (ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT CAST(to_timestamp(d * 86400) AS DATE) AS day,
+               n_total, n_error,
+               CAST(n_error AS DOUBLE) / CAST(n_total AS DOUBLE)
+                   AS error_rate,
+               CAST(cum_error AS DOUBLE) / CAST(cum_total AS DOUBLE)
+                   AS cum_error_rate,
+               CAST(cum_error AS DOUBLE)
+                   / (CAST(0.25 AS DOUBLE) * CAST(cum_total AS DOUBLE))
+                   AS budget_burn,
+               CAST(cum_error AS DOUBLE)
+                   / (CAST(0.25 AS DOUBLE) * CAST(cum_total AS DOUBLE))
+                   > CAST(1 AS DOUBLE) AS budget_exhausted
+        FROM cum
+    """,
+    doc="SLO error-budget burn-down per day: daily and cumulative error "
+    "rates against a 75%%-success SLO (the driver's event mix is ~20%% "
+    "'error' rows, so a 25%% budget leaves real headroom and the "
+    "exhausted flag can flip both ways on real data). burn = cumulative "
+    "errors / (budget x cumulative total); > 1 means the budget is "
+    "spent — the SRE burn-rate primitive. Every output is integer-"
+    "derived (unrounded, bit-identical per the module rounding "
+    "policy). Scale shape: the stream collapses map-side to one row "
+    "per day; the cumulative window runs over the ~O(days) frame — "
+    "metadata, not data (a multi-year tenant is still <= thousands of "
+    "rows; the two-phase global_cumsum is the documented swap if a "
+    "per-tenant fan-out ever makes this grain data-sized).",
+)
+def events_error_budget(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        (F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86400000000))
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "d",
+        "n_total",
+        "n_error",
+        F.sum("n_total").over(w).alias("cum_total"),
+        F.sum("n_error").over(w).alias("cum_error"),
+    )
+    burn = F.col("cum_error").cast("double") / (
+        F.lit(0.25).cast("double") * F.col("cum_total").cast("double")
+    )
+    return cum.select(
+        F.to_timestamp(F.col("d") * 86400).cast("date").alias("day"),
+        "n_total",
+        "n_error",
+        (F.col("n_error").cast("double") / F.col("n_total").cast("double")).alias(
+            "error_rate"
+        ),
+        (
+            F.col("cum_error").cast("double") / F.col("cum_total").cast("double")
+        ).alias("cum_error_rate"),
+        burn.alias("budget_burn"),
+        (burn > F.lit(1).cast("double")).alias("budget_exhausted"),
+    )

@@ -596,6 +596,23 @@ class TestWindowFunnel:
         assert n3 == got3
 
 
+class TestErrorBudget:
+    def test_burn_down_identities(self, spark, sf_dir):
+        rows = sorted(_rows(spark, sf_dir, "events_error_budget"), key=lambda r: r.day)
+        assert rows
+        cum_t = cum_e = 0
+        for r in rows:
+            cum_t += r.n_total
+            cum_e += r.n_error
+            assert 0 <= r.n_error <= r.n_total
+            assert r.error_rate == r.n_error / r.n_total
+            assert r.cum_error_rate == cum_e / cum_t
+            assert r.budget_burn == cum_e / (0.25 * cum_t)
+            assert r.budget_exhausted == (r.budget_burn > 1)
+        # the fixture's error mix (~20%) stays inside a 25% budget overall
+        assert rows[-1].budget_exhausted is False
+
+
 class TestRfmPlan:
     def test_windows_never_global(self, spark, sf_dir):
         """The global ntiles must not plan a global (unpartitioned) Window
