@@ -38,6 +38,11 @@ try:  # round-3 session additions, batch 4 (stats/sequence analytics)
 except ImportError:
     pass
 
+try:  # round-3 session additions, batch 11 (nonparametric inference/survival)
+    from . import queries_sci as _queries_sci  # noqa: F401
+except ImportError:
+    pass
+
 _PRIORITY = [
     # reference-entity pipeline + robustness queries added after the r2
     # sample froze (VERDICT r2 "Missing" items 2 and partially 3)

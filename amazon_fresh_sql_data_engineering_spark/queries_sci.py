@@ -1,0 +1,344 @@
+"""Round-3 session additions, batch 11: nonparametric inference and
+survival analysis — the hypothesis-testing layer a data team runs on top
+of the A/B (op_ab_test_welch) and anomaly (events_anomaly) surfaces.
+
+- ``op_mann_whitney`` — Mann-Whitney U rank-sum test (the nonparametric
+  sibling of op_ab_test_welch) on a deterministic A/B split of orders,
+  tie-corrected normal approximation, computed at the distinct-value
+  grain so the rank pass never touches row-level data twice.
+- ``op_ks_test`` — two-sample Kolmogorov-Smirnov D statistic comparing
+  the same A/B split's spend distributions, ECDFs via the two-phase
+  global cumulative sum (no single-partition sort).
+- ``op_survival_km`` — Kaplan-Meier survival curve over customer
+  purchase lifetimes with right-censoring at the observation horizon
+  (churn / retention modelling primitive).
+
+Engine-portability notes (the repo's hard-won rounding discipline):
+
+- Ranks and ECDFs are INTEGER-DERIVED: average ranks sit on the exact
+  0.5 grid, rank sums and ECDF ratios are single exactly-rounded IEEE
+  ops on exact integers — bit-identical across engines UNROUNDED, and
+  rounding them would ADD risk (decimal-grid half-way points round
+  differently under Spark's shortest-string HALF_UP vs DuckDB's binary
+  rounding). They ship unrounded.
+- ``sqrt`` is IEEE-754 correctly rounded on both engines, so z / D-crit
+  values built from exact inputs through a fixed op order are also
+  deterministic unrounded. Both sides write the IDENTICAL expression
+  shape (same association, same literal casts) to keep that true.
+- The KM curve is the one genuinely libm-dependent output (``ln`` terms
+  summed then ``exp``-ed): survival is ROUNDED to 6 dp, the same budget
+  as text_char_lm_score's log outputs; everything feeding it is exact.
+- Decimal literals enter as ``CAST(x AS DOUBLE)`` in the oracles (DuckDB
+  parses bare decimals as DECIMAL — the round-1 failure class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.ranking import global_cumsum
+from .registry import register
+from .registry import tables as _t
+
+# ---------------------------------------------------------------------------
+# op_mann_whitney — tie-corrected Mann-Whitney U rank-sum test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_mann_whitney",
+    oracle="""
+        WITH vals AS (
+            SELECT o_totalprice AS v,
+                   count(*) AS n,
+                   sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END) AS na
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT v, n, na,
+                   sum(n) OVER (ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - n AS below
+            FROM vals
+        ),
+        agg AS (
+            SELECT sum(CAST(na AS DOUBLE)
+                       * (CAST(below AS DOUBLE)
+                          + CAST(n + 1 AS DOUBLE) / CAST(2 AS DOUBLE)))
+                       AS r_a,
+                   sum(na) AS n1,
+                   sum(n - na) AS n2,
+                   sum(n * n * n - n) AS ties
+            FROM ranked
+        )
+        SELECT n1 AS n_a,
+               n2 AS n_b,
+               r_a - CAST(n1 * (n1 + 1) AS DOUBLE) / CAST(2 AS DOUBLE) AS u_a,
+               CAST(n1 * n2 AS DOUBLE)
+                   - (r_a - CAST(n1 * (n1 + 1) AS DOUBLE)
+                      / CAST(2 AS DOUBLE)) AS u_b,
+               (r_a - CAST(n1 * (n1 + 1) AS DOUBLE) / CAST(2 AS DOUBLE)
+                - CAST(n1 * n2 AS DOUBLE) / CAST(2 AS DOUBLE))
+               / sqrt((CAST(n1 * n2 AS DOUBLE) / CAST(12 AS DOUBLE))
+                      * (CAST(n1 + n2 + 1 AS DOUBLE)
+                         - CAST(ties AS DOUBLE)
+                           / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))
+                   AS z,
+               CAST(1 AS DOUBLE)
+                   - CAST(2 AS DOUBLE)
+                     * (CAST(n1 * n2 AS DOUBLE)
+                        - (r_a - CAST(n1 * (n1 + 1) AS DOUBLE)
+                           / CAST(2 AS DOUBLE)))
+                     / CAST(n1 * n2 AS DOUBLE) AS rank_biserial
+        FROM agg
+    """,
+    doc="Mann-Whitney U rank-sum test on the deterministic A/B split "
+    "(o_custkey parity) of order spend — the nonparametric sibling of "
+    "op_ab_test_welch for distributions where the t-test's normality "
+    "assumption fails. Computed at the DISTINCT-VALUE grain: average "
+    "tie-ranks derive from a running count of values below (two-phase "
+    "global_cumsum — no single-partition sort), so the row-level table "
+    "is scanned exactly once and the rank pass runs over |distinct "
+    "values| rows. Average ranks sit on the exact 0.5 grid and every "
+    "downstream op (rank sum, U, tie-corrected variance, z via "
+    "IEEE-correctly-rounded sqrt) is a fixed-order exactly-rounded "
+    "chain on exact integers — shipped UNROUNDED, bit-identical across "
+    "engines. Scale shape: one map-side-combined value-grain aggregate, "
+    "one metadata-grain cumulative pass, one scalar reduce.",
+)
+def op_mann_whitney(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    vals = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(0)).alias("na"),
+    )
+    ranked = global_cumsum(vals, ["v"], "n", "cum_n").withColumn(
+        "below", F.col("cum_n") - F.col("n")
+    )
+    two = F.lit(2).cast("double")
+    agg = ranked.agg(
+        F.sum(
+            F.col("na").cast("double")
+            * (
+                F.col("below").cast("double")
+                + (F.col("n") + 1).cast("double") / two
+            )
+        ).alias("r_a"),
+        F.sum("na").alias("n1"),
+        F.sum(F.col("n") - F.col("na")).alias("n2"),
+        F.sum(F.col("n") * F.col("n") * F.col("n") - F.col("n")).alias("ties"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u_a = F.col("r_a") - (n1 * (n1 + 1)).cast("double") / two
+    u_b = (n1 * n2).cast("double") - u_a
+    var_u = ((n1 * n2).cast("double") / F.lit(12).cast("double")) * (
+        (n1 + n2 + 1).cast("double")
+        - F.col("ties").cast("double") / ((n1 + n2) * (n1 + n2 - 1)).cast("double")
+    )
+    z = (u_a - (n1 * n2).cast("double") / two) / F.sqrt(var_u)
+    rb = F.lit(1).cast("double") - two * u_b / (n1 * n2).cast("double")
+    return agg.select(
+        n1.alias("n_a"),
+        n2.alias("n_b"),
+        u_a.alias("u_a"),
+        u_b.alias("u_b"),
+        z.alias("z"),
+        rb.alias("rank_biserial"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_ks_test — two-sample Kolmogorov-Smirnov distribution comparison
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_ks_test",
+    oracle="""
+        WITH vals AS (
+            SELECT o_totalprice AS v,
+                   count(*) AS n,
+                   sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END) AS na
+            FROM orders GROUP BY 1
+        ),
+        tot AS (SELECT sum(na) AS n1, sum(n - na) AS n2 FROM vals),
+        ecdf AS (
+            SELECT sum(na) OVER (ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_a,
+                   sum(n) OVER (ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_n
+            FROM vals
+        ),
+        d AS (
+            SELECT max(abs(CAST(cum_a AS DOUBLE) / CAST(n1 AS DOUBLE)
+                           - CAST(cum_n - cum_a AS DOUBLE)
+                             / CAST(n2 AS DOUBLE))) AS d_stat
+            FROM ecdf, tot
+        )
+        SELECT n1 AS n_a, n2 AS n_b, d_stat,
+               CAST(1.358 AS DOUBLE)
+                   * sqrt(CAST(n1 + n2 AS DOUBLE)
+                          / CAST(n1 * n2 AS DOUBLE)) AS d_crit_05,
+               d_stat > CAST(1.358 AS DOUBLE)
+                   * sqrt(CAST(n1 + n2 AS DOUBLE)
+                          / CAST(n1 * n2 AS DOUBLE)) AS reject_05
+        FROM d, tot
+    """,
+    doc="Two-sample Kolmogorov-Smirnov test on the A/B spend split: "
+    "D = max |ECDF_A - ECDF_B| evaluated at the distinct-value grain "
+    "(the supremum over all reals is attained at sample points), ECDFs "
+    "from one two-phase global_cumsum pass (cum_b = cum_n - cum_a, so "
+    "ONE cumulative column serves both arms — no chained window "
+    "replay). ECDF ratios are integer-derived exactly-rounded "
+    "divisions, the max of exact values is exact, and the alpha=0.05 "
+    "critical value c*sqrt((n1+n2)/(n1*n2)) goes through IEEE-correct "
+    "sqrt — all shipped unrounded, the 1.358 coefficient entering as a "
+    "DOUBLE literal on both engines. The drift-detection primitive for "
+    "feature/label distribution shift between data snapshots. Scale "
+    "shape: value-grain aggregate, metadata-grain cumulative pass, "
+    "scalar reduce.",
+)
+def op_ks_test(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    vals = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(0)).alias("na"),
+    )
+    # cum of na and of n in ONE two-phase pass each over the same fenced
+    # base (metadata-sized; localCheckpoint per the chained-two-phase
+    # discipline — see NOTES_r3 rfm lesson)
+    vals = vals.localCheckpoint(eager=True)
+    ec = global_cumsum(vals, ["v"], "na", "cum_a")
+    ec = ec.localCheckpoint(eager=True)
+    ec = global_cumsum(ec, ["v"], "n", "cum_n")
+    tot = vals.agg(
+        F.sum("na").alias("n1"), F.sum(F.col("n") - F.col("na")).alias("n2")
+    )
+    ecdf = ec.crossJoin(F.broadcast(tot))
+    diff = F.abs(
+        F.col("cum_a").cast("double") / F.col("n1").cast("double")
+        - (F.col("cum_n") - F.col("cum_a")).cast("double")
+        / F.col("n2").cast("double")
+    )
+    d = ecdf.groupBy("n1", "n2").agg(F.max(diff).alias("d_stat"))
+    crit = F.lit(1.358).cast("double") * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+        / (F.col("n1") * F.col("n2")).cast("double")
+    )
+    return d.select(
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        "d_stat",
+        crit.alias("d_crit_05"),
+        (F.col("d_stat") > crit).alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_survival_km — Kaplan-Meier user-lifetime survival curve
+# ---------------------------------------------------------------------------
+
+_KM_CENSOR_US = 365 * 24 * 3600 * 1000000  # churn horizon: 1 year order-silence
+
+
+@register(
+    "op_survival_km",
+    oracle=f"""
+        WITH pu AS (
+            SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+            FROM orders GROUP BY 1
+        ),
+        obs AS (SELECT max(l) AS e FROM pu),
+        lt AS (
+            SELECT (epoch_us(l) - epoch_us(f)) // 86400000000 AS dur,
+                   CASE WHEN epoch_us(l) < epoch_us(e) - {_KM_CENSOR_US}
+                        THEN 1 ELSE 0 END AS ch
+            FROM pu, obs
+        ),
+        g AS (
+            SELECT dur, count(*) AS n, sum(ch) AS d
+            FROM lt GROUP BY 1
+        ),
+        r AS (
+            SELECT dur, n, d,
+                   sum(n) OVER (ORDER BY dur DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS at_risk
+            FROM g
+        ),
+        ev AS (
+            SELECT dur, at_risk, d, n - d AS censored,
+                   ln(CAST(at_risk - d AS DOUBLE)
+                      / CAST(at_risk AS DOUBLE)) AS term
+            FROM r WHERE d > 0
+        )
+        SELECT dur AS duration_d,
+               at_risk AS n_at_risk,
+               d AS n_churned,
+               censored AS n_censored,
+               round(exp(sum(term) OVER (ORDER BY dur
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)), 6) AS survival
+        FROM ev
+    """,
+    doc="Kaplan-Meier survival curve over customer purchase lifetimes "
+    "(days between a customer's first and last order), right-censored "
+    "for customers still ordering within 365 days of the observation "
+    "horizon — the churn/retention estimator that handles the 'still "
+    "alive' cohort correctly where a naive lifetime average would bias "
+    "low. At each churn time t: S(t) = prod(1 - d_i/n_i) over churn "
+    "times <= t, with the at-risk set n_i from a DESCENDING two-phase "
+    "global_cumsum (sum of lifetimes >= t — one pass, no N scalar "
+    "needed) and the product realized as exp(sum(ln(...))) on both "
+    "engines. The ln/exp chain is the one libm-dependent step, so "
+    "survival is ROUNDED to 6 dp (text_char_lm_score's log budget); "
+    "d_i, n_i, censored counts ship as exact integers. Lifetime grain "
+    "collapses the order book map-side; both cumulative passes run at "
+    "the distinct-duration grain. Scale: at 100 TB the per-customer "
+    "min/max is one combiner-collapsed aggregate; nothing row-level "
+    "crosses the curve stages.",
+)
+def op_survival_km(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    pu = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
+    )
+    obs = pu.agg(F.max("l").alias("obs_end"))
+    # o_orderdate loads as TIMESTAMP_NTZ; session tz is pinned UTC
+    # (ensure_engine_confs) so the cast to instant-typed TIMESTAMP is
+    # lossless and unix_micros matches DuckDB's epoch_us exactly.
+    lu = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    lt = pu.crossJoin(F.broadcast(obs)).select(
+        (lu("l") - lu("f")).alias("__us"),
+        F.when(lu("l") < lu("obs_end") - F.lit(_KM_CENSOR_US), 1)
+        .otherwise(0)
+        .alias("ch"),
+    ).select(F.expr("__us div 86400000000").alias("dur"), "ch")
+    g = lt.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("ch").alias("d")
+    )
+    # distinct-duration grain is metadata-sized; fence before the two
+    # chained two-phase passes (NOTES_r3 rfm lesson)
+    g = g.localCheckpoint(eager=True)
+    r = global_cumsum(g, ["dur"], "n", "at_risk", descending=True)
+    ev = r.filter(F.col("d") > 0).select(
+        "dur",
+        "at_risk",
+        "d",
+        (F.col("n") - F.col("d")).alias("censored"),
+        F.log(
+            (F.col("at_risk") - F.col("d")).cast("double")
+            / F.col("at_risk").cast("double")
+        ).alias("term"),
+    )
+    ev = ev.localCheckpoint(eager=True)
+    s = global_cumsum(ev, ["dur"], "term", "logsum")
+    return s.select(
+        F.col("dur").alias("duration_d"),
+        F.col("at_risk").alias("n_at_risk"),
+        F.col("d").alias("n_churned"),
+        F.col("censored").alias("n_censored"),
+        F.round(F.exp("logsum"), 6).alias("survival"),
+    )

@@ -1,0 +1,126 @@
+"""Invariant tests for the nonparametric-inference batch (queries_sci.py).
+
+Oracle parity is covered by tests/test_oracle_parity.py's full-catalog
+sweep; these pin the mathematical invariants (independent scipy-free
+replicas, identities, monotonicity) so a refactor that keeps parity by
+accident still gets caught.
+"""
+
+from __future__ import annotations
+
+from amazon_fresh_sql_data_engineering_spark.catalog import CATALOG
+
+
+def _rows(spark, sf_dir, name):
+    return CATALOG[name].fn(spark, sf_dir).collect()
+
+
+class TestMannWhitney:
+    def test_u_identity_and_bounds(self, spark, sf_dir):
+        (r,) = _rows(spark, sf_dir, "op_mann_whitney")
+        assert r.n_a > 0 and r.n_b > 0
+        assert abs((r.u_a + r.u_b) - r.n_a * r.n_b) < 1e-6
+        assert 0 <= r.u_a <= r.n_a * r.n_b
+        assert -1.0 <= r.rank_biserial <= 1.0
+
+    def test_matches_pandas_rank_replica(self, spark, sf_dir):
+        """Recompute U and z from raw rows with pandas average ranks."""
+        import math
+
+        import pandas as pd
+
+        (r,) = _rows(spark, sf_dir, "op_mann_whitney")
+        o = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_custkey", "o_totalprice")
+            .toPandas()
+        )
+        o["rank"] = o["o_totalprice"].rank(method="average")
+        a = o[o.o_custkey % 2 == 0]
+        n1, n2 = len(a), len(o) - len(a)
+        u_a = a["rank"].sum() - n1 * (n1 + 1) / 2
+        assert abs(u_a - r.u_a) < 1e-6
+        n = n1 + n2
+        ties = o.groupby("o_totalprice").size()
+        tie_term = (ties**3 - ties).sum() / (n * (n - 1))
+        var_u = n1 * n2 / 12 * ((n + 1) - tie_term)
+        z = (u_a - n1 * n2 / 2) / math.sqrt(var_u)
+        assert abs(z - r.z) < 1e-9
+
+
+class TestKsTest:
+    def test_d_bounds_and_reject_consistency(self, spark, sf_dir):
+        (r,) = _rows(spark, sf_dir, "op_ks_test")
+        assert 0.0 < r.d_stat <= 1.0
+        assert r.d_crit_05 > 0.0
+        assert r.reject_05 == (r.d_stat > r.d_crit_05)
+
+    def test_matches_numpy_ecdf_replica(self, spark, sf_dir):
+        import numpy as np
+
+        (r,) = _rows(spark, sf_dir, "op_ks_test")
+        o = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_custkey", "o_totalprice")
+            .toPandas()
+        )
+        a = np.sort(o[o.o_custkey % 2 == 0]["o_totalprice"].to_numpy())
+        b = np.sort(o[o.o_custkey % 2 == 1]["o_totalprice"].to_numpy())
+        grid = np.concatenate([a, b])
+        fa = np.searchsorted(a, grid, side="right") / len(a)
+        fb = np.searchsorted(b, grid, side="right") / len(b)
+        assert abs(np.abs(fa - fb).max() - r.d_stat) < 1e-12
+
+
+class TestSurvivalKm:
+    def test_curve_monotone_and_bounded(self, spark, sf_dir):
+        rows = sorted(
+            _rows(spark, sf_dir, "op_survival_km"), key=lambda r: r.duration_d
+        )
+        assert rows, "no churn events found — censor horizon miscalibrated"
+        prev_s, prev_risk = 1.0 + 1e-9, None
+        for r in rows:
+            assert r.n_churned >= 1
+            assert r.n_censored >= 0
+            assert r.n_at_risk >= r.n_churned + r.n_censored
+            assert 0.0 <= r.survival <= prev_s + 1e-9
+            if prev_risk is not None:
+                # at-risk set shrinks strictly between churn times
+                assert r.n_at_risk < prev_risk
+            prev_s, prev_risk = r.survival, r.n_at_risk
+
+    def test_matches_python_km_replica(self, spark, sf_dir):
+        """Full KM recomputation from raw orders (pure Python)."""
+        from collections import Counter
+
+        rows = sorted(
+            _rows(spark, sf_dir, "op_survival_km"), key=lambda r: r.duration_d
+        )
+        o = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_custkey", "o_orderdate")
+            .toPandas()
+        )
+        g = o.groupby("o_custkey")["o_orderdate"].agg(["min", "max"])
+        horizon = g["max"].max()
+        durs = (g["max"] - g["min"]).dt.days
+        churned = g["max"] < horizon - __import__("pandas").Timedelta(days=365)
+        n_total = Counter(durs)
+        n_churn = Counter(durs[churned])
+        at_risk = len(g)
+        s = 1.0
+        expect = {}
+        for t in sorted(n_total):
+            d = n_churn.get(t, 0)
+            if d:
+                s *= 1.0 - d / at_risk
+                expect[t] = (at_risk, d, s)
+            at_risk -= n_total[t]
+        assert len(rows) == len(expect)
+        for r in rows:
+            exp_risk, exp_d, exp_s = expect[r.duration_d]
+            assert r.n_at_risk == exp_risk
+            assert r.n_churned == exp_d
+            # engine rounds to 6 dp; replica is unrounded (banker's-vs-
+            # HALF_UP note in NOTES_r3) — compare with 5e-7 + fp slack
+            assert abs(r.survival - exp_s) < 6e-7
