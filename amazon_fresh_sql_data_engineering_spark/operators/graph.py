@@ -27,7 +27,7 @@ scalar aggregate per iteration, not a new shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
@@ -164,3 +164,50 @@ def pagerank(
             )
         )
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+def label_propagation(
+    edges: DataFrame, iterations: int = 2
+) -> DataFrame:
+    """Weighted synchronous label propagation (community detection) over
+    ``edges(src, dst, weight)``, treated as undirected.
+
+    Classic LPA (Raghavan et al. 2007) made deterministic: every node
+    starts labelled with its own id; each synchronous round it adopts the
+    label with the LARGEST total incident edge weight among its
+    neighbours, ties broken by the smallest label. The random visit order
+    of the published algorithm is replaced by synchronous updates plus the
+    total tie order, so reruns (and engine replays) are bit-identical.
+
+    Per iteration: one src-keyed equi-join (labels onto edges), one
+    map-side-combined (node, label) weight aggregation, one node-keyed
+    window to pick the argmax — no global window, nothing collected.
+    Labels are node ids, so the shuffled payload stays two id columns
+    wide; at 100 TB this is the same shape GraphX/Pregel LPA lowers to.
+    """
+    und = edges.select(
+        F.col("src"), F.col("dst"), F.col("weight").cast("double").alias("w")
+    )
+    und = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=True)  # read every iteration; truncate lineage
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w_pick = Window.partitionBy("dst").orderBy(
+        F.col("v").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        votes = (
+            und.join(labels, und["src"] == labels["node"])
+            .groupBy("dst", "label")
+            .agg(F.sum("w").alias("v"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w_pick))
+            .where(F.col("__rn") == 1)
+            .select(F.col("dst").alias("node"), "label")
+        )
+    return labels

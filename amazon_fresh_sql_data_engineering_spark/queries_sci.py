@@ -342,3 +342,173 @@ def op_survival_km(spark, sf_dir):
         F.col("censored").alias("n_censored"),
         F.round(F.exp("logsum"), 6).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# op_label_propagation — community detection on the part-supplier graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_label_propagation",
+    oracle="""
+        WITH e0 AS (
+            SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                   's' || CAST(l_suppkey AS VARCHAR) AS dst,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM lineitem GROUP BY 1, 2
+        ),
+        und AS (
+            SELECT src, dst, w FROM e0
+            UNION ALL
+            SELECT dst AS src, src AS dst, w FROM e0
+        ),
+        l0 AS (SELECT DISTINCT src AS node FROM und),
+        v1 AS (
+            SELECT u.dst, l.label, sum(u.w) AS v
+            FROM und u
+            JOIN (SELECT node, node AS label FROM l0) l ON u.src = l.node
+            GROUP BY 1, 2
+        ),
+        l1 AS (
+            SELECT dst AS node, label FROM (
+                SELECT dst, label,
+                       row_number() OVER (PARTITION BY dst
+                                          ORDER BY v DESC, label ASC) AS rn
+                FROM v1) WHERE rn = 1
+        ),
+        v2 AS (
+            SELECT u.dst, l.label, sum(u.w) AS v
+            FROM und u JOIN l1 l ON u.src = l.node
+            GROUP BY 1, 2
+        ),
+        l2 AS (
+            SELECT dst AS node, label FROM (
+                SELECT dst, label,
+                       row_number() OVER (PARTITION BY dst
+                                          ORDER BY v DESC, label ASC) AS rn
+                FROM v2) WHERE rn = 1
+        )
+        SELECT node, label FROM l2
+    """,
+    doc="Weighted label-propagation community detection "
+    "(operators/graph.py label_propagation — Raghavan et al. 2007 made "
+    "deterministic) over the bipartite part-supplier fulfilment graph "
+    "(edge weight = lineitem count): which supplier/part clusters trade "
+    "together. Two synchronous rounds from self-labels; each node adopts "
+    "the neighbour label with the largest incident weight, ties to the "
+    "smallest label — the published algorithm's random visit order "
+    "replaced by a total tie order so engine replays are bit-identical "
+    "(vote weights are integer-derived doubles, exact under any "
+    "summation order). Per iteration one src-keyed join + one "
+    "(node, label) combiner-collapsed aggregation + one node-partitioned "
+    "window; labels are node ids so the shuffle payload never exceeds "
+    "two id columns — the GraphX/Pregel LPA shape without GraphX. "
+    "Graph-analytics sibling of op_pagerank (centrality), "
+    "op_triangle_count (cohesion), and dedup_cluster_corpus "
+    "(components).",
+)
+def op_label_propagation(spark, sf_dir):
+    from .operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.groupBy(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    return label_propagation(edges, iterations=2)
+
+
+# ---------------------------------------------------------------------------
+# events_heavy_hitters_cms — count-min-sketch frequency estimation
+# ---------------------------------------------------------------------------
+
+_CMS_W = 64  # sketch width (buckets per hash row); depth is 3 seeded rows
+
+
+def _cms_bucket_sql(seed: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{seed}' || CAST(user_id AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "events_heavy_hitters_cms",
+    oracle=f"""
+        WITH sk0 AS (SELECT {_cms_bucket_sql('cms0')} AS b, count(*) AS c
+                     FROM events GROUP BY 1),
+        sk1 AS (SELECT {_cms_bucket_sql('cms1')} AS b, count(*) AS c
+                FROM events GROUP BY 1),
+        sk2 AS (SELECT {_cms_bucket_sql('cms2')} AS b, count(*) AS c
+                FROM events GROUP BY 1),
+        cand AS (SELECT user_id, count(*) AS true_n FROM events GROUP BY 1)
+        SELECT user_id,
+               least(s0.c, s1.c, s2.c) AS est_n,
+               true_n,
+               least(s0.c, s1.c, s2.c) - true_n AS overestimate
+        FROM cand
+        JOIN sk0 s0 ON s0.b = {_cms_bucket_sql('cms0')}
+        JOIN sk1 s1 ON s1.b = {_cms_bucket_sql('cms1')}
+        JOIN sk2 s2 ON s2.b = {_cms_bucket_sql('cms2')}
+        ORDER BY est_n DESC, user_id LIMIT 20
+    """,
+    doc="Count-min-sketch heavy hitters over the event stream: a 3x64 "
+    "CMS (three md5-seeded hash rows — the repo's portable "
+    "md5-first-32-bits idiom, never engine-local hash()) built as three "
+    "map-side-combined bucket aggregations, then per-user estimates = "
+    "min across rows via three BROADCAST joins of the 64-cell sketch "
+    "tables. Top-20 by (estimate, user_id) through "
+    "TakeOrderedAndProject. The exact per-user count rides along so the "
+    "output exhibits the CMS guarantee (overestimate >= 0, bounded by "
+    "colliding mass) — the oracle replays the identical sketch, making "
+    "the guarantee independently checked rather than self-certified. "
+    "100 TB story: the sketch is the aggregation-collapse pattern for "
+    "cardinality-heavy streams — the full stream folds into depth*width "
+    "integer cells per executor before any shuffle, and estimation "
+    "never joins stream-sized tables (broadcast of 192 cells); width "
+    "scales as ceil(e/eps) independent of data volume. Batch twin of "
+    "the streaming sketch tier (events_sliding_distinct_hll).",
+)
+def events_heavy_hitters_cms(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+
+    def bucket(seed: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(seed), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+
+    sketches = [
+        e.groupBy(bucket(f"cms{j}").alias(f"b{j}")).agg(
+            F.count(F.lit(1)).alias(f"c{j}")
+        )
+        for j in range(3)
+    ]
+    cand = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    for j, sk in enumerate(sketches):
+        cand = cand.withColumn(f"b{j}", bucket(f"cms{j}")).join(
+            F.broadcast(sk), f"b{j}"
+        )
+    est = F.least(F.col("c0"), F.col("c1"), F.col("c2"))
+    return (
+        cand.select(
+            "user_id",
+            est.alias("est_n"),
+            "true_n",
+            (est - F.col("true_n")).alias("overestimate"),
+        )
+        .orderBy(F.col("est_n").desc(), "user_id")
+        .limit(20)
+    )

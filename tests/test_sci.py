@@ -124,3 +124,72 @@ class TestSurvivalKm:
             # engine rounds to 6 dp; replica is unrounded (banker's-vs-
             # HALF_UP note in NOTES_r3) — compare with 5e-7 + fp slack
             assert abs(r.survival - exp_s) < 6e-7
+
+
+class TestLabelPropagation:
+    def test_mapping_well_formed_and_nontrivial(self, spark, sf_dir):
+        rows = _rows(spark, sf_dir, "op_label_propagation")
+        nodes = [r.node for r in rows]
+        assert len(nodes) == len(set(nodes)), "a node got two labels"
+        node_set = set(nodes)
+        assert all(r.label in node_set for r in rows), "label is not a node id"
+        n_comm = len({r.label for r in rows})
+        assert 1 < n_comm < len(nodes), "degenerate community structure"
+
+    def test_matches_python_lpa_replica(self, spark, sf_dir):
+        """Replay both synchronous rounds with plain dicts."""
+        from collections import defaultdict
+
+        li = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .groupBy("l_partkey", "l_suppkey")
+            .count()
+            .collect()
+        )
+        und = defaultdict(list)
+        for r in li:
+            p, s, w = f"p{r.l_partkey}", f"s{r.l_suppkey}", float(r["count"])
+            und[s].append((p, w))
+            und[p].append((s, w))
+        labels = {n: n for n in und}
+        for _ in range(2):
+            new = {}
+            for node, nbrs in und.items():
+                votes = defaultdict(float)
+                for nbr, w in nbrs:
+                    votes[labels[nbr]] += w
+                new[node] = min(votes, key=lambda lb: (-votes[lb], lb))
+            labels = new
+        got = {r.node: r.label for r in _rows(spark, sf_dir, "op_label_propagation")}
+        assert got == labels
+
+
+class TestHeavyHittersCms:
+    def test_cms_guarantee_and_replica(self, spark, sf_dir):
+        """est >= true always (CMS one-sided error); estimates replay
+        exactly from a hashlib-md5 sketch built over raw events."""
+        import hashlib
+        from collections import Counter
+
+        rows = _rows(spark, sf_dir, "events_heavy_hitters_cms")
+        assert rows and len(rows) <= 20
+        for r in rows:
+            assert r.overestimate >= 0
+            assert r.est_n == r.true_n + r.overestimate
+
+        users = [
+            r.user_id
+            for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id")
+            .collect()
+        ]
+
+        def bucket(seed, uid):
+            return int(hashlib.md5(f"{seed}{uid}".encode()).hexdigest()[:8], 16) % 64
+
+        sketches = [Counter(bucket(f"cms{j}", u) for u in users) for j in range(3)]
+        true = Counter(users)
+        for r in rows:
+            est = min(sk[bucket(f"cms{j}", r.user_id)] for j, sk in enumerate(sketches))
+            assert est == r.est_n
+            assert true[r.user_id] == r.true_n
