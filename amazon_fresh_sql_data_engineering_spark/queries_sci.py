@@ -512,3 +512,250 @@ def events_heavy_hitters_cms(spark, sf_dir):
         .orderBy(F.col("est_n").desc(), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# op_item_cf_jaccard — item-item collaborative-filtering neighbours
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_item_cf_jaccard",
+    oracle="""
+        WITH ui AS (
+            SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        sizes AS (SELECT item, count(*) AS n FROM ui GROUP BY 1),
+        co AS (
+            SELECT a.item AS ia, b.item AS ib, count(*) AS co
+            FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+            GROUP BY 1, 2
+        ),
+        both_dirs AS (
+            SELECT ia AS item, ib AS nbr, co FROM co
+            UNION ALL
+            SELECT ib AS item, ia AS nbr, co FROM co
+        ),
+        scored AS (
+            SELECT d.item, d.nbr, d.co,
+                   CAST(d.co AS DOUBLE)
+                       / CAST(sa.n + sb.n - d.co AS DOUBLE) AS jaccard
+            FROM both_dirs d
+            JOIN sizes sa ON d.item = sa.item
+            JOIN sizes sb ON d.nbr = sb.item
+        )
+        SELECT item, nbr, co, jaccard, rnk FROM (
+            SELECT item, nbr, co, jaccard,
+                   row_number() OVER (PARTITION BY item
+                                      ORDER BY jaccard DESC, co DESC, nbr)
+                       AS rnk
+            FROM scored) WHERE rnk <= 3
+    """,
+    doc="Item-item collaborative filtering ('customers who bought X also "
+    "bought Y'): top-3 neighbours per part by Jaccard similarity of "
+    "buyer sets. Co-occurrence counted once per unordered pair via a "
+    "customer-keyed self-equi-join of the DISTINCT (customer, part) "
+    "table (work proportional to sum of per-customer basket-size^2 — "
+    "the op_market_basket shape, bounded by a per-user item cap in "
+    "prod), then emitted in both directions for the per-item window. "
+    "jaccard = co / (|A| + |B| - co) is an integer-derived "
+    "exactly-rounded division — shipped unrounded; the neighbour rank "
+    "uses the total order (jaccard DESC, co DESC, nbr) so ties are "
+    "engine-identical. Windows are item-partitioned, never global. The "
+    "classic recsys candidate-generation primitive; sibling of "
+    "op_basket_lift (association rules) at the user rather than order "
+    "grain.",
+)
+def op_item_cf_jaccard(spark, sf_dir):
+    li, o = _t(spark, sf_dir, "lineitem", "orders")
+    from pyspark.sql import Window
+
+    ui = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    # read three times (sizes + both self-join sides) — fence once
+    ui = ui.localCheckpoint(eager=True)
+    sizes = ui.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a = ui.select(F.col("u"), F.col("item").alias("ia"))
+    b = ui.select(F.col("u"), F.col("item").alias("ib"))
+    co = (
+        a.join(b, "u")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    both = co.select(
+        F.col("ia").alias("item"), F.col("ib").alias("nbr"), "co"
+    ).unionAll(co.select(F.col("ib").alias("item"), F.col("ia").alias("nbr"), "co"))
+    sa = sizes.select(F.col("item"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("item").alias("nbr"), F.col("n").alias("nb"))
+    scored = (
+        both.join(sa, "item")
+        .join(sb, "nbr")
+        .select(
+            "item",
+            "nbr",
+            "co",
+            (
+                F.col("co").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("co")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("jaccard").desc(), F.col("co").desc(), F.col("nbr")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("item", "nbr", "co", "jaccard", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_pca_power — distributed Gram matrix + power iteration (leading PC)
+# ---------------------------------------------------------------------------
+
+_PCA_D = 5  # feature dims: order-priority spend-share profile per customer
+
+
+@register(
+    "op_pca_power",
+    oracle=f"""
+        WITH s AS (
+            SELECT o_custkey AS c,
+                   CAST(substr(o_orderpriority, 1, 1) AS INT) AS i,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sp
+            FROM orders GROUP BY 1, 2
+        ),
+        t AS (SELECT c, sum(sp) AS tot FROM s GROUP BY 1),
+        x AS (SELECT s.c, s.i, s.sp / t.tot AS v FROM s JOIN t USING (c)),
+        g AS (
+            SELECT a.i AS i, b.i AS j, round(sum(a.v * b.v), 6) AS g
+            FROM x a JOIN x b ON a.c = b.c GROUP BY 1, 2
+        ),
+        v0 AS (
+            SELECT t.range AS i,
+                   CAST(1 AS DOUBLE) / sqrt(CAST({_PCA_D} AS DOUBLE)) AS v
+            FROM range(1, {_PCA_D} + 1) t
+        ),
+        w1 AS (
+            SELECT g.i,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list(g.g * v0.v ORDER BY g.j)),
+                       (a, x) -> a + x) AS w
+            FROM g JOIN v0 ON g.j = v0.i GROUP BY g.i
+        ),
+        n1 AS (
+            SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list(w * w ORDER BY i)), (a, x) -> a + x)) AS nrm
+            FROM w1
+        ),
+        v1 AS (SELECT i, w / nrm AS v FROM w1, n1),
+        w2 AS (
+            SELECT g.i,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list(g.g * v1.v ORDER BY g.j)),
+                       (a, x) -> a + x) AS w
+            FROM g JOIN v1 ON g.j = v1.i GROUP BY g.i
+        ),
+        n2 AS (
+            SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list(w * w ORDER BY i)), (a, x) -> a + x)) AS nrm
+            FROM w2
+        )
+        SELECT w2.i AS component, w2.w / n2.nrm AS loading,
+               n2.nrm AS eigenvalue
+        FROM w2, n2
+    """,
+    doc="Leading principal component of customer order-priority "
+    "spend-share profiles via the distributed-Gram + power-iteration "
+    "pattern: the N x d feature matrix never leaves the cluster — one "
+    "customer-keyed self-join folds it into a d x d Gram matrix "
+    f"(d = {_PCA_D}: share of spend per priority class, features built "
+    "from exact DECIMAL sums so the matrix itself is engine-exact), "
+    "then two power iterations run at the metadata grain. The "
+    "share-profile Gram has a dominant eigenvalue (every customer's "
+    "shares sum to 1, so the mean profile direction carries most "
+    "energy — eigengap ratio ~0.2, two iterations reach alignment "
+    "1 - 1e-5), unlike an isotropic embedding cloud where power "
+    "iteration cannot converge. Gram entries are the ONLY "
+    "accumulation-order-sensitive values (row-sum of float products) "
+    "and are ROUNDED to 6 dp at the handoff; from there every step is "
+    "engine-bit-identical by construction — matrix-vector products and "
+    "norms use the repo's sequential-fold idiom (array_sort + "
+    "F.aggregate == DuckDB list(... ORDER BY) + list_reduce), sqrt is "
+    "IEEE-correctly-rounded, and the start vector 1/sqrt(d) is a fixed "
+    "expression — so loadings and the eigenvalue estimate (L2 norm of "
+    "the last un-normalized iterate, the Rayleigh limit) ship "
+    "UNROUNDED. 100 TB story: this is how PCA/SVD initialization "
+    "actually runs on Spark — O(N d^2) map-side work, one d^2-cell "
+    "shuffle, driver-free iteration; d grows to hundreds before the "
+    "Gram stops being broadcastable.",
+)
+def op_pca_power(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    from .registry import dec
+
+    s = o.groupBy(
+        F.col("o_custkey").alias("c"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("i"),
+    ).agg(F.sum(dec("o_totalprice")).cast("double").alias("sp"))
+    tot = s.groupBy("c").agg(F.sum("sp").alias("tot"))
+    x = s.join(tot, "c").select("c", "i", (F.col("sp") / F.col("tot")).alias("v"))
+    x = x.localCheckpoint(eager=True)  # both self-join sides read it
+    a = x.select("c", F.col("i"), F.col("v").alias("va"))
+    b = x.select("c", F.col("i").alias("j"), F.col("v").alias("vb"))
+    g = (
+        a.join(b, "c")
+        .groupBy("i", "j")
+        .agg(F.round(F.sum(F.col("va") * F.col("vb")), 6).alias("g"))
+        .localCheckpoint(eager=True)  # d^2 cells, read by both iterations
+    )
+
+    def fold_sum(col_struct_arr):
+        return F.aggregate(
+            col_struct_arr, F.lit(0.0), lambda acc, x: acc + x["t"]
+        )
+
+    def matvec(vcur):
+        vv = vcur.select(F.col("i").alias("j"), F.col("v"))
+        return (
+            g.join(vv, "j")
+            .groupBy("i")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("j"), (F.col("g") * F.col("v")).alias("t"))
+                    )
+                ).alias("ts")
+            )
+            .select("i", fold_sum(F.col("ts")).alias("w"))
+        )
+
+    def normalize(w):
+        nrm = w.groupBy().agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("i"), (F.col("w") * F.col("w")).alias("t"))
+                )
+            ).alias("ts")
+        ).select(F.sqrt(fold_sum(F.col("ts"))).alias("nrm"))
+        return w.crossJoin(F.broadcast(nrm))
+
+    v0 = g.select("i").distinct().select(
+        "i",
+        (F.lit(1).cast("double") / F.sqrt(F.lit(_PCA_D).cast("double"))).alias("v"),
+    )
+    w1 = normalize(matvec(v0))
+    v1 = w1.select("i", (F.col("w") / F.col("nrm")).alias("v"))
+    w2 = normalize(matvec(v1))
+    return w2.select(
+        F.col("i").alias("component"),
+        (F.col("w") / F.col("nrm")).alias("loading"),
+        F.col("nrm").alias("eigenvalue"),
+    )

@@ -193,3 +193,112 @@ class TestHeavyHittersCms:
             est = min(sk[bucket(f"cms{j}", r.user_id)] for j, sk in enumerate(sketches))
             assert est == r.est_n
             assert true[r.user_id] == r.true_n
+
+
+class TestItemCfJaccard:
+    def test_topk_shape_and_bounds(self, spark, sf_dir):
+        from collections import defaultdict
+
+        rows = _rows(spark, sf_dir, "op_item_cf_jaccard")
+        per_item = defaultdict(list)
+        for r in rows:
+            assert 0.0 < r.jaccard <= 1.0
+            assert r.co >= 1
+            assert r.nbr != r.item
+            per_item[r.item].append(r)
+        for item, rs in per_item.items():
+            ranks = sorted(x.rnk for x in rs)
+            assert ranks == list(range(1, len(rs) + 1))
+            assert len(rs) <= 3
+            js = [x.jaccard for x in sorted(rs, key=lambda x: x.rnk)]
+            assert js == sorted(js, reverse=True)
+
+    def test_matches_pandas_replica_sample(self, spark, sf_dir):
+        """Recompute top-3 neighbours for 20 items from raw data."""
+        from collections import defaultdict
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        ui = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select("o_custkey", "l_partkey")
+            .distinct()
+            .collect()
+        )
+        items_of_user = defaultdict(set)
+        users_of_item = defaultdict(set)
+        for r in ui:
+            items_of_user[r.o_custkey].add(r.l_partkey)
+            users_of_item[r.l_partkey].add(r.o_custkey)
+        got = defaultdict(list)
+        for r in _rows(spark, sf_dir, "op_item_cf_jaccard"):
+            got[r.item].append(r)
+        sample = sorted(got)[:20]
+        for item in sample:
+            co = defaultdict(int)
+            for u in users_of_item[item]:
+                for other in items_of_user[u]:
+                    if other != item:
+                        co[other] += 1
+            scored = sorted(
+                (
+                    (
+                        -c / (len(users_of_item[item]) + len(users_of_item[n]) - c),
+                        -c,
+                        n,
+                    )
+                    for n, c in co.items()
+                )
+            )[:3]
+            expect = [(n, c2 * -1, j * -1) for j, c2, n in scored]
+            actual = [
+                (r.nbr, r.co, r.jaccard)
+                for r in sorted(got[item], key=lambda r: r.rnk)
+            ]
+            assert [(n, c) for n, c, _ in expect] == [
+                (n, c) for n, c, _ in actual
+            ], item
+            for (_, _, je), (_, _, ja) in zip(expect, actual):
+                assert abs(je - ja) < 1e-12
+
+
+class TestPcaPower:
+    def test_unit_norm_and_numpy_replica(self, spark, sf_dir):
+        import numpy as np
+        from collections import defaultdict
+
+        rows = sorted(
+            _rows(spark, sf_dir, "op_pca_power"), key=lambda r: r.component
+        )
+        assert [r.component for r in rows] == list(range(1, 6))
+        v = np.array([r.loading for r in rows])
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+        lam = rows[0].eigenvalue
+        assert lam > 0
+        assert all(abs(r.eigenvalue - lam) < 1e-12 for r in rows)
+
+        o = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_custkey", "o_orderpriority", "o_totalprice")
+            .toPandas()
+        )
+        o["i"] = o.o_orderpriority.str[0].astype(int)
+        sp = o.groupby(["o_custkey", "i"])["o_totalprice"].sum()
+        profiles = defaultdict(lambda: np.zeros(5))
+        for (c, i), val in sp.items():
+            profiles[c][i - 1] = val
+        x = np.array([p / p.sum() for p in profiles.values()])
+        gram = np.round(x.T @ x, 6)
+        vk = np.full(5, 1.0) / np.sqrt(5.0)
+        for _ in range(2):
+            w = gram @ vk
+            nrm = np.linalg.norm(w)
+            vk = w / nrm
+        # replica uses pandas float sums (engine uses exact decimals) —
+        # compare with a fp-noise tolerance rather than bit equality
+        assert np.abs(vk - v).max() < 1e-6
+        assert abs(nrm - lam) < 1e-4
+        # the 2-step iterate must already align with the true eigenvector
+        evals, evecs = np.linalg.eigh(gram)
+        top = evecs[:, -1]
+        assert abs(float(top @ v)) > 0.999
