@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .operators.ranking import global_cumsum
-from .registry import register
+from .registry import fin, register
 from .registry import tables as _t
 
 # ---------------------------------------------------------------------------
@@ -758,4 +758,329 @@ def op_pca_power(spark, sf_dir):
         F.col("i").alias("component"),
         (F.col("w") / F.col("nrm")).alias("loading"),
         F.col("nrm").alias("eigenvalue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_holt_linear — Holt double-exponential smoothing (level + trend)
+# ---------------------------------------------------------------------------
+
+@register(
+    "op_holt_linear",
+    oracle="""
+        WITH hc AS (
+            SELECT event_type,
+                   date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS DOUBLE) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        series AS (
+            SELECT event_type,
+                   list(y ORDER BY h) AS ys,
+                   count(*) AS n_hours
+            FROM hc GROUP BY 1
+        ),
+        fitted AS (
+            SELECT event_type, n_hours,
+                   list_reduce(
+                       list_prepend([ys[1], ys[2] - ys[1]],
+                                    list_transform(ys[2:],
+                                                   x -> [x, CAST(0 AS DOUBLE)])),
+                       (acc, x) -> [
+                           CAST(0.5 AS DOUBLE) * x[1]
+                               + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                           CAST(0.3 AS DOUBLE)
+                               * (CAST(0.5 AS DOUBLE) * x[1]
+                                  + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])
+                                  - acc[1])
+                               + CAST(0.7 AS DOUBLE) * acc[2]]) AS st
+            FROM series
+        )
+        SELECT event_type, n_hours,
+               st[1] AS level, st[2] AS trend,
+               st[1] + st[2] AS forecast_next
+        FROM fitted
+    """,
+    doc="Holt double-exponential smoothing (level + linear trend) of the "
+    "hourly event-count series per event type — the trend-aware upgrade "
+    "of events_ewma for capacity forecasting. Initialized the textbook "
+    "way (l0 = y1, b0 = y2 - y1) and folded sequentially over the "
+    "remaining points with alpha = 0.5, gamma = 0.3: both engines run "
+    "the IDENTICAL fold (Spark F.aggregate over the hour-sorted array "
+    "== DuckDB list_reduce over list(... ORDER BY h)), the smoothing "
+    "constants and their complements enter as independent DOUBLE "
+    "literals (never 1 - alpha in Python — the decimal-drift trap), "
+    "and every step is an exactly-rounded fixed-order chain — so "
+    "level/trend/forecast ship UNROUNDED, bit-identical. The fold "
+    "state is a 2-element DOUBLE array, NOT a struct: DuckDB "
+    "list_reduce evaluates struct_pack accumulator fields in-place "
+    "sequentially (a later field's expression sees the earlier field's "
+    "freshly assigned value), which silently corrupts any multi-value "
+    "recurrence — array construction evaluates all elements against "
+    "the original accumulator on both engines. Scale shape: "
+    "series-per-key — the event stream collapses map-side to "
+    "(type, hour) cells, each type's bounded series folds inside one "
+    "task; unbounded/streaming series use the stateful twin (streaming "
+    "ewma_hourly_stateful pattern).",
+)
+def op_holt_linear(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hc = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    series = hc.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "y"))), lambda s: s["y"]
+        ).alias("ys"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    a, one_a = F.lit(0.5), F.lit(0.5)
+    gm, one_g = F.lit(0.3), F.lit(0.7)
+    init = F.array(
+        F.element_at("ys", 1),
+        F.element_at("ys", 2) - F.element_at("ys", 1),
+    )
+    rest = F.slice(F.col("ys"), 2, F.size("ys") - 1)
+    st = F.aggregate(
+        rest,
+        init,
+        lambda acc, x: F.array(
+            a * x + one_a * (F.element_at(acc, 1) + F.element_at(acc, 2)),
+            gm
+            * (
+                a * x
+                + one_a * (F.element_at(acc, 1) + F.element_at(acc, 2))
+                - F.element_at(acc, 1)
+            )
+            + one_g * F.element_at(acc, 2),
+        ),
+    )
+    return series.select(
+        "event_type",
+        "n_hours",
+        st[0].alias("level"),
+        st[1].alias("trend"),
+        (st[0] + st[1]).alias("forecast_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_cohort_ltv — quarterly-cohort cumulative lifetime value
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_cohort_ltv",
+    oracle="""
+        WITH first_o AS (
+            SELECT o_custkey, min(o_orderdate) AS f
+            FROM orders GROUP BY 1
+        ),
+        tagged AS (
+            SELECT o.o_custkey,
+                   year(f.f) || '-Q' || quarter(f.f) AS cohort,
+                   (year(o.o_orderdate) * 4 + quarter(o.o_orderdate))
+                       - (year(f.f) * 4 + quarter(f.f)) AS age_q,
+                   CAST(o.o_totalprice AS DECIMAL(18,2)) AS p
+            FROM orders o JOIN first_o f ON o.o_custkey = f.o_custkey
+        ),
+        sizes AS (
+            SELECT year(f) || '-Q' || quarter(f) AS cohort,
+                   count(*) AS n_customers
+            FROM first_o GROUP BY 1
+        ),
+        cells AS (
+            SELECT cohort, age_q,
+                   sum(p) AS rev, count(*) AS n_orders
+            FROM tagged GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT cohort, age_q, n_orders,
+                   round(CAST(rev AS DOUBLE), 2) AS revenue,
+                   sum(rev) OVER (PARTITION BY cohort ORDER BY age_q) AS cum_rev
+            FROM cells
+        )
+        SELECT c.cohort, c.age_q, s.n_customers, c.n_orders, c.revenue,
+               round(CAST(c.cum_rev AS DOUBLE), 2) AS cum_revenue,
+               CAST(c.cum_rev AS DOUBLE) / CAST(s.n_customers AS DOUBLE)
+                   AS ltv_per_customer
+        FROM cum c JOIN sizes s ON c.cohort = s.cohort
+    """,
+    doc="Quarterly acquisition-cohort lifetime value: customers are "
+    "binned by the quarter of their first order, revenue is accumulated "
+    "per cohort over cohort age (quarters since acquisition), and LTV "
+    "per customer = cumulative revenue / cohort size. The "
+    "revenue-weighted sibling of events_cohort_retention (which counts "
+    "active users). Money flows through exact DECIMAL(18,2) sums "
+    "(order-independent) and leaves the engine through the standard "
+    "fin() projection; ltv_per_customer is an exactly-rounded division "
+    "of the exact cents grid by an integer — shipped unrounded. The "
+    "cumulative window partitions by cohort (never global); the "
+    "first-order table joins back customer-keyed. Scale: cohort x age "
+    "cells are metadata-sized after one map-side-combined aggregation "
+    "of the order book.",
+)
+def op_cohort_ltv(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .registry import dec
+
+    o = _t(spark, sf_dir, "orders")
+
+    first_o = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("f"))
+    cohort = F.concat(
+        F.year("f").cast("string"), F.lit("-Q"), F.quarter("f").cast("string")
+    )
+    tagged = o.join(first_o, "o_custkey").select(
+        cohort.alias("cohort"),
+        (
+            (F.year("o_orderdate") * 4 + F.quarter("o_orderdate"))
+            - (F.year("f") * 4 + F.quarter("f"))
+        ).alias("age_q"),
+        dec("o_totalprice").alias("p"),
+    )
+    sizes = first_o.groupBy(cohort.alias("cohort")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    cells = tagged.groupBy("cohort", "age_q").agg(
+        F.sum("p").alias("rev"), F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.partitionBy("cohort").orderBy("age_q")
+    cum = cells.select(
+        "cohort",
+        "age_q",
+        "n_orders",
+        fin("rev").alias("revenue"),
+        F.sum("rev").over(w).alias("cum_rev"),
+    )
+    return cum.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        "age_q",
+        "n_customers",
+        "n_orders",
+        "revenue",
+        fin("cum_rev").alias("cum_revenue"),
+        (
+            F.col("cum_rev").cast("double") / F.col("n_customers").cast("double")
+        ).alias("ltv_per_customer"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_concurrency_peak — interval-sweep peak concurrent sessions
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 1800 * 1000000  # 30-minute inactivity gap
+
+
+@register(
+    "events_concurrency_peak",
+    oracle=f"""
+        WITH pts AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            > {_SESSION_GAP_US}
+                        OR lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS sid,
+                   us
+            FROM pts
+        ),
+        iv AS (
+            SELECT user_id, sid, min(us) AS s, max(us) AS e
+            FROM sess GROUP BY 1, 2
+        ),
+        sweep AS (
+            SELECT s AS us, 1 AS delta, user_id, sid FROM iv
+            UNION ALL
+            SELECT e AS us, -1 AS delta, user_id, sid FROM iv
+        ),
+        swept AS (
+            SELECT us, delta,
+                   sum(delta) OVER (ORDER BY us, -delta, user_id, sid
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS c
+            FROM sweep
+        ),
+        peak AS (SELECT max(c) AS peak_concurrency FROM swept)
+        SELECT (SELECT count(*) FROM iv) AS n_sessions,
+               p.peak_concurrency,
+               (SELECT min(us) FROM swept, peak
+                WHERE c = peak.peak_concurrency) AS first_peak_us
+        FROM peak p
+    """,
+    doc="Peak concurrent user sessions via the interval-sweep (+1/-1) "
+    "algorithm: sessions are 30-minute-gap bounded (the events_sessionize "
+    "rule), each contributes a +1 at its start and a -1 at its end, and "
+    "the running sum over the merged boundary stream is the exact "
+    "concurrency profile — max and first-attainment time reported. The "
+    "capacity-planning / license-sizing primitive (how many "
+    "simultaneously active users must the system hold). All arithmetic "
+    "is integer microseconds (epoch_us == unix_micros after the "
+    "loader's nanos conversion); the boundary order (us, +1 before -1, "
+    "user, session) is total, so the profile is engine-identical — a "
+    "session touching another at the same microsecond counts as "
+    "overlapping, documented. The global running sum is the two-phase "
+    "global_cumsum (range-partitioned, broadcast offsets — never a "
+    "single-partition sort over the boundary stream); session building "
+    "is user-partitioned windows. Scale: 2 rows per session cross the "
+    "sweep, orders of magnitude under the event stream.",
+)
+def events_concurrency_peak(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.when(
+            (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+                > _SESSION_GAP_US
+            )
+            | F.lag("ts").over(wu).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = pts.select("user_id", F.sum("brk").over(ws).alias("sid"), "us")
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s"), F.max("us").alias("e")
+    )
+    iv = iv.localCheckpoint(eager=True)  # read by sweep twice + count
+    sweep = iv.select(
+        F.col("s").alias("us"), F.lit(1).alias("delta"), "user_id", "sid"
+    ).unionAll(
+        iv.select(F.col("e").alias("us"), F.lit(-1).alias("delta"), "user_id", "sid")
+    ).withColumn("neg_delta", -F.col("delta"))
+    swept = global_cumsum(
+        sweep, ["us", "neg_delta", "user_id", "sid"], "delta", "c"
+    )
+    swept = swept.localCheckpoint(eager=True)  # peak + first-attainment reads
+    peak = swept.agg(F.max("c").alias("peak_concurrency"))
+    first = (
+        swept.join(F.broadcast(peak), F.col("c") == F.col("peak_concurrency"))
+        .agg(F.min("us").alias("first_peak_us"))
+    )
+    n = iv.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        n.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(first))
+        .select("n_sessions", "peak_concurrency", "first_peak_us")
     )

@@ -302,3 +302,120 @@ class TestPcaPower:
         evals, evecs = np.linalg.eigh(gram)
         top = evecs[:, -1]
         assert abs(float(top @ v)) > 0.999
+
+
+class TestHoltLinear:
+    def test_matches_python_fold_replica(self, spark, sf_dir):
+        from collections import defaultdict
+
+        hc = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy(
+                "event_type",
+                __import__("pyspark.sql.functions", fromlist=["f"]).date_trunc(
+                    "hour", "ts"
+                ).alias("h"),
+            )
+            .count()
+            .collect()
+        )
+        series = defaultdict(list)
+        for r in hc:
+            series[r.event_type].append((r.h, float(r["count"])))
+        for r in _rows(spark, sf_dir, "op_holt_linear"):
+            ys = [y for _, y in sorted(series[r.event_type])]
+            assert r.n_hours == len(ys)
+            level, trend = ys[0], ys[1] - ys[0]
+            for x in ys[1:]:
+                l2 = 0.5 * x + 0.5 * (level + trend)
+                trend = 0.3 * (l2 - level) + 0.7 * trend
+                level = l2
+            assert abs(r.level - level) < 1e-12, r.event_type
+            assert abs(r.trend - trend) < 1e-12
+            assert abs(r.forecast_next - (level + trend)) < 1e-12
+
+    def test_constant_series_has_zero_trend(self, spark):
+        """On a constant series Holt must fix-point at (c, 0)."""
+        from amazon_fresh_sql_data_engineering_spark.queries_sci import (
+            op_holt_linear,  # noqa: F401 — exercised via the catalog
+        )
+        # covered by the replica above; sanity-check the recurrence itself
+        level, trend = 7.0, 0.0
+        for _ in range(10):
+            l2 = 0.5 * 7.0 + 0.5 * (level + trend)
+            trend = 0.3 * (l2 - level) + 0.7 * trend
+            level = l2
+        assert level == 7.0 and trend == 0.0
+
+
+class TestCohortLtv:
+    def test_identities_and_monotone_ltv(self, spark, sf_dir):
+        from collections import defaultdict
+
+        rows = _rows(spark, sf_dir, "op_cohort_ltv")
+        assert rows
+        by_cohort = defaultdict(list)
+        for r in rows:
+            assert r.age_q >= 0
+            assert r.n_customers >= 1
+            by_cohort[r.cohort].append(r)
+        for cohort, rs in by_cohort.items():
+            rs.sort(key=lambda r: r.age_q)
+            assert rs[0].age_q == 0, "cohort must start at age 0"
+            run = 0.0
+            prev_ltv = 0.0
+            for r in rs:
+                run += r.revenue
+                assert abs(r.cum_revenue - run) < 0.05  # fin(2) per-cell drift
+                assert r.ltv_per_customer >= prev_ltv - 1e-9
+                prev_ltv = r.ltv_per_customer
+
+    def test_total_revenue_conservation(self, spark, sf_dir):
+        import decimal
+
+        rows = _rows(spark, sf_dir, "op_cohort_ltv")
+        total = sum(decimal.Decimal(str(r.revenue)) for r in rows)
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+        expect = sum(
+            decimal.Decimal(str(p)).quantize(decimal.Decimal("0.01"))
+            for p in o.o_totalprice
+        )
+        assert abs(total - expect) <= decimal.Decimal("0.01") * len(rows)
+
+
+class TestConcurrencyPeak:
+    def test_matches_python_sweep_replica(self, spark, sf_dir):
+        (r,) = _rows(spark, sf_dir, "events_concurrency_peak")
+        ev = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id", "event_id", "ts")
+            .toPandas()
+        )
+        ev["us"] = ev.ts.astype("int64") // 1000  # ns -> us
+        ivs = []
+        for uid, g in ev.groupby("user_id"):
+            g = g.sort_values(["us", "event_id"])
+            start = prev = None
+            sid = 0
+            for us in g.us:
+                if prev is None or us - prev > 1800 * 1000000:
+                    if start is not None:
+                        ivs.append((uid, sid, start, prev))
+                    start = us
+                    sid += 1
+                prev = us
+            ivs.append((uid, sid, start, prev))
+        assert r.n_sessions == len(ivs)
+        sweep = []
+        for uid, sid, s, e in ivs:
+            sweep.append((s, -1, uid, sid))  # -delta = -1 => +1 first
+            sweep.append((e, 1, uid, sid))
+        c = peak = 0
+        first_peak = None
+        for us, negd, uid, sid in sorted(sweep):
+            c += -negd
+            if c > peak:
+                peak, first_peak = c, us
+        assert r.peak_concurrency == peak
+        assert r.first_peak_us == first_peak
+        assert peak >= 1
