@@ -1084,3 +1084,182 @@ def events_concurrency_peak(spark, sf_dir):
         .crossJoin(F.broadcast(first))
         .select("n_sessions", "peak_concurrency", "first_peak_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dp_release — differentially-private aggregate release (Laplace)
+# ---------------------------------------------------------------------------
+
+_DP_EPS = "CAST(1.0 AS DOUBLE)"  # privacy budget per released statistic
+
+
+@register(
+    "q_dp_release",
+    oracle=f"""
+        WITH agg AS (
+            SELECT n.n_name AS nation, count(*) AS true_n
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        ),
+        noised AS (
+            SELECT nation, true_n,
+                   (CAST(('0x' || substr(md5('dp1' || nation), 1, 8))
+                         AS BIGINT) + 1)
+                       / CAST(4294967296 AS DOUBLE) AS u
+            FROM agg
+        )
+        SELECT nation,
+               round(CAST(true_n AS DOUBLE)
+                     - (CAST(1 AS DOUBLE) / {_DP_EPS})
+                       * CASE WHEN u - CAST(0.5 AS DOUBLE) >= 0
+                              THEN CAST(1 AS DOUBLE)
+                              ELSE CAST(-1 AS DOUBLE) END
+                       * ln(CAST(1 AS DOUBLE)
+                            - CAST(2 AS DOUBLE)
+                              * abs(u - CAST(0.5 AS DOUBLE))), 4)
+                   AS noisy_n,
+               round((CAST(1 AS DOUBLE) / {_DP_EPS})
+                     * CASE WHEN u - CAST(0.5 AS DOUBLE) >= 0
+                            THEN CAST(1 AS DOUBLE)
+                            ELSE CAST(-1 AS DOUBLE) END
+                     * ln(CAST(1 AS DOUBLE)
+                          - CAST(2 AS DOUBLE)
+                            * abs(u - CAST(0.5 AS DOUBLE))) * CAST(-1 AS DOUBLE),
+                     4) AS noise
+        FROM noised
+    """,
+    doc="Differentially-private count release (governance-layer sibling "
+    "of q_masked_view): per-nation customer counts published with "
+    "Laplace(sensitivity/epsilon) noise, epsilon = 1.0, count "
+    "sensitivity 1. The noise is sampled by inverse-CDF from a "
+    "DETERMINISTIC md5-derived uniform (the repo's seeded-randomness "
+    "idiom — never rand(), so releases are reproducible and "
+    "engine-replayable; a production deployment would swap the salt "
+    "per release). u in (0, 1] via (h32 + 1) / 2^32; noise = "
+    "-(1/eps) * sign(u - 0.5) * ln(1 - 2|u - 0.5|). The ln output is "
+    "libm-dependent, so noisy values are ROUNDED to 4 dp (the "
+    "log-output budget); everything upstream is exact integers. The "
+    "true count never appears in the released columns of a production "
+    "view — it rides along here so the oracle check pins the noise "
+    "math itself. Scale: one map-side-combined count plus a pure map "
+    "expression — the DP layer adds zero shuffles.",
+)
+def q_dp_release(spark, sf_dir):
+    c, n = _t(spark, sf_dir, "customer", "nation")
+    agg = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp1"), F.col("nation"))), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h + 1) / F.lit(4294967296.0)
+    centered = u - F.lit(0.5)
+    sign = F.when(centered >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    lap = (
+        (F.lit(1.0) / F.lit(1.0))
+        * sign
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return agg.select(
+        "nation",
+        F.round(F.col("true_n").cast("double") - lap, 4).alias("noisy_n"),
+        F.round(lap * F.lit(-1.0), 4).alias("noise"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_metric_decomposition — period-over-period mix/rate contribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_metric_decomposition",
+    oracle="""
+        WITH seg AS (
+            SELECT c.c_mktsegment AS segment,
+                   year(o.o_orderdate) AS yr,
+                   count(*) AS n,
+                   CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS rev
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE year(o.o_orderdate) IN (1995, 1996)
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT yr, sum(n) AS tot_n FROM seg GROUP BY 1),
+        wide AS (
+            SELECT s.segment,
+                   max(CASE WHEN s.yr = 1995
+                       THEN CAST(s.n AS DOUBLE) / CAST(t.tot_n AS DOUBLE)
+                       END) AS w1,
+                   max(CASE WHEN s.yr = 1996
+                       THEN CAST(s.n AS DOUBLE) / CAST(t.tot_n AS DOUBLE)
+                       END) AS w2,
+                   max(CASE WHEN s.yr = 1995 THEN s.rev / CAST(s.n AS DOUBLE)
+                       END) AS r1,
+                   max(CASE WHEN s.yr = 1996 THEN s.rev / CAST(s.n AS DOUBLE)
+                       END) AS r2
+            FROM seg s JOIN tot t ON s.yr = t.yr
+            GROUP BY 1
+        )
+        SELECT segment, w1, w2, r1, r2,
+               (w2 - w1) * r1 AS mix_effect,
+               w2 * (r2 - r1) AS rate_effect,
+               (w2 - w1) * r1 + w2 * (r2 - r1) AS contribution
+        FROM wide
+    """,
+    doc="Period-over-period metric decomposition (contribution "
+    "analysis): the change in overall average order value from 1995 to "
+    "1996 split per market segment into a MIX effect (segment share "
+    "shift at old rates, (w2-w1)*r1) and a RATE effect (value change "
+    "at new shares, w2*(r2-r1)) — the exact two-factor identity "
+    "sum_s[(w2-w1)*r1 + w2*(r2-r1)] = m2 - m1, the root-cause "
+    "primitive behind every 'why did the metric move' dashboard. "
+    "Shares are integer-derived exactly-rounded divisions; per-segment "
+    "rates divide an exact DECIMAL cents sum (cast losslessly to "
+    "double) by an integer — every output is a fixed-order "
+    "exactly-rounded chain on exact inputs and ships UNROUNDED. Scale "
+    "shape: one map-side-combined (segment, year) aggregate over the "
+    "order book joined to the broadcast year totals; the decomposition "
+    "runs on |segments| rows. The sum-to-delta identity is pinned by "
+    "an invariant test rather than recomputed in-engine.",
+)
+def op_metric_decomposition(spark, sf_dir):
+    from .registry import dec
+
+    o, c = _t(spark, sf_dir, "orders", "customer")
+    seg = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .where(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("rev"),
+        )
+    )
+    tot = seg.groupBy("yr").agg(F.sum("n").alias("tot_n"))
+    j = seg.join(F.broadcast(tot), "yr")
+    share = F.col("n").cast("double") / F.col("tot_n").cast("double")
+    rate = F.col("rev") / F.col("n").cast("double")
+    wide = j.groupBy("segment").agg(
+        F.max(F.when(F.col("yr") == 1995, share)).alias("w1"),
+        F.max(F.when(F.col("yr") == 1996, share)).alias("w2"),
+        F.max(F.when(F.col("yr") == 1995, rate)).alias("r1"),
+        F.max(F.when(F.col("yr") == 1996, rate)).alias("r2"),
+    )
+    mix = (F.col("w2") - F.col("w1")) * F.col("r1")
+    rt = F.col("w2") * (F.col("r2") - F.col("r1"))
+    return wide.select(
+        "segment",
+        "w1",
+        "w2",
+        "r1",
+        "r2",
+        mix.alias("mix_effect"),
+        rt.alias("rate_effect"),
+        (mix + rt).alias("contribution"),
+    )

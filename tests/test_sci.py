@@ -419,3 +419,43 @@ class TestConcurrencyPeak:
         assert r.peak_concurrency == peak
         assert r.first_peak_us == first_peak
         assert peak >= 1
+
+
+class TestDpRelease:
+    def test_noise_is_laplace_deterministic(self, spark, sf_dir):
+        import hashlib
+        import math
+
+        rows = _rows(spark, sf_dir, "q_dp_release")
+        assert len(rows) == 25
+        for r in rows:
+            h = int(hashlib.md5(f"dp1{r.nation}".encode()).hexdigest()[:8], 16)
+            u = (h + 1) / 4294967296.0
+            c = u - 0.5
+            lap = (1.0 if c >= 0 else -1.0) * math.log(1.0 - 2.0 * abs(c))
+            assert abs(r.noise - (-lap)) < 5e-4 + 1e-9
+            # noisy = true - lap; recover true from noisy - noise
+            assert abs((r.noisy_n - r.noise) - round(r.noisy_n - r.noise)) < 1e-3
+
+    def test_noise_distribution_is_centered(self, spark, sf_dir):
+        rows = _rows(spark, sf_dir, "q_dp_release")
+        noises = [r.noise for r in rows]
+        assert min(noises) < 0 < max(noises), "noise never changes sign"
+        assert abs(sum(noises) / len(noises)) < 3.0  # Laplace(1) mean bound
+
+
+class TestMetricDecomposition:
+    def test_two_factor_identity(self, spark, sf_dir):
+        """mix + rate contributions must sum exactly to m2 - m1."""
+        rows = _rows(spark, sf_dir, "op_metric_decomposition")
+        assert len(rows) == 5  # market segments
+        m1 = sum(r.w1 * r.r1 for r in rows)
+        m2 = sum(r.w2 * r.r2 for r in rows)
+        delta = sum(r.contribution for r in rows)
+        assert abs(delta - (m2 - m1)) < 1e-8
+        for r in rows:
+            assert 0.0 < r.w1 < 1.0 and 0.0 < r.w2 < 1.0
+            assert r.r1 > 0 and r.r2 > 0
+            assert abs(r.contribution - (r.mix_effect + r.rate_effect)) < 1e-12
+        assert abs(sum(r.w1 for r in rows) - 1.0) < 1e-9
+        assert abs(sum(r.w2 for r in rows) - 1.0) < 1e-9
