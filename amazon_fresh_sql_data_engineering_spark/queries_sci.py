@@ -1263,3 +1263,393 @@ def op_metric_decomposition(spark, sf_dir):
         rt.alias("rate_effect"),
         (mix + rt).alias("contribution"),
     )
+
+
+# ---------------------------------------------------------------------------
+# op_bootstrap_ci — Poisson-bootstrap confidence interval (exact arithmetic)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32  # bootstrap replicas
+# Poisson(1) CDF cut points for the inverse-CDF weight lookup — shared
+# double literals on both engines (never recomputed via exp/factorial)
+_POIS_CDF = [
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+    "0.9999897508033253",
+]
+
+
+def _pois_case_sql(u_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {u_expr} < CAST({c} AS DOUBLE) THEN {k}"
+        for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE {len(_POIS_CDF)} END"
+
+
+@register(
+    "op_bootstrap_ci",
+    oracle=f"""
+        WITH reps AS (SELECT range AS b FROM range(0, {_BOOT_B})),
+        weighted AS (
+            SELECT r.b,
+                   {_pois_case_sql(
+                       "(CAST(('0x' || substr(md5('boot' || CAST(r.b AS VARCHAR)"
+                       " || '_' || CAST(o.o_orderkey AS VARCHAR)), 1, 8))"
+                       " AS BIGINT) + 1) / CAST(4294967296 AS DOUBLE)"
+                   )} AS w,
+                   CAST(o.o_totalprice AS DECIMAL(18,2)) AS p
+            FROM orders o CROSS JOIN reps r
+        ),
+        means AS (
+            SELECT b,
+                   CAST(sum(w * p) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+            FROM weighted GROUP BY b
+        ),
+        ordered AS (SELECT list(m ORDER BY m) AS ms FROM means),
+        base AS (
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS point_est
+            FROM orders
+        )
+        SELECT base.point_est,
+               ms[CAST(ceil(CAST(0.05 AS DOUBLE) * {_BOOT_B}) AS INT)] AS ci_lo,
+               ms[CAST(ceil(CAST(0.95 AS DOUBLE) * {_BOOT_B}) AS INT)] AS ci_hi,
+               {_BOOT_B} AS n_replicas
+        FROM ordered, base
+    """,
+    doc="Poisson-bootstrap 90% confidence interval for the mean order "
+    "value — the published bootstrap for massive data (Chamandy et al., "
+    "'Estimating uncertainty for massive data streams', Google 2012): "
+    "instead of resampling n rows with replacement (impossible without "
+    "a global index), each row enters replica b with an independent "
+    "Poisson(1) multiplicity, here drawn DETERMINISTICALLY by inverse "
+    "CDF from the md5(replica, key) uniform — reproducible, "
+    "shuffle-free, and embarrassingly parallel (each executor weights "
+    "its rows locally; one (replica)-keyed aggregation computes all "
+    f"{_BOOT_B} replica means in a single pass over the {_BOOT_B}x "
+    "fanned-out stream). EVERY value is exact: integer weights times "
+    "exact DECIMAL cents sum to exact decimals, replica means are "
+    "single exactly-rounded divisions, and the percentile-method CI "
+    "picks order statistics via the 1-based ceil(p*B) index rule — "
+    "nothing is rounded, both engines bit-agree. The Poisson(1) CDF "
+    "cut points are shared double literals (never recomputed via "
+    "exp/factorial at runtime). Scale: the fan-out multiplies map-side "
+    "work by B but shuffles only B partial sums per partition.",
+)
+def op_bootstrap_ci(spark, sf_dir):
+    from .registry import dec
+
+    o = _t(spark, sf_dir, "orders")
+    reps = spark.range(_BOOT_B).select(F.col("id").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot"),
+                        F.col("b").cast("string"),
+                        F.lit("_"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967296.0)
+    w = F.lit(len(_POIS_CDF))
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(float(_POIS_CDF[k])), F.lit(k)).otherwise(w)
+    weighted = o.crossJoin(F.broadcast(reps)).select(
+        "b", w.alias("w"), dec("o_totalprice").alias("p")
+    )
+    means = weighted.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("p")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("m")
+    )
+    ordered = means.agg(F.array_sort(F.collect_list("m")).alias("ms"))
+    base = o.agg(
+        (
+            F.sum(dec("o_totalprice")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("point_est")
+    )
+    import math
+
+    lo_i = math.ceil(0.05 * _BOOT_B)
+    hi_i = math.ceil(0.95 * _BOOT_B)
+    return base.crossJoin(F.broadcast(ordered)).select(
+        "point_est",
+        F.element_at("ms", lo_i).alias("ci_lo"),
+        F.element_at("ms", hi_i).alias("ci_hi"),
+        F.lit(_BOOT_B).alias("n_replicas"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_skew_report — join-key skew diagnostics (engine-ops meta-analytics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_skew_report",
+    oracle="""
+        WITH keyed AS (
+            SELECT 'l_partkey' AS key_col,
+                   CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+            UNION ALL
+            SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+            UNION ALL
+            SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        ),
+        freq AS (
+            SELECT key_col, k, count(*) AS n FROM keyed GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT key_col,
+                   count(*) AS n_keys,
+                   sum(n) AS n_rows,
+                   max(n) AS max_freq,
+                   CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS mean_freq
+            FROM freq GROUP BY 1
+        ),
+        hot AS (
+            SELECT key_col, k AS hottest_key, n AS hottest_n
+            FROM (SELECT key_col, k, n,
+                         row_number() OVER (PARTITION BY key_col
+                                            ORDER BY n DESC, k) AS rn
+                  FROM freq) WHERE rn = 1
+        )
+        SELECT s.key_col, s.n_keys, s.n_rows, s.max_freq, s.mean_freq,
+               CAST(s.max_freq AS DOUBLE) / s.mean_freq AS skew_factor,
+               h.hottest_key, h.hottest_n,
+               CASE WHEN CAST(s.max_freq AS DOUBLE) / s.mean_freq
+                         > CAST(10 AS DOUBLE)
+                    THEN 'salt-or-aqe-skew-join' ELSE 'hash-ok' END
+                   AS recommendation
+        FROM stats s JOIN hot h ON s.key_col = h.key_col
+    """,
+    doc="Join-key skew diagnostics — the engine-operations report a "
+    "data platform runs BEFORE planning a 100 TB join: per candidate "
+    "key, cardinality, row count, hottest-key frequency, and the skew "
+    "factor max/mean with a salting/AQE-skew-join recommendation at "
+    "the 10x threshold (SCALE.md's own hazard rule, surfaced as a "
+    "query). One map-side-combined frequency pass per key (unioned "
+    "into a single scan pipeline), metadata-grain stats, hottest key "
+    "via a key-partitioned window with a total tie order. All outputs "
+    "integer-derived (mean/skew are exactly-rounded divisions) — "
+    "shipped unrounded. Companion to skew.salted_broadcast_join / "
+    "op_skew_two_phase_agg, which this report tells you when to use.",
+)
+def op_skew_report(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li, o = _t(spark, sf_dir, "lineitem", "orders")
+    keyed = (
+        li.select(
+            F.lit("l_partkey").alias("key_col"),
+            F.col("l_partkey").cast("string").alias("k"),
+        )
+        .unionAll(
+            li.select(
+                F.lit("l_suppkey").alias("key_col"),
+                F.col("l_suppkey").cast("string").alias("k"),
+            )
+        )
+        .unionAll(
+            o.select(
+                F.lit("o_custkey").alias("key_col"),
+                F.col("o_custkey").cast("string").alias("k"),
+            )
+        )
+    )
+    freq = keyed.groupBy("key_col", "k").agg(F.count(F.lit(1)).alias("n"))
+    freq = freq.localCheckpoint(eager=True)  # stats + hottest both read it
+    stats = freq.groupBy("key_col").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_freq"),
+        (F.sum("n").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_freq"
+        ),
+    )
+    w = Window.partitionBy("key_col").orderBy(F.col("n").desc(), "k")
+    hot = (
+        freq.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("key_col", F.col("k").alias("hottest_key"), F.col("n").alias("hottest_n"))
+    )
+    skew = F.col("max_freq").cast("double") / F.col("mean_freq")
+    return stats.join(hot, "key_col").select(
+        "key_col",
+        "n_keys",
+        "n_rows",
+        "max_freq",
+        "mean_freq",
+        skew.alias("skew_factor"),
+        "hottest_key",
+        "hottest_n",
+        F.when(skew > F.lit(10).cast("double"), "salt-or-aqe-skew-join")
+        .otherwise("hash-ok")
+        .alias("recommendation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_forecast_backtest — rolling-origin evaluation of the Holt model
+# ---------------------------------------------------------------------------
+
+_BT_K = 6  # rolling-origin cutoffs (forecast the last K hours one-step-ahead)
+
+_HOLT_FOLD_SQL = """list_reduce(
+               list_prepend([ys[1], ys[2] - ys[1]],
+                            list_transform(ys[2:c],
+                                           x -> [x, CAST(0 AS DOUBLE)])),
+               (acc, x) -> [
+                   CAST(0.5 AS DOUBLE) * x[1]
+                       + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                   CAST(0.3 AS DOUBLE)
+                       * (CAST(0.5 AS DOUBLE) * x[1]
+                          + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]) - acc[1])
+                       + CAST(0.7 AS DOUBLE) * acc[2]])"""
+
+
+@register(
+    "events_forecast_backtest",
+    oracle=f"""
+        WITH hc AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS DOUBLE) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        series AS (
+            SELECT event_type, list(y ORDER BY h) AS ys,
+                   CAST(count(*) AS INT) AS n
+            FROM hc GROUP BY 1
+        ),
+        bt AS (
+            SELECT event_type, n,
+                   list_transform(
+                       list_transform(range(n - {_BT_K}, n),
+                                      c -> {_HOLT_FOLD_SQL}),
+                       st -> st[1] + st[2]) AS fcs,
+                   list_transform(range(n - {_BT_K}, n),
+                                  c -> ys[c + 1]) AS actuals,
+                   list_transform(range(n - {_BT_K}, n),
+                                  c -> ys[c]) AS naives
+            FROM series
+        )
+        SELECT event_type, n AS n_hours,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, {_BT_K} + 1),
+                                  i -> abs(fcs[i] - actuals[i]))),
+                   (a, x) -> a + x) / CAST({_BT_K} AS DOUBLE) AS mae,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, {_BT_K} + 1),
+                                  i -> abs(fcs[i] - actuals[i]) / actuals[i])),
+                   (a, x) -> a + x) / CAST({_BT_K} AS DOUBLE) AS mape,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, {_BT_K} + 1),
+                                  i -> abs(naives[i] - actuals[i]))),
+                   (a, x) -> a + x) / CAST({_BT_K} AS DOUBLE) AS mae_naive
+        FROM bt
+    """,
+    doc="Rolling-origin backtest of the Holt forecaster "
+    f"(op_holt_linear): for each of the last {_BT_K} hours, refit on "
+    "the strictly-prior prefix and score the one-step-ahead forecast "
+    "against the actual — the honest out-of-sample evaluation protocol "
+    "(never in-sample residuals), reported as MAE/MAPE next to the "
+    "naive last-value baseline's MAE so forecast skill is visible "
+    "(skill = 1 - mae/mae_naive, computed by the caller or the "
+    "invariant test). Each refit is the identical array-state "
+    "sequential fold over a PREFIX SLICE of the hour-sorted series — "
+    "nested higher-order functions (transform over cutoffs, aggregate "
+    "inside) on both engines, every error an exactly-rounded chain on "
+    "bit-identical folds — all outputs ship UNROUNDED. Scale shape: "
+    "the refits multiply per-series CPU by K but stay inside one task "
+    "per key; no extra shuffle versus the base model.",
+)
+def events_forecast_backtest(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hc = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    series = hc.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "y"))), lambda s: s["y"]
+        ).alias("ys"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+    )
+    a, one_a = F.lit(0.5), F.lit(0.5)
+    gm, one_g = F.lit(0.3), F.lit(0.7)
+
+    def holt_state(ys, c):
+        init = F.array(
+            F.element_at(ys, 1), F.element_at(ys, 2) - F.element_at(ys, 1)
+        )
+        return F.aggregate(
+            F.slice(ys, F.lit(2), c - 1),
+            init,
+            lambda acc, x: F.array(
+                a * x + one_a * (F.element_at(acc, 1) + F.element_at(acc, 2)),
+                gm
+                * (
+                    a * x
+                    + one_a * (F.element_at(acc, 1) + F.element_at(acc, 2))
+                    - F.element_at(acc, 1)
+                )
+                + one_g * F.element_at(acc, 2),
+            ),
+        )
+
+    ys, n = F.col("ys"), F.col("n")
+    cuts = F.sequence(n - F.lit(_BT_K), n - F.lit(1))
+    bt = series.select(
+        "event_type",
+        n.alias("n_hours"),
+        F.transform(
+            F.transform(cuts, lambda c: holt_state(ys, c)),
+            lambda st: F.element_at(st, 1) + F.element_at(st, 2),
+        ).alias("fcs"),
+        F.transform(cuts, lambda c: F.element_at(ys, c + 1)).alias("actuals"),
+        F.transform(cuts, lambda c: F.element_at(ys, c)).alias("naives"),
+    )
+
+    def fold_mean(arr_expr):
+        return F.aggregate(
+            arr_expr, F.lit(0.0), lambda acc, x: acc + x
+        ) / F.lit(float(_BT_K))
+
+    idx = F.sequence(F.lit(1), F.lit(_BT_K))
+    err = F.transform(
+        idx,
+        lambda i: F.abs(F.element_at("fcs", i) - F.element_at("actuals", i)),
+    )
+    perr = F.transform(
+        idx,
+        lambda i: F.abs(F.element_at("fcs", i) - F.element_at("actuals", i))
+        / F.element_at("actuals", i),
+    )
+    nerr = F.transform(
+        idx,
+        lambda i: F.abs(F.element_at("naives", i) - F.element_at("actuals", i)),
+    )
+    return bt.select(
+        "event_type",
+        "n_hours",
+        fold_mean(err).alias("mae"),
+        fold_mean(perr).alias("mape"),
+        fold_mean(nerr).alias("mae_naive"),
+    )

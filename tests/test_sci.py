@@ -459,3 +459,116 @@ class TestMetricDecomposition:
             assert abs(r.contribution - (r.mix_effect + r.rate_effect)) < 1e-12
         assert abs(sum(r.w1 for r in rows) - 1.0) < 1e-9
         assert abs(sum(r.w2 for r in rows) - 1.0) < 1e-9
+
+
+class TestBootstrapCi:
+    def test_ci_brackets_point_and_replica(self, spark, sf_dir):
+        import hashlib
+
+        (r,) = _rows(spark, sf_dir, "op_bootstrap_ci")
+        assert r.n_replicas == 32
+        assert r.ci_lo <= r.ci_hi
+        # point estimate should sit inside (or extremely near) the 90% CI
+        assert r.ci_lo - 0.05 * (r.ci_hi - r.ci_lo) <= r.point_est
+        assert r.point_est <= r.ci_hi + 0.05 * (r.ci_hi - r.ci_lo)
+
+        import decimal
+
+        cdf = [
+            0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+            0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+            0.999916758850712, 0.9999897508033253,
+        ]
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        ).collect()
+        cents = {
+            row.o_orderkey: decimal.Decimal(str(row.o_totalprice)).quantize(
+                decimal.Decimal("0.01")
+            )
+            for row in o
+        }
+        means = []
+        for b in range(32):
+            num = decimal.Decimal(0)
+            den = 0
+            for k, p in cents.items():
+                h = int(
+                    hashlib.md5(f"boot{b}_{k}".encode()).hexdigest()[:8], 16
+                )
+                u = (h + 1) / 4294967296.0
+                w = next((i for i, c in enumerate(cdf) if u < c), 8)
+                num += w * p
+                den += w
+            means.append(float(num) / float(den))
+        means.sort()
+        assert abs(means[1] - r.ci_lo) < 1e-9   # ceil(0.05*32) = 2 -> index 1
+        assert abs(means[30] - r.ci_hi) < 1e-9  # ceil(0.95*32) = 31 -> index 30
+        point = float(sum(cents.values())) / len(cents)
+        assert abs(point - r.point_est) < 1e-9
+
+
+class TestSkewReport:
+    def test_stats_consistency(self, spark, sf_dir):
+        rows = _rows(spark, sf_dir, "op_skew_report")
+        assert {r.key_col for r in rows} == {
+            "l_partkey", "l_suppkey", "o_custkey",
+        }
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        for r in rows:
+            assert r.max_freq >= r.mean_freq
+            assert abs(r.mean_freq * r.n_keys - r.n_rows) < 1e-6
+            assert abs(r.skew_factor - r.max_freq / r.mean_freq) < 1e-12
+            assert r.hottest_n == r.max_freq
+            assert r.recommendation in ("salt-or-aqe-skew-join", "hash-ok")
+        pk = next(r for r in rows if r.key_col == "l_partkey")
+        direct = li.groupBy("l_partkey").count().orderBy(
+            __import__("pyspark.sql.functions", fromlist=["f"]).desc("count"),
+            "l_partkey",
+        ).first()
+        assert pk.hottest_key == str(direct.l_partkey)
+        assert pk.max_freq == direct["count"]
+
+
+class TestForecastBacktest:
+    def test_matches_python_backtest_replica(self, spark, sf_dir):
+        from collections import defaultdict
+
+        hc = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy(
+                "event_type",
+                __import__("pyspark.sql.functions", fromlist=["f"]).date_trunc(
+                    "hour", "ts"
+                ).alias("h"),
+            )
+            .count()
+            .collect()
+        )
+        series = defaultdict(list)
+        for r in hc:
+            series[r.event_type].append((r.h, float(r["count"])))
+
+        def holt_forecast(ys):
+            level, trend = ys[0], ys[1] - ys[0]
+            for x in ys[1:]:
+                l2 = 0.5 * x + 0.5 * (level + trend)
+                trend = 0.3 * (l2 - level) + 0.7 * trend
+                level = l2
+            return level + trend
+
+        for r in _rows(spark, sf_dir, "events_forecast_backtest"):
+            ys = [y for _, y in sorted(series[r.event_type])]
+            n = len(ys)
+            assert r.n_hours == n
+            errs, perrs, nerrs = [], [], []
+            for c in range(n - 6, n):  # 1-based cutoffs n-6 .. n-1
+                fc = holt_forecast(ys[:c])
+                actual = ys[c]
+                errs.append(abs(fc - actual))
+                perrs.append(abs(fc - actual) / actual)
+                nerrs.append(abs(ys[c - 1] - actual))
+            assert abs(r.mae - sum(errs) / 6) < 1e-10
+            assert abs(r.mape - sum(perrs) / 6) < 1e-10
+            assert abs(r.mae_naive - sum(nerrs) / 6) < 1e-10
+            assert r.mae >= 0 and r.mape >= 0
