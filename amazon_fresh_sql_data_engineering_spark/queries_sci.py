@@ -1653,3 +1653,292 @@ def events_forecast_backtest(spark, sf_dir):
         fold_mean(perr).alias("mape"),
         fold_mean(nerr).alias("mae_naive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# op_neyman_allocation — optimal stratified-sampling allocation
+# ---------------------------------------------------------------------------
+
+_NEYMAN_N = 100  # total sample budget to allocate
+
+
+@register(
+    "op_neyman_allocation",
+    oracle=f"""
+        WITH st AS (
+            SELECT c_mktsegment AS stratum,
+                   count(*) AS n_h,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       AS s1,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))
+                            * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       AS s2
+            FROM customer GROUP BY 1
+        ),
+        sd AS (
+            SELECT stratum, n_h,
+                   s1 / CAST(n_h AS DOUBLE) AS mean_bal,
+                   round(sqrt((s2 - s1 * s1 / CAST(n_h AS DOUBLE))
+                              / CAST(n_h - 1 AS DOUBLE)), 4) AS sd_bal
+            FROM st
+        ),
+        tot AS (SELECT sum(CAST(n_h AS DOUBLE) * sd_bal) AS z FROM sd)
+        SELECT stratum, n_h, mean_bal, sd_bal,
+               round(CAST(n_h AS DOUBLE) * sd_bal / z, 6) AS alloc_share,
+               round(CAST({_NEYMAN_N} AS DOUBLE)
+                     * round(CAST(n_h AS DOUBLE) * sd_bal / z, 6), 2)
+                   AS n_alloc
+        FROM sd, tot
+    """,
+    doc="Neyman-optimal stratified sampling allocation (Neyman 1934): "
+    f"distribute a {_NEYMAN_N}-row sample budget across market-segment "
+    "strata proportionally to N_h * S_h — the allocation that minimizes "
+    "the stratified-mean variance, the statistical front door to "
+    "op_stratified_sample (which takes rates this query produces). "
+    "Per-stratum sums and sums-of-squares accumulate as exact DECIMALs "
+    "(acctbal is 2 dp, its square exactly 4 dp) in ONE "
+    "map-side-combined scan; the sd is the only value whose "
+    "decimal->double cast can exceed the 2^53 exact range, so it is "
+    "ROUNDED to 4 dp (the NOTES_r3 decimal-cast insurance rule) before "
+    "the allocation arithmetic, making every downstream share "
+    "deterministic; shares round to 6 dp and continuous allocations to "
+    "2. Scale: one scan, five output rows, no joins beyond the "
+    "broadcast scalar.",
+)
+def op_neyman_allocation(spark, sf_dir):
+    from .registry import dec
+
+    c = _t(spark, sf_dir, "customer")
+    st = c.groupBy(F.col("c_mktsegment").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(dec("c_acctbal")).cast("double").alias("s1"),
+        F.sum(dec("c_acctbal") * dec("c_acctbal")).cast("double").alias("s2"),
+    )
+    sd = st.select(
+        "stratum",
+        "n_h",
+        (F.col("s1") / F.col("n_h").cast("double")).alias("mean_bal"),
+        F.round(
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_h").cast("double"))
+                / (F.col("n_h") - 1).cast("double")
+            ),
+            4,
+        ).alias("sd_bal"),
+    )
+    tot = sd.agg(
+        F.sum(F.col("n_h").cast("double") * F.col("sd_bal")).alias("z")
+    )
+    share = F.round(
+        F.col("n_h").cast("double") * F.col("sd_bal") / F.col("z"), 6
+    )
+    return sd.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_h",
+        "mean_bal",
+        "sd_bal",
+        share.alias("alloc_share"),
+        F.round(F.lit(float(_NEYMAN_N)) * share, 2).alias("n_alloc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_join_size_estimate — planner-style join cardinality from key histograms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_join_size_estimate",
+    oracle="""
+        WITH lo AS (
+            SELECT 'lineitem*orders@orderkey' AS join_name,
+                   sum(a.n * b.n) AS est_rows
+            FROM (SELECT l_orderkey AS k, count(*) AS n
+                  FROM lineitem GROUP BY 1) a
+            JOIN (SELECT o_orderkey AS k, count(*) AS n
+                  FROM orders GROUP BY 1) b ON a.k = b.k
+        ),
+        oc AS (
+            SELECT 'orders*customer@custkey' AS join_name,
+                   sum(a.n * b.n) AS est_rows
+            FROM (SELECT o_custkey AS k, count(*) AS n
+                  FROM orders GROUP BY 1) a
+            JOIN (SELECT c_custkey AS k, count(*) AS n
+                  FROM customer GROUP BY 1) b ON a.k = b.k
+        ),
+        ll AS (
+            SELECT 'lineitem*lineitem@partkey' AS join_name,
+                   sum(a.n * a.n) AS est_rows
+            FROM (SELECT l_partkey AS k, count(*) AS n
+                  FROM lineitem GROUP BY 1) a
+        ),
+        actuals AS (
+            SELECT 'lineitem*orders@orderkey' AS join_name,
+                   (SELECT count(*) FROM lineitem l
+                    JOIN orders o ON l.l_orderkey = o.o_orderkey) AS actual_rows
+            UNION ALL
+            SELECT 'orders*customer@custkey',
+                   (SELECT count(*) FROM orders o
+                    JOIN customer c ON o.o_custkey = c.c_custkey)
+            UNION ALL
+            SELECT 'lineitem*lineitem@partkey', NULL
+        )
+        SELECT e.join_name, e.est_rows, a.actual_rows,
+               e.est_rows = a.actual_rows AS exact_match
+        FROM (SELECT * FROM lo UNION ALL SELECT * FROM oc
+              UNION ALL SELECT * FROM ll) e
+        JOIN actuals a ON e.join_name = a.join_name
+    """,
+    doc="Planner-style join cardinality estimation from per-key "
+    "frequency histograms: |A JOIN B on k| = sum_k fA(k) * fB(k), "
+    "computed by joining the two (key, count) histograms — the "
+    "statistics pass a cost-based optimizer (or a human sizing a "
+    "100 TB join) runs INSTEAD of executing the join. For the two FK "
+    "joins the estimate is provably exact and the actual count rides "
+    "along as the cross-check (exact_match must be true); the "
+    "part-key self-join row ships estimate-only (its actual is "
+    "O(est) = avg_freq^2 * |keys| rows — the point of estimating "
+    "first). Histograms are map-side-combined; the histogram join is "
+    "keyed and orders smaller than the data join it predicts. "
+    "Companion to op_skew_report (which flags WHERE the estimate's "
+    "mass concentrates).",
+)
+def op_join_size_estimate(spark, sf_dir):
+    li, o, c = _t(spark, sf_dir, "lineitem", "orders", "customer")
+
+    def hist(df, key):
+        return df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    def est(name, ha, hb):
+        a = ha.select("k", F.col("n").alias("na"))
+        b = hb.select("k", F.col("n").alias("nb"))
+        return (
+            a.join(b, "k")
+            .agg(F.sum(F.col("na") * F.col("nb")).alias("est_rows"))
+            .select(F.lit(name).alias("join_name"), "est_rows")
+        )
+
+    hl = hist(li, "l_orderkey")
+    ho = hist(o, "o_orderkey")
+    hoc = hist(o, "o_custkey")
+    hc = hist(c, "c_custkey")
+    hp = hist(li, "l_partkey")
+    lo = est("lineitem*orders@orderkey", hl, ho)
+    oc = est("orders*customer@custkey", hoc, hc)
+    ll = hp.agg(F.sum(F.col("n") * F.col("n")).alias("est_rows")).select(
+        F.lit("lineitem*lineitem@partkey").alias("join_name"), "est_rows"
+    )
+    a1 = li.join(o, li["l_orderkey"] == o["o_orderkey"]).count()
+    a2 = o.join(c, o["o_custkey"] == c["c_custkey"]).count()
+    actuals = [
+        ("lineitem*orders@orderkey", a1),
+        ("orders*customer@custkey", a2),
+        ("lineitem*lineitem@partkey", None),
+    ]
+    act = spark.createDataFrame(actuals, "join_name string, actual_rows long")
+    return (
+        lo.unionAll(oc)
+        .unionAll(ll)
+        .join(F.broadcast(act), "join_name")
+        .select(
+            "join_name",
+            "est_rows",
+            "actual_rows",
+            (F.col("est_rows") == F.col("actual_rows")).alias("exact_match"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_gdpr_erasure — right-to-be-forgotten impact report with proof digest
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_gdpr_erasure",
+    oracle="""
+        WITH targets AS (
+            SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+        ),
+        cust AS (
+            SELECT 'customer' AS table_name,
+                   count(*) AS n_rows_to_erase,
+                   md5(string_agg(CAST(c_custkey AS VARCHAR), ','
+                                  ORDER BY CAST(c_custkey AS VARCHAR)))
+                       AS keys_digest
+            FROM targets
+        ),
+        ords AS (
+            SELECT 'orders' AS table_name,
+                   count(*) AS n_rows_to_erase,
+                   md5(string_agg(CAST(o_orderkey AS VARCHAR), ','
+                                  ORDER BY CAST(o_orderkey AS VARCHAR)))
+                       AS keys_digest
+            FROM orders JOIN targets ON o_custkey = c_custkey
+        ),
+        items AS (
+            SELECT 'lineitem' AS table_name,
+                   count(*) AS n_rows_to_erase,
+                   md5(string_agg(CAST(l_orderkey AS VARCHAR) || '-'
+                                  || CAST(l_linenumber AS VARCHAR), ','
+                                  ORDER BY CAST(l_orderkey AS VARCHAR) || '-'
+                                           || CAST(l_linenumber AS VARCHAR)))
+                       AS keys_digest
+            FROM lineitem
+            JOIN (SELECT o_orderkey FROM orders
+                  JOIN targets ON o_custkey = c_custkey) k
+              ON l_orderkey = k.o_orderkey
+        )
+        SELECT * FROM cust
+        UNION ALL SELECT * FROM ords
+        UNION ALL SELECT * FROM items
+    """,
+    doc="GDPR right-to-be-forgotten impact report: for a deterministic "
+    "erasure cohort (c_custkey % 97 = 0 stands in for the request "
+    "list), the cascade footprint across customer -> orders -> "
+    "lineitem with per-table row counts and an md5 PROOF DIGEST over "
+    "the ordered key list — the auditable artifact a compliance "
+    "pipeline files before and after executing the physical delete "
+    "(the delete itself is operators/dml.cascade_delete, r2-green; "
+    "this is its read-only planning/verification face). Digests use "
+    "the engine-portable sorted string_agg || md5 idiom — both engines "
+    "order the STRING form of the key (Spark array_sort on strings is "
+    "lexicographic; the oracle's ORDER BY casts to VARCHAR to match). Scale: the target list broadcasts; "
+    "each cascade level is one semi-join + one combiner-collapsed "
+    "aggregate — the digest shuffles keys, never row payloads.",
+)
+def q_gdpr_erasure(spark, sf_dir):
+    c, o, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    targets = c.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    targets = targets.localCheckpoint(eager=True)  # read by all 3 levels
+
+    def digest(df, key_expr, name):
+        return df.select(key_expr.alias("kk")).agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows_to_erase"),
+            F.md5(F.concat_ws(",", F.array_sort(F.collect_list("kk")))).alias(
+                "keys_digest"
+            ),
+        ).select("table_name", "n_rows_to_erase", "keys_digest")
+
+    cust = digest(targets, F.col("c_custkey").cast("string"), "customer")
+    t_o = o.join(
+        F.broadcast(targets), o["o_custkey"] == targets["c_custkey"]
+    )
+    ords = digest(t_o, F.col("o_orderkey").cast("string"), "orders")
+    keys = t_o.select("o_orderkey")
+    t_li = li.join(
+        F.broadcast(keys), li["l_orderkey"] == keys["o_orderkey"]
+    )
+    items = digest(
+        t_li,
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ),
+        "lineitem",
+    )
+    return cust.unionAll(ords).unionAll(items)

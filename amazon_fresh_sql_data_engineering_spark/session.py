@@ -42,6 +42,15 @@ def build_session(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        # In local mode the driver JVM *is* the executor; Spark's 1g default
+        # heap is undersized for 32 task threads plus checkpoint/broadcast
+        # blocks accumulated across a long catalog run (bench OOMed at 211
+        # queries). Only takes effect when this process launches the JVM —
+        # on a real cluster the submitter's --driver-memory governs.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

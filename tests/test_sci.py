@@ -572,3 +572,75 @@ class TestForecastBacktest:
             assert abs(r.mape - sum(perrs) / 6) < 1e-10
             assert abs(r.mae_naive - sum(nerrs) / 6) < 1e-10
             assert r.mae >= 0 and r.mape >= 0
+
+
+class TestNeymanAllocation:
+    def test_allocation_properties_and_numpy_replica(self, spark, sf_dir):
+        import numpy as np
+
+        rows = _rows(spark, sf_dir, "op_neyman_allocation")
+        assert len(rows) == 5
+        assert abs(sum(r.alloc_share for r in rows) - 1.0) < 1e-4
+        assert abs(sum(r.n_alloc for r in rows) - 100.0) < 0.1
+        c = (
+            spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select("c_mktsegment", "c_acctbal")
+            .toPandas()
+        )
+        for r in rows:
+            x = c[c.c_mktsegment == r.stratum]["c_acctbal"].to_numpy()
+            assert r.n_h == len(x)
+            assert abs(r.mean_bal - x.mean()) < 1e-6
+            assert abs(r.sd_bal - np.std(x, ddof=1)) < 1e-3
+        # larger N_h * S_h must get a larger allocation
+        scored = sorted(rows, key=lambda r: r.n_h * r.sd_bal)
+        allocs = [r.n_alloc for r in scored]
+        assert allocs == sorted(allocs)
+
+
+class TestJoinSizeEstimate:
+    def test_fk_estimates_exact_and_self_join_formula(self, spark, sf_dir):
+        rows = {r.join_name: r for r in _rows(spark, sf_dir, "op_join_size_estimate")}
+        assert set(rows) == {
+            "lineitem*orders@orderkey",
+            "orders*customer@custkey",
+            "lineitem*lineitem@partkey",
+        }
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        assert rows["lineitem*orders@orderkey"].exact_match is True
+        assert rows["lineitem*orders@orderkey"].est_rows == li.count()
+        assert rows["orders*customer@custkey"].exact_match is True
+        assert rows["orders*customer@custkey"].actual_rows == o.count()
+        sj = rows["lineitem*lineitem@partkey"]
+        assert sj.actual_rows is None and sj.exact_match is None
+        freqs = [x["count"] for x in li.groupBy("l_partkey").count().collect()]
+        assert sj.est_rows == sum(n * n for n in freqs)
+
+
+class TestGdprErasure:
+    def test_cascade_counts_and_digests(self, spark, sf_dir):
+        import hashlib
+
+        rows = {r.table_name: r for r in _rows(spark, sf_dir, "q_gdpr_erasure")}
+        assert set(rows) == {"customer", "orders", "lineitem"}
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+        targets = set(c[c.c_custkey % 97 == 0].c_custkey)
+        t_orders = o[o.o_custkey.isin(targets)]
+        t_items = li[li.l_orderkey.isin(set(t_orders.o_orderkey))]
+        assert rows["customer"].n_rows_to_erase == len(targets)
+        assert rows["orders"].n_rows_to_erase == len(t_orders)
+        assert rows["lineitem"].n_rows_to_erase == len(t_items)
+
+        def dig(keys):
+            return hashlib.md5(",".join(sorted(keys)).encode()).hexdigest()
+
+        assert rows["customer"].keys_digest == dig(str(k) for k in targets)
+        assert rows["orders"].keys_digest == dig(
+            str(k) for k in t_orders.o_orderkey
+        )
+        assert rows["lineitem"].keys_digest == dig(
+            f"{r.l_orderkey}-{r.l_linenumber}" for r in t_items.itertuples()
+        )
