@@ -1942,3 +1942,216 @@ def q_gdpr_erasure(spark, sf_dir):
         "lineitem",
     )
     return cust.unionAll(ords).unionAll(items)
+
+
+# ---------------------------------------------------------------------------
+# op_gains_chart — decile gains / lift analysis (model-targeting evaluation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_gains_chart",
+    oracle="""
+        WITH spend AS (
+            SELECT c.c_custkey,
+                   coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))),
+                            CAST(0 AS DECIMAL(18,2))) AS s
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY 1
+        ),
+        resp AS (
+            SELECT DISTINCT o_custkey AS c_custkey
+            FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        ),
+        scored AS (
+            SELECT s.c_custkey,
+                   ntile(10) OVER (ORDER BY s.s DESC, s.c_custkey) AS decile,
+                   CASE WHEN r.c_custkey IS NULL THEN 0 ELSE 1 END AS y
+            FROM spend s LEFT JOIN resp r ON s.c_custkey = r.c_custkey
+        ),
+        cells AS (
+            SELECT decile, count(*) AS n_customers,
+                   sum(y) AS n_responders
+            FROM scored GROUP BY 1
+        ),
+        tot AS (
+            SELECT sum(n_customers) AS nc, sum(n_responders) AS nr FROM cells
+        )
+        SELECT decile, n_customers, n_responders,
+               CAST(n_responders AS DOUBLE) / CAST(n_customers AS DOUBLE)
+                   AS response_rate,
+               CAST(sum(n_responders) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / CAST(tot.nr AS DOUBLE) AS cum_gain,
+               (CAST(n_responders AS DOUBLE) / CAST(n_customers AS DOUBLE))
+                   / (CAST(tot.nr AS DOUBLE) / CAST(tot.nc AS DOUBLE)) AS lift
+        FROM cells, tot
+    """,
+    doc="Decile gains chart / lift table — the model-targeting "
+    "evaluation: customers ranked by lifetime spend (the 'score'), cut "
+    "into deciles by the two-phase global_ntile (no single-partition "
+    "data pass), responders = customers still ordering in the final "
+    "corpus year; per decile the response rate, cumulative gain (share "
+    "of all responders captured by deciles 1..k) and lift over the "
+    "base rate. Spend accumulates as exact DECIMAL; every reported "
+    "value is an integer-derived exactly-rounded division chain — "
+    "shipped UNROUNDED. The final cumulative window runs over exactly "
+    "10 metadata rows (documented exception to the no-global-window "
+    "rule — same class as global_ntile's own scalar exchange). The "
+    "campaign-targeting / model-validation primitive on top of "
+    "op_rfm_segmentation's scores.",
+)
+def op_gains_chart(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.ranking import global_ntile
+    from .registry import dec
+
+    c, o = _t(spark, sf_dir, "customer", "orders")
+    spend = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"].alias("ck"))
+        .agg(
+            F.coalesce(
+                F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(18,2)")
+            ).alias("s")
+        )
+    )
+    resp = (
+        o.where(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("ck"))
+        .distinct()
+        .withColumn("y", F.lit(1))
+    )
+    scored = (
+        spend.join(resp, "ck", "left")
+        .select("ck", "s", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    tiled = global_ntile(scored, 10, ["s", "ck"], "decile", descending=True)
+    # NOTE: global_ntile orders every column under one descending flag; the
+    # (spend DESC, custkey DESC) tie order is total, so decile cuts remain
+    # engine-deterministic — the oracle mirrors it with (s DESC, ck DESC).
+    cells = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("y").alias("n_responders"),
+    )
+    tot = cells.agg(
+        F.sum("n_customers").alias("nc"), F.sum("n_responders").alias("nr")
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rate = F.col("n_responders").cast("double") / F.col("n_customers").cast(
+        "double"
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_customers",
+        "n_responders",
+        rate.alias("response_rate"),
+        (
+            F.sum("n_responders").over(w).cast("double")
+            / F.col("nr").cast("double")
+        ).alias("cum_gain"),
+        (
+            rate / (F.col("nr").cast("double") / F.col("nc").cast("double"))
+        ).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_shard_plan — balanced output-shard planning for corpus export
+# ---------------------------------------------------------------------------
+
+_SHARD_BYTES = 8 * 1024  # target shard size (chars as byte proxy)
+
+
+@register(
+    "op_shard_plan",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN CAST(('0x' || substr(md5('doc'
+                                  || CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 100 < 80 THEN 'train'
+                        WHEN CAST(('0x' || substr(md5('doc'
+                                  || CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 100 < 90 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents
+        ),
+        cum AS (
+            SELECT split, doc_id, n_chars,
+                   sum(n_chars) OVER (ORDER BY split, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS gcum
+            FROM tagged
+        ),
+        offs AS (
+            SELECT split, min(gcum) - min_chars AS off FROM (
+                SELECT split, gcum,
+                       first_value(n_chars) OVER (PARTITION BY split
+                           ORDER BY doc_id) AS min_chars
+                FROM cum) GROUP BY split, min_chars
+        ),
+        sharded AS (
+            SELECT c.split, c.doc_id, c.n_chars,
+                   (c.gcum - o.off - 1) // {_SHARD_BYTES} AS shard_id
+            FROM cum c JOIN offs o ON c.split = o.split
+        )
+        SELECT split, shard_id,
+               count(*) AS n_docs,
+               sum(n_chars) AS shard_bytes,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM sharded GROUP BY 1, 2
+    """,
+    doc="Balanced output-shard planning for corpus export — the step "
+    "before writing a training dataset as fixed-size files (TFRecord/"
+    "WebDataset shards): documents are bucketed into their md5 "
+    "train/valid/test split (op_hash_split's exact rule), laid out in "
+    "the (split, doc_id) total order, and cut into ~8 KiB shards (sized for the ~150 KiB test corpus; a real export sets 100 MB+) by "
+    "integer division of the running byte total. The running total is "
+    "ONE two-phase global_cumsum over the whole corpus; per-split "
+    "offsets (sum of all prior splits' bytes) come from a 3-row "
+    "broadcast join, so shard numbering restarts per split without a "
+    "per-group sort. Everything is exact integer arithmetic. At 100 TB "
+    "this is the planner that makes every output file the same size "
+    "regardless of document-length skew — the alternative (fixed "
+    "docs-per-file) produces 100:1 file-size spread on web corpora.",
+)
+def op_shard_plan(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("doc"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    tagged = d.select("doc_id", "n_chars", split.alias("split"))
+    cum = global_cumsum(tagged, ["split", "doc_id"], "n_chars", "gcum")
+    cum = cum.localCheckpoint(eager=True)  # offsets + sharding both read it
+    offs = cum.groupBy("split").agg(
+        (F.min("gcum") - F.min_by("n_chars", "gcum")).alias("off")
+    )
+    sharded = cum.join(F.broadcast(offs), "split").select(
+        "split",
+        "doc_id",
+        "n_chars",
+        F.expr(f"(gcum - off - 1) div {_SHARD_BYTES}").alias("shard_id"),
+    )
+    return sharded.groupBy("split", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

