@@ -2155,3 +2155,364 @@ def op_shard_plan(spark, sf_dir):
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_shapley_attribution — exact Shapley-value channel attribution
+# ---------------------------------------------------------------------------
+
+# Subset containment T ⊆ S over 4-bit masks, written with div/% only so the
+# identical predicate parses on both engines (no & operator mismatch)
+_SUBSET_SQL = " AND ".join(
+    f"((t.mask // {1 << k}) % 2) <= ((s.s // {1 << k}) % 2)" for k in range(4)
+)
+
+
+@register(
+    "events_shapley_attribution",
+    oracle=f"""
+        WITH fp AS (
+            SELECT user_id, min(ts) AS p_ts
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        touched AS (
+            SELECT e.user_id,
+                   CASE e.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                        WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END AS bit
+            FROM events e JOIN fp ON e.user_id = fp.user_id
+            WHERE e.ts < fp.p_ts AND e.event_type <> 'purchase'
+            GROUP BY 1, 2
+        ),
+        masks AS (
+            SELECT fp.user_id, coalesce(sum(t.bit), 0) AS mask
+            FROM fp LEFT JOIN touched t ON fp.user_id = t.user_id
+            GROUP BY 1
+        ),
+        cnt AS (SELECT mask, count(*) AS c FROM masks GROUP BY 1),
+        subsets AS (SELECT range AS s FROM range(0, 16)),
+        v AS (
+            SELECT s.s AS s, coalesce(sum(t.c), 0) AS v
+            FROM subsets s LEFT JOIN cnt t ON {_SUBSET_SQL}
+            GROUP BY 1
+        ),
+        channels AS (
+            SELECT 'click' AS channel, 1 AS bit UNION ALL
+            SELECT 'error', 2 UNION ALL
+            SELECT 'signup', 4 UNION ALL
+            SELECT 'view', 8
+        ),
+        terms AS (
+            SELECT ch.channel,
+                   CASE ((v0.s // 1) % 2) + ((v0.s // 2) % 2)
+                        + ((v0.s // 4) % 2) + ((v0.s // 8) % 2)
+                        WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END
+                       * (v1.v - v0.v) AS w_dv
+            FROM channels ch
+            JOIN v v0 ON ((v0.s // ch.bit) % 2) = 0
+            JOIN v v1 ON v1.s = v0.s + ch.bit
+        )
+        SELECT channel,
+               CAST(sum(w_dv) AS DOUBLE) / CAST(24 AS DOUBLE) AS shapley
+        FROM terms GROUP BY 1
+    """,
+    doc="Exact Shapley-value marketing attribution over the four "
+    "pre-purchase channels (click/error/signup/view): each converting "
+    "user contributes their SET of channel types touched strictly "
+    "before first purchase; the coalition value v(S) counts conversions "
+    "reachable with channels in S (sum over touched-sets T ⊆ S), and "
+    "each channel's credit is the exact Shapley average of its marginal "
+    "contributions over all 2^4 coalitions — the game-theoretic "
+    "multi-touch model that last-touch/linear attribution "
+    "(events_attribution) approximates. EVERYTHING is integer "
+    "arithmetic: 24x the Shapley weights are the integers {6,2,2,6}, "
+    "so each credit is one exact BIGINT sum divided once by 24 — "
+    "bit-identical unrounded. The coalition lattice is 16 rows; subset "
+    "containment is a div-mod bit predicate (no engine-specific & "
+    "operator). Scale: users collapse map-side to 16 mask counts; the "
+    "lattice work is constant regardless of data volume.",
+)
+def events_shapley_attribution(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    fp = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+    )
+    touched = (
+        e.join(fp, "user_id")
+        .where((F.col("ts") < F.col("p_ts")) & (F.col("event_type") != "purchase"))
+        .select("user_id", bit.alias("bit"))
+        .distinct()
+    )
+    masks = (
+        fp.join(touched, "user_id", "left")
+        .groupBy("user_id")
+        .agg(F.coalesce(F.sum("bit"), F.lit(0)).alias("mask"))
+    )
+    cnt = masks.groupBy("mask").agg(F.count(F.lit(1)).alias("c"))
+    subsets = spark.range(16).select(F.col("id").alias("s"))
+    contain = None
+    for k in range(4):
+        term = ((F.col("mask") / (1 << k)).cast("long") % 2) <= (
+            (F.col("s") / (1 << k)).cast("long") % 2
+        )
+        contain = term if contain is None else (contain & term)
+    # NOTE: integer "//" — Spark Columns have no floor-div operator; for
+    # non-negative ints cast-after-true-divide equals div (NOTES_r3 idiom)
+    v = (
+        subsets.join(F.broadcast(cnt), contain, "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("v"))
+    )
+    v = v.localCheckpoint(eager=True)  # both sides of the marginal join
+    channels = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, bit int",
+    )
+    v0 = v.select(F.col("s").alias("s0"), F.col("v").alias("va"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("vb"))
+    pairs = (
+        channels.crossJoin(v0)
+        .where(((F.col("s0") / F.col("bit")).cast("long") % 2) == 0)
+        .join(v1, F.col("s1") == F.col("s0") + F.col("bit"))
+    )
+    popcnt = sum(
+        (F.col("s0") / (1 << k)).cast("long") % 2 for k in range(4)
+    )
+    w24 = (
+        F.when(popcnt == 0, 6)
+        .when(popcnt == 1, 2)
+        .when(popcnt == 2, 2)
+        .otherwise(6)
+    )
+    return (
+        pairs.select("channel", (w24 * (F.col("vb") - F.col("va"))).alias("w_dv"))
+        .groupBy("channel")
+        .agg(
+            (F.sum("w_dv").cast("double") / F.lit(24).cast("double")).alias(
+                "shapley"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_diff_in_diff — difference-in-differences estimator
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_diff_in_diff",
+    oracle="""
+        WITH cells AS (
+            SELECT o_custkey % 2 AS grp,
+                   CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END
+                       AS period,
+                   count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS rev
+            FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+            GROUP BY 1, 2
+        ),
+        wide AS (
+            SELECT
+                max(CASE WHEN grp = 1 AND period = 0
+                    THEN rev / CAST(n AS DOUBLE) END) AS t_pre,
+                max(CASE WHEN grp = 1 AND period = 1
+                    THEN rev / CAST(n AS DOUBLE) END) AS t_post,
+                max(CASE WHEN grp = 0 AND period = 0
+                    THEN rev / CAST(n AS DOUBLE) END) AS c_pre,
+                max(CASE WHEN grp = 0 AND period = 1
+                    THEN rev / CAST(n AS DOUBLE) END) AS c_post,
+                sum(n) AS n_orders
+            FROM cells
+        )
+        SELECT t_pre AS treat_pre, t_post AS treat_post,
+               c_pre AS control_pre, c_post AS control_post,
+               (t_post - t_pre) - (c_post - c_pre) AS did_estimate,
+               n_orders
+        FROM wide
+    """,
+    doc="Difference-in-differences estimator: the average order value "
+    "change from 1995 to 1996 for the 'treated' group (odd customer "
+    "keys — the deterministic split shared with op_ab_test_welch), "
+    "minus the same change for the control group — the quasi-"
+    "experimental causal primitive that nets out common time trends. "
+    "One conditional-aggregation scan over two years of the order book "
+    "(four cells); means divide an exact DECIMAL cents sum by an "
+    "integer, and the double-difference is a fixed-order exactly-"
+    "rounded chain — every output ships UNROUNDED. Scale: a single "
+    "map-side-combined aggregate with a year pushdown filter.",
+)
+def op_diff_in_diff(spark, sf_dir):
+    from .registry import dec
+
+    o = _t(spark, sf_dir, "orders")
+    cells = (
+        o.where(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy(
+            (F.col("o_custkey") % 2).alias("grp"),
+            F.when(F.year("o_orderdate") == 1996, 1).otherwise(0).alias("period"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("rev"),
+        )
+    )
+    mean = F.col("rev") / F.col("n").cast("double")
+
+    def cell(g, p):
+        return F.max(
+            F.when((F.col("grp") == g) & (F.col("period") == p), mean)
+        )
+
+    wide = cells.agg(
+        cell(1, 0).alias("treat_pre"),
+        cell(1, 1).alias("treat_post"),
+        cell(0, 0).alias("control_pre"),
+        cell(0, 1).alias("control_post"),
+        F.sum("n").alias("n_orders"),
+    )
+    return wide.select(
+        "treat_pre",
+        "treat_post",
+        "control_pre",
+        "control_post",
+        (
+            (F.col("treat_post") - F.col("treat_pre"))
+            - (F.col("control_post") - F.col("control_pre"))
+        ).alias("did_estimate"),
+        "n_orders",
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_cuped — CUPED variance reduction for experiment metrics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_cuped",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_custkey, c.c_custkey % 2 AS grp,
+                   CAST(coalesce(sum(CASE WHEN year(o.o_orderdate) <= 1997
+                       THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END),
+                       CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS x,
+                   CAST(coalesce(sum(CASE WHEN year(o.o_orderdate) >= 1998
+                       THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END),
+                       CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS y
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        ),
+        mom AS (
+            SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy,
+                   sum(y * y) AS syy
+            FROM per_cust
+        ),
+        theta AS (
+            SELECT n, sx / CAST(n AS DOUBLE) AS mx,
+                   round((sxy - sx * sy / CAST(n AS DOUBLE))
+                         / (sxx - sx * sx / CAST(n AS DOUBLE)), 6) AS th,
+                   round((syy - sy * sy / CAST(n AS DOUBLE))
+                         / CAST(n - 1 AS DOUBLE), 2) AS var_y,
+                   round((sxy - sx * sy / CAST(n AS DOUBLE))
+                             / CAST(n - 1 AS DOUBLE)
+                         / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                                / CAST(n - 1 AS DOUBLE))
+                         / sqrt((syy - sy * sy / CAST(n AS DOUBLE))
+                                / CAST(n - 1 AS DOUBLE)), 6) AS rho
+            FROM mom
+        ),
+        adj AS (
+            SELECT p.grp, count(*) AS n_grp,
+                   round(sum(p.y) / CAST(count(*) AS DOUBLE), 4) AS mean_y,
+                   round(sum(p.y - t.th * (p.x - t.mx))
+                         / CAST(count(*) AS DOUBLE), 4) AS mean_y_cuped,
+                   max(t.th) AS theta,
+                   max(round(t.rho * t.rho, 6)) AS var_reduction
+            FROM per_cust p, theta t
+            GROUP BY 1
+        )
+        SELECT grp, n_grp, mean_y, mean_y_cuped, theta, var_reduction
+        FROM adj
+    """,
+    doc="CUPED variance reduction (Deng et al. 2013, 'Improving the "
+    "sensitivity of online controlled experiments') for the A/B spend "
+    "metric: the post-period outcome y (1998+) is adjusted by the "
+    "pre-period covariate x (<= 1997) as y - theta*(x - mean_x) with "
+    "theta = cov(x,y)/var(x), shrinking metric variance by rho^2 "
+    "(reported) while leaving the treatment contrast unbiased — the "
+    "standard trick that makes small experiment effects detectable. "
+    "Moments accumulate as DOUBLE sums of exactly-decimal-derived "
+    "per-customer totals; because x*y products push the exact-integer "
+    "range past 2^53, theta/rho/means are ROUNDED (6/6/4 dp — the "
+    "decimal-cast insurance rule) and theta is rounded BEFORE the "
+    "adjustment so both engines adjust with the identical coefficient. "
+    "Scale: one customer-grain aggregate, one six-number moment "
+    "reduce, one broadcast of theta back over the per-customer grain.",
+)
+def op_cuped(spark, sf_dir):
+    from .registry import dec
+
+    c, o = _t(spark, sf_dir, "customer", "orders")
+    pre = F.when(F.year("o_orderdate") <= 1997, dec("o_totalprice"))
+    post = F.when(F.year("o_orderdate") >= 1998, dec("o_totalprice"))
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"], (c["c_custkey"] % 2).alias("grp"))
+        .agg(
+            F.coalesce(F.sum(pre), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("x"),
+            F.coalesce(F.sum(post), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    per_cust = per_cust.localCheckpoint(eager=True)  # moments + adjust reads
+    mom = per_cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / nd
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / nd
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / nd
+    nm1 = (F.col("n") - 1).cast("double")
+    theta = mom.select(
+        "n",
+        (F.col("sx") / nd).alias("mx"),
+        F.round(cov / varx, 6).alias("th"),
+        F.round(vary / nm1, 2).alias("var_y"),
+        F.round(
+            cov / nm1 / F.sqrt(varx / nm1) / F.sqrt(vary / nm1), 6
+        ).alias("rho"),
+    )
+    adj = per_cust.crossJoin(F.broadcast(theta)).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_grp"),
+        F.round(F.sum("y") / F.count(F.lit(1)).cast("double"), 4).alias(
+            "mean_y"
+        ),
+        F.round(
+            F.sum(F.col("y") - F.col("th") * (F.col("x") - F.col("mx")))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("mean_y_cuped"),
+        F.max("th").alias("theta"),
+        F.max(F.round(F.col("rho") * F.col("rho"), 6)).alias("var_reduction"),
+    )
+    return adj.select(
+        "grp", "n_grp", "mean_y", "mean_y_cuped", "theta", "var_reduction"
+    )

@@ -727,3 +727,98 @@ class TestShardPlan:
             for sid, (nd, nb) in expected.items():
                 if sid != max(expected):
                     assert nb <= 8192 + max_doc
+
+
+class TestShapleyAttribution:
+    def test_efficiency_axiom_and_replica(self, spark, sf_dir):
+        """Shapley credits must sum to v(full) - v(empty); replicate the
+        whole computation from raw events in pure Python."""
+        from itertools import combinations
+
+        rows = {r.channel: r.shapley for r in _rows(spark, sf_dir, "events_shapley_attribution")}
+        assert set(rows) == {"click", "error", "signup", "view"}
+
+        ev = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id", "event_type", "ts")
+            .toPandas()
+        )
+        bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+        p = ev[ev.event_type == "purchase"].groupby("user_id")["ts"].min()
+        masks = {}
+        for uid, p_ts in p.items():
+            pre = ev[(ev.user_id == uid) & (ev.ts < p_ts) & (ev.event_type != "purchase")]
+            masks[uid] = sum(bits[t] for t in set(pre.event_type))
+        from collections import Counter
+
+        cnt = Counter(masks.values())
+        def v(S):
+            return sum(c for T, c in cnt.items() if T & S == T)
+
+        import math
+
+        n = 4
+        for ch, b in bits.items():
+            others = [x for x in bits.values() if x != b]
+            total = 0.0
+            for k in range(4):
+                for combo in combinations(others, k):
+                    S = sum(combo)
+                    w = math.factorial(k) * math.factorial(n - k - 1) / math.factorial(n)
+                    total += w * (v(S | b) - v(S))
+            assert abs(total - rows[ch]) < 1e-9, ch
+        assert abs(sum(rows.values()) - (v(15) - v(0))) < 1e-9
+
+
+class TestDiffInDiff:
+    def test_did_identity_and_cells(self, spark, sf_dir):
+        (r,) = _rows(spark, sf_dir, "op_diff_in_diff")
+        assert r.n_orders > 0
+        assert abs(
+            r.did_estimate
+            - ((r.treat_post - r.treat_pre) - (r.control_post - r.control_pre))
+        ) < 1e-12
+        import decimal
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+        o = o[o.o_orderdate.dt.year.isin([1995, 1996])]
+        for grp, period, field in [
+            (1, 1995, "treat_pre"), (1, 1996, "treat_post"),
+            (0, 1995, "control_pre"), (0, 1996, "control_post"),
+        ]:
+            cell = o[(o.o_custkey % 2 == grp) & (o.o_orderdate.dt.year == period)]
+            cents = sum(
+                decimal.Decimal(str(p)).quantize(decimal.Decimal("0.01"))
+                for p in cell.o_totalprice
+            )
+            assert abs(float(cents) / len(cell) - getattr(r, field)) < 1e-9
+
+
+class TestCuped:
+    def test_variance_reduction_and_unbiasedness(self, spark, sf_dir):
+        import numpy as np
+
+        rows = {r.grp: r for r in _rows(spark, sf_dir, "op_cuped")}
+        assert set(rows) == {0, 1}
+        r0, r1 = rows[0], rows[1]
+        assert r0.theta == r1.theta
+        assert 0.0 <= r0.var_reduction <= 1.0
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+        pre = o[o.o_orderdate.dt.year <= 1997].groupby("o_custkey")["o_totalprice"].sum()
+        post = o[o.o_orderdate.dt.year >= 1998].groupby("o_custkey")["o_totalprice"].sum()
+        x = np.array([pre.get(k, 0.0) for k in c.c_custkey])
+        y = np.array([post.get(k, 0.0) for k in c.c_custkey])
+        theta = np.cov(x, y, ddof=1)[0, 1] / np.var(x, ddof=1)
+        assert abs(theta - r0.theta) < 1e-3
+        rho2 = np.corrcoef(x, y)[0, 1] ** 2
+        assert abs(rho2 - r0.var_reduction) < 1e-3
+        # CUPED leaves the pooled mean unbiased: weighted avg of adjusted
+        # means equals weighted avg of raw means (up to per-group rounding)
+        n0, n1 = r0.n_grp, r1.n_grp
+        raw = (r0.mean_y * n0 + r1.mean_y * n1) / (n0 + n1)
+        adj = (r0.mean_y_cuped * n0 + r1.mean_y_cuped * n1) / (n0 + n1)
+        assert abs(raw - adj) < 0.01
+        # adjusted arm variance really is lower (the point of CUPED)
+        yc = y - theta * (x - x.mean())
+        assert np.var(yc, ddof=1) < np.var(y, ddof=1)
