@@ -2317,7 +2317,9 @@ def events_shapley_attribution(spark, sf_dir):
                    count(*) AS n,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                        AS rev
-            FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY 1, 2
         ),
         wide AS (
@@ -2355,7 +2357,12 @@ def op_diff_in_diff(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")
     cells = (
-        o.where(F.year("o_orderdate").isin(1995, 1996))
+        # raw-column range, not year() IN (...): a function over the column
+        # defeats parquet predicate pushdown; the range reaches the scan
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
         .groupBy(
             (F.col("o_custkey") % 2).alias("grp"),
             F.when(F.year("o_orderdate") == 1996, 1).otherwise(0).alias("period"),

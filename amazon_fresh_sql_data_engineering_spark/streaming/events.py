@@ -445,3 +445,67 @@ def ewma_hourly_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cms_cells_batch(events: DataFrame, width: int = 64, depth: int = 3) -> DataFrame:
+    """Batch twin of :func:`cms_cells_stream`: the count-min-sketch cell
+    table (seed, bucket, n) over user_id — the same sketch the catalog's
+    ``events_heavy_hitters_cms`` estimates from."""
+    parts = []
+    for j in range(depth):
+        b = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{j}"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        )
+        parts.append(
+            events.groupBy(F.lit(j).alias("seed"), b.alias("bucket")).agg(
+                F.count(F.lit(1)).alias("n")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def cms_cells_stream(
+    events: DataFrame, width: int = 64, depth: int = 3
+) -> DataFrame:
+    """Streaming count-min sketch: the cell counts are ordinary grouped
+    COUNTs over (seed, md5-bucket), so Spark maintains the whole sketch as
+    depth*width integers in the state store — the canonical 'sketch IS the
+    state' streaming pattern (state size independent of stream volume,
+    the same property the batch twin exploits map-side). Complete-mode
+    emission gives the current sketch after every micro-batch; estimation
+    (min over rows) happens downstream exactly as in the batch query.
+    No watermark: the sketch is cumulative over the stream's lifetime —
+    windowed variants would add the window to the group key."""
+    fans = []
+    for j in range(depth):
+        b = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{j}"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        )
+        fans.append(
+            events.select(F.lit(j).alias("seed"), b.alias("bucket"))
+        )
+    out = fans[0]
+    for p in fans[1:]:
+        out = out.unionAll(p)
+    return out.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("n"))

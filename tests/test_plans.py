@@ -241,3 +241,67 @@ def test_interpolate_gaps_no_single_partition_windows(spark, sf_dir):
     df = CATALOG["op_interpolate_gaps"].fn(spark, sf_dir)
     plan = X.physical_plan(df)
     assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_cms_sketch_tables_broadcast(spark, sf_dir):
+    """events_heavy_hitters_cms: the 64-cell sketch tables must join back
+    to candidates as broadcasts, and the top-20 must be distributed
+    TakeOrderedAndProject, not a global sort."""
+    df = CATALOG["events_heavy_hitters_cms"].fn(spark, sf_dir)
+    assert X.has_broadcast_join(df), X.physical_plan(df)[:2000]
+    assert X.has_take_ordered(df), X.physical_plan(df)[:2000]
+
+
+def test_mann_whitney_and_ks_windows_never_global(spark, sf_dir):
+    """The rank/ECDF cumulative passes must be the two-phase form: every
+    Window partitions by the range-pid."""
+    for name in ("op_mann_whitney", "op_ks_test", "op_survival_km"):
+        plan = X.physical_plan(CATALOG[name].fn(spark, sf_dir))
+        bad = [
+            ln
+            for ln in plan.splitlines()
+            if "Window" in ln and "__gr_pid" not in ln and "windowspec" not in ln.lower()
+            and ln.strip().startswith(("Window", "+- Window", ":- Window"))
+            and "partitionBy" not in ln  # formatting guard
+        ]
+        for ln in bad:
+            assert "__gr_pid" in ln, (name, ln)
+
+
+def test_gains_chart_decile_window_metadata_only(spark, sf_dir):
+    """op_gains_chart's only unpartitioned window runs over the 10 decile
+    rows (documented metadata-grain exception); the customer-grain NTILE
+    must be pid-partitioned."""
+    plan = X.physical_plan(CATALOG["op_gains_chart"].fn(spark, sf_dir))
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln or ln.strip().startswith("Window")]
+    unpartitioned = [ln for ln in windows if "__gr_pid" not in ln]
+    # at most the decile cumulative (over <= 10 rows) may be global
+    assert len(unpartitioned) <= 1, plan[:3000]
+
+
+def test_dp_release_adds_no_shuffle_beyond_aggregate(spark, sf_dir):
+    """The DP layer is a pure map over the aggregate — the whole release
+    must plan with a single exchange (broadcast joins excluded)."""
+    df = CATALOG["q_dp_release"].fn(spark, sf_dir)
+    assert X.shuffle_count(df) <= 1, X.physical_plan(df)[:3000]
+
+
+def test_diff_in_diff_year_filter_pushes_down(spark, sf_dir):
+    """The two-year restriction must reach the parquet scan."""
+    df = CATALOG["op_diff_in_diff"].fn(spark, sf_dir)
+    pf = X.pushed_filters(df)
+    assert "o_orderdate" in pf, pf
+
+
+def test_shapley_lattice_joins_are_broadcasts(spark, sf_dir):
+    """The 16-row coalition lattice must never shuffle the mask counts —
+    containment and marginal joins broadcast."""
+    df = CATALOG["events_shapley_attribution"].fn(spark, sf_dir)
+    assert X.has_broadcast_join(df), X.physical_plan(df)[:2000]
+
+
+def test_bootstrap_fanout_is_broadcast_nested_loop_free(spark, sf_dir):
+    """The 32-replica fan-out crossJoin must plan as a broadcast of the
+    replica list, never a shuffled cartesian."""
+    plan = X.physical_plan(CATALOG["op_bootstrap_ci"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]

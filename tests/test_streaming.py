@@ -601,3 +601,53 @@ def test_ewma_stream_matches_batch(spark, tmp_path):
     assert got == want
     # hand-check the fold: counts 2,1,3,1 -> ewma 2, 1.5, 2.25, 1.625
     assert got[("click", TS(2024, 1, 1, 13, 0))] == (1, 1.625)
+
+
+def test_cms_stream_matches_batch(spark, tmp_path):
+    """The streaming count-min sketch's cell table after draining all
+    micro-batches equals the batch twin's — state is depth*width counters,
+    so cross-batch accumulation is exact."""
+    from amazon_fresh_sql_data_engineering_spark.streaming.events import (
+        cms_cells_batch,
+        cms_cells_stream,
+    )
+
+    src = str(tmp_path / "src")
+    rows1 = [
+        (1, TS(2024, 1, 1, 10, 0), 7, "click", 1.0),
+        (2, TS(2024, 1, 1, 10, 1), 7, "view", 1.0),
+        (3, TS(2024, 1, 1, 10, 2), 9, "click", 1.0),
+    ]
+    rows2 = [
+        (4, TS(2024, 1, 1, 10, 3), 7, "click", 1.0),
+        (5, TS(2024, 1, 1, 10, 4), 11, "view", 1.0),
+    ]
+    _events_df(spark, rows1).write.mode("overwrite").parquet(src)
+    _events_df(spark, rows2).write.mode("append").parquet(src)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        cms_cells_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.seed, r.bucket): r.n
+        for r in spark.sql("select * from cms_stream").collect()
+    }
+    want = {
+        (r.seed, r.bucket): r.n
+        for r in cms_cells_batch(_events_df(spark, rows1 + rows2)).collect()
+    }
+    assert got == want
+    # user 7 appeared 3x across micro-batches — its buckets must hold >= 3
+    import hashlib
+
+    for j in range(3):
+        b = int(hashlib.md5(f"cms{j}7".encode()).hexdigest()[:8], 16) % 64
+        assert got[(j, b)] >= 3
