@@ -2523,3 +2523,220 @@ def op_cuped(spark, sf_dir):
     return adj.select(
         "grp", "n_grp", "mean_y", "mean_y_cuped", "theta", "var_reduction"
     )
+
+
+# ---------------------------------------------------------------------------
+# op_kmv_distinct — k-minimum-values distinct-count sketch (exact replica)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+@register(
+    "op_kmv_distinct",
+    oracle=f"""
+        WITH keys AS (
+            SELECT DISTINCT 'event' AS metric,
+                   CAST(event_id AS VARCHAR) AS k FROM events
+            UNION ALL
+            SELECT DISTINCT 'user_type',
+                   CAST(user_id AS VARCHAR) || ':' || event_type FROM events
+            UNION ALL
+            SELECT DISTINCT 'user', CAST(user_id AS VARCHAR) FROM events
+        ),
+        hashed AS (
+            SELECT metric, k,
+                   (CAST(('0x' || substr(md5('kmv' || k), 1, 8)) AS BIGINT)
+                    + 1) / CAST(4294967296 AS DOUBLE) AS u
+            FROM keys
+        ),
+        ranked AS (
+            SELECT metric, u,
+                   row_number() OVER (PARTITION BY metric
+                                      ORDER BY u, k) AS rn,
+                   count(*) OVER (PARTITION BY metric) AS n_true
+            FROM hashed
+        )
+        SELECT metric, n_true,
+               CASE WHEN n_true < {_KMV_K}
+                    THEN CAST(n_true AS DOUBLE)
+                    ELSE CAST({_KMV_K} - 1 AS DOUBLE) / max(
+                         CASE WHEN rn = {_KMV_K} THEN u END) END AS est,
+               CASE WHEN n_true < {_KMV_K} THEN true ELSE false END
+                   AS exact_branch
+        FROM ranked
+        GROUP BY metric, n_true
+    """,
+    doc="K-minimum-values (KMV / bottom-k) distinct-count sketch, "
+    f"k = {_KMV_K}: hash every key to a uniform in (0,1] (the portable "
+    "md5-first-32-bits idiom) and estimate distinct = (k-1) / u_(k), "
+    "the k-th smallest hash — the mergeable bottom-k sketch behind "
+    "Theta sketches, here replayed EXACTLY by the oracle (unlike HLL, "
+    "whose oracle checks an error envelope — op_approx_count_distinct) "
+    "because the estimator is a pure function of the deterministic "
+    "hash. Three metrics sketch three cardinality regimes (event ids, "
+    "(user, type) pairs, users); below k the sketch degenerates to the "
+    "exact count on both engines (exact_branch flags it). The true "
+    "count rides along so the estimate's error is externally visible. "
+    "Scale note: the per-metric rank runs as a partitioned window "
+    "here (oracle-replayable form); the production form keeps the k "
+    "smallest per partition and merges k-sized lists — same estimate, "
+    "documented swap, state bounded by k regardless of volume.",
+)
+def op_kmv_distinct(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    keys = (
+        e.select(
+            F.lit("event").alias("metric"),
+            F.col("event_id").cast("string").alias("k"),
+        )
+        .distinct()
+        .unionAll(
+            e.select(
+                F.lit("user_type").alias("metric"),
+                F.concat(
+                    F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")
+                ).alias("k"),
+            ).distinct()
+        )
+        .unionAll(
+            e.select(
+                F.lit("user").alias("metric"),
+                F.col("user_id").cast("string").alias("k"),
+            ).distinct()
+        )
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("kmv"), F.col("k"))), 1, 8), 16, 10)
+        .cast("bigint")
+        + 1
+    ) / F.lit(4294967296.0)
+    hashed = keys.select("metric", "k", u.alias("u"))
+    w = Window.partitionBy("metric").orderBy("u", "k")
+    wc = Window.partitionBy("metric")
+    ranked = hashed.select(
+        "metric",
+        "u",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_true"),
+    )
+    est = F.when(
+        F.col("n_true") < _KMV_K, F.col("n_true").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1))
+        / F.max(F.when(F.col("rn") == _KMV_K, F.col("u")))
+    )
+    return ranked.groupBy("metric", "n_true").agg(
+        est.alias("est"),
+        F.when(F.col("n_true") < _KMV_K, F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("exact_branch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_winsorized_mean — robust segment spend (5/95 winsorization)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_winsorized_mean",
+    oracle="""
+        WITH j AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(o.o_totalprice AS DECIMAL(18,2)) AS p,
+                   o.o_orderkey AS ok
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        ranked AS (
+            SELECT segment, p, ok,
+                   row_number() OVER (PARTITION BY segment
+                                      ORDER BY p, ok) AS rn,
+                   count(*) OVER (PARTITION BY segment) AS n
+            FROM j
+        ),
+        cuts AS (
+            SELECT segment, n,
+                   max(CASE WHEN rn = CAST(ceil(CAST(0.05 AS DOUBLE)
+                       * CAST(n AS DOUBLE)) AS BIGINT) THEN p END) AS lo,
+                   max(CASE WHEN rn = CAST(ceil(CAST(0.95 AS DOUBLE)
+                       * CAST(n AS DOUBLE)) AS BIGINT) THEN p END) AS hi
+            FROM ranked GROUP BY 1, 2
+        )
+        SELECT r.segment, c.n AS n_orders,
+               round(CAST(c.lo AS DOUBLE), 2) AS lo_cut,
+               round(CAST(c.hi AS DOUBLE), 2) AS hi_cut,
+               CAST(sum(r.p) AS DOUBLE) / CAST(c.n AS DOUBLE) AS raw_mean,
+               CAST(sum(CASE WHEN r.p < c.lo THEN c.lo
+                             WHEN r.p > c.hi THEN c.hi
+                             ELSE r.p END) AS DOUBLE)
+                   / CAST(c.n AS DOUBLE) AS winsorized_mean
+        FROM ranked r JOIN cuts c ON r.segment = c.segment
+        GROUP BY 1, 2, 3, 4
+    """,
+    doc="Winsorized segment spend (5th/95th percentile clamping) next "
+    "to the raw mean — the robust-metric primitive for outlier-heavy "
+    "revenue data (one whale order no longer moves the segment KPI). "
+    "Cut points are exact ORDER STATISTICS selected by the engine-"
+    "portable 1-based ceil(p*n) index rule (IEEE double multiply, the "
+    "repo's percentile-oracle discipline) over a (segment)-partitioned "
+    "row numbering with the (price, orderkey) total tie order; clamped "
+    "values stay exact DECIMAL cents so both means are single "
+    "exactly-rounded divisions of exact sums — shipped unrounded (cut "
+    "points go through the fin(2)-identity projection). Scale note: "
+    "per-segment sort within a partition — the documented "
+    "exact-percentile shape (op_percentiles); swap to approx_percentile "
+    "cuts at 100 TB, same query surface.",
+)
+def op_winsorized_mean(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .registry import dec
+
+    o, c = _t(spark, sf_dir, "orders", "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        dec("o_totalprice").alias("p"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    w = Window.partitionBy("segment").orderBy("p", "ok")
+    wc = Window.partitionBy("segment")
+    ranked = j.select(
+        "segment",
+        "p",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    ranked = ranked.localCheckpoint(eager=True)  # cuts + clamp both read it
+    idx = lambda p: F.ceil(F.lit(p) * F.col("n").cast("double"))  # noqa: E731
+    cuts = ranked.groupBy("segment", "n").agg(
+        F.max(F.when(F.col("rn") == idx(0.05), F.col("p"))).alias("lo"),
+        F.max(F.when(F.col("rn") == idx(0.95), F.col("p"))).alias("hi"),
+    )
+    clamped = F.when(F.col("p") < F.col("lo"), F.col("lo")).when(
+        F.col("p") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("p"))
+    return (
+        ranked.join(F.broadcast(cuts.drop("n")), "segment")
+        .groupBy("segment", "n")
+        .agg(
+            F.max(fin(F.col("lo"), 2)).alias("lo_cut"),
+            F.max(fin(F.col("hi"), 2)).alias("hi_cut"),
+            (F.sum("p").cast("double") / F.col("n").cast("double")).alias(
+                "raw_mean"
+            ),
+            (F.sum(clamped).cast("double") / F.col("n").cast("double")).alias(
+                "winsorized_mean"
+            ),
+        )
+        .select(
+            "segment",
+            F.col("n").alias("n_orders"),
+            "lo_cut",
+            "hi_cut",
+            "raw_mean",
+            "winsorized_mean",
+        )
+    )

@@ -822,3 +822,65 @@ class TestCuped:
         # adjusted arm variance really is lower (the point of CUPED)
         yc = y - theta * (x - x.mean())
         assert np.var(yc, ddof=1) < np.var(y, ddof=1)
+
+
+class TestKmvDistinct:
+    def test_sketch_replica_and_error(self, spark, sf_dir):
+        import hashlib
+
+        rows = {r.metric: r for r in _rows(spark, sf_dir, "op_kmv_distinct")}
+        assert set(rows) == {"event", "user_type", "user"}
+        e = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("event_id", "user_id", "event_type")
+            .toPandas()
+        )
+        truth = {
+            "event": {str(v) for v in e.event_id},
+            "user_type": {f"{u}:{t}" for u, t in zip(e.user_id, e.event_type)},
+            "user": {str(v) for v in e.user_id},
+        }
+        for metric, keys in truth.items():
+            r = rows[metric]
+            assert r.n_true == len(keys)
+            us = sorted(
+                (int(hashlib.md5(f"kmv{k}".encode()).hexdigest()[:8], 16) + 1)
+                / 4294967296.0
+                for k in keys
+            )
+            if len(keys) < 64:
+                assert r.exact_branch is True
+                assert r.est == len(keys)
+            else:
+                assert r.exact_branch is False
+                expect = 63.0 / us[63]
+                assert abs(r.est - expect) < 1e-9
+                # KMV guarantee: relative error ~ 1/sqrt(k) — allow 5 sigma
+                assert abs(r.est - r.n_true) / r.n_true < 5 / (64 ** 0.5)
+
+
+class TestWinsorizedMean:
+    def test_matches_numpy_replica_and_robustness(self, spark, sf_dir):
+        import math
+
+        import numpy as np
+
+        rows = _rows(spark, sf_dir, "op_winsorized_mean")
+        assert len(rows) == 5
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+        j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        for r in rows:
+            seg = j[j.c_mktsegment == r.segment]
+            p = np.sort(np.round(seg.o_totalprice.to_numpy(), 2))
+            n = len(p)
+            assert r.n_orders == n
+            lo = p[math.ceil(0.05 * n) - 1]
+            hi = p[math.ceil(0.95 * n) - 1]
+            assert abs(r.lo_cut - lo) < 0.005
+            assert abs(r.hi_cut - hi) < 0.005
+            wm = np.clip(p, lo, hi).mean()
+            assert abs(r.winsorized_mean - wm) < 0.01
+            assert abs(r.raw_mean - p.mean()) < 0.01
+            # the winsorized mean must sit inside the clamp bounds
+            assert lo - 1e-9 <= r.winsorized_mean <= hi + 1e-9
