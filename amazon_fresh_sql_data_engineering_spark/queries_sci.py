@@ -2740,3 +2740,156 @@ def op_winsorized_mean(spark, sf_dir):
             "winsorized_mean",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# op_seasonal_decompose — classical trend/seasonal/residual decomposition
+# ---------------------------------------------------------------------------
+
+_SD_MA = 25  # centered moving-average window (odd -> symmetric, exact /25)
+
+
+@register(
+    "op_seasonal_decompose",
+    oracle=f"""
+        WITH hc AS (
+            SELECT event_type,
+                   date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS DOUBLE) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        seq AS (
+            SELECT event_type, h, y,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h)
+                       AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM hc
+        ),
+        tr AS (
+            SELECT event_type, h, y, rn, n,
+                   sum(y) OVER (PARTITION BY event_type ORDER BY rn
+                                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+                       / CAST({_SD_MA} AS DOUBLE) AS trend
+            FROM seq
+        ),
+        det AS (
+            SELECT event_type, CAST(hour(h) AS INT) AS hod,
+                   y - trend AS detr
+            FROM tr WHERE rn > 12 AND rn <= n - 12
+        )
+        SELECT event_type, hod,
+               count(*) AS n_obs,
+               round(sum(detr) / CAST(count(*) AS DOUBLE), 6) AS seasonal,
+               round(sum(detr * detr) / CAST(count(*) AS DOUBLE)
+                     - (sum(detr) / CAST(count(*) AS DOUBLE))
+                       * (sum(detr) / CAST(count(*) AS DOUBLE)), 6)
+                   AS residual_var
+        FROM det GROUP BY 1, 2
+    """,
+    doc="Classical seasonal decomposition of the hourly event-count "
+    "series per type: trend = 25-hour centered moving average, "
+    "seasonal = per-hour-of-day mean of the detrended series, residual "
+    "variance alongside — the additive y = trend + seasonal + residual "
+    "model that turns op_seasonality's static heatmap into a "
+    "trend-adjusted profile. The /25 moving average is NOT a dyadic "
+    "division, so detrended values are accumulation-order-sensitive "
+    "(DuckDB's segment-tree window sums vs Spark's sequential ones "
+    "differ in the last ulp) — seasonal factors and residual variance "
+    "are ROUNDED to 6 dp per the rounding policy; there is still no "
+    "libm anywhere. Edge hours without a full "
+    "window are dropped (rn in (12, n-12]), matching the textbook "
+    "treatment. Scale shape: series-per-key windows (the documented "
+    "op_holt_linear class); the hour-of-day aggregation collapses to "
+    "|types| x 24 cells map-side.",
+)
+def op_seasonal_decompose(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    hc = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    wo = Window.partitionBy("event_type").orderBy("h")
+    wc = Window.partitionBy("event_type")
+    seq = hc.select(
+        "event_type",
+        "h",
+        "y",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    wma = (
+        Window.partitionBy("event_type").orderBy("rn").rowsBetween(-12, 12)
+    )
+    tr = seq.withColumn(
+        "trend", F.sum("y").over(wma) / F.lit(float(_SD_MA))
+    )
+    det = tr.where((F.col("rn") > 12) & (F.col("rn") <= F.col("n") - 12)).select(
+        "event_type",
+        F.hour("h").alias("hod"),
+        (F.col("y") - F.col("trend")).alias("detr"),
+    )
+    nd = F.count(F.lit(1)).cast("double")
+    mean = F.sum("detr") / nd
+    return det.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(mean, 6).alias("seasonal"),
+        F.round(
+            F.sum(F.col("detr") * F.col("detr")) / nd - mean * mean, 6
+        ).alias("residual_var"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_price_elasticity — log-log demand elasticity per brand
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "op_price_elasticity",
+    oracle="""
+        WITH obs AS (
+            SELECT p.p_brand AS brand,
+                   ln(l.l_extendedprice / l.l_quantity) AS lp,
+                   ln(l.l_quantity) AS lq
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_quantity > 0
+        )
+        SELECT brand,
+               count(*) AS n_obs,
+               round(regr_slope(lq, lp), 4) AS elasticity,
+               round(regr_intercept(lq, lp), 4) AS intercept,
+               round(regr_r2(lq, lp), 4) AS r2
+        FROM obs GROUP BY 1
+    """,
+    doc="Own-price demand elasticity per brand: the slope of "
+    "ln(quantity) on ln(unit price) across that brand's line items — "
+    "the constant-elasticity (log-log) demand model every pricing team "
+    "fits first. Uses the engines' built-in regression aggregates "
+    "(regr_slope/intercept/r2 — matching estimators on both sides, the "
+    "text_zipf_fit lesson: never hand-roll normal equations) over "
+    "libm-ln features, with outputs ROUNDED to 4 dp to absorb "
+    "cross-engine summation ulp (the established regression budget). "
+    "One brand-keyed map-side-combined aggregate over the "
+    "lineitem-part broadcast join; output is |brands| rows.",
+)
+def op_price_elasticity(spark, sf_dir):
+    li, p = _t(spark, sf_dir, "lineitem", "part")
+    obs = (
+        li.where(F.col("l_quantity") > 0)
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("lp"),
+            F.log("l_quantity").alias("lq"),
+        )
+    )
+    return obs.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.regr_slope("lq", "lp"), 4).alias("elasticity"),
+        F.round(F.regr_intercept("lq", "lp"), 4).alias("intercept"),
+        F.round(F.regr_r2("lq", "lp"), 4).alias("r2"),
+    )
