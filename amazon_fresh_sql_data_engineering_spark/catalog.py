@@ -3,15 +3,21 @@ family into ``registry.CATALOG``.
 
 The external driver samples the FIRST ~50 catalog entries (registration
 order) for its per-round correctness gate, so ``_PRIORITY`` front-loads the
-queries that most need driver-side evidence this round. Rounds 1+2 put 84
-distinct queries on green driver rows (CORRECTNESS_r01 ∪ r02); round 3
-rotates in the remaining never-sampled tail — the events_* batch family,
-the text/multimodal tail, the analytics tail, and the queries added after
-the round-2 sample was frozen (suppliers pipeline, decode quarantine).
-Previously-green queries rotate to the back; the full catalog is still
-oracle-checked locally every round (scripts_parity_sweep.py /
-tests/test_oracle_parity.py), so rotation trades no coverage — it converts
-local parity into driver-recorded evidence for the tail.
+queries that most need driver-side evidence this round. Rounds 1-3 put 130
+distinct queries on green driver rows (CORRECTNESS_r01 ∪ r02 ∪ r03); round
+4 front-loads (a) the four r3 driver reds + one local red, all fixed by
+canonicalization-proofing (arrays -> array_join/%.6f strings, DuckDB
+HUGEINT sums -> CAST AS BIGINT, signed-zero + 0.0 — see registry.fin's
+rules), (b) the two queries whose plans changed this round
+(op_skew_report argmax, op_item_cf_jaccard basket cap), (c) the new
+OP-CSV-LOAD / OP-CTAS end-to-end shapes, then (d) the 89-name
+never-sampled tail in registration order — part 1 fits this round's ~50
+sample, part 2 is queued first for round 5. Catalog growth is frozen
+until driver evidence converges (VERDICT r3 item 2). Previously-green
+queries rotate to the back; the full catalog is still oracle-checked
+locally every round (scripts_parity_sweep.py / tests/test_oracle_parity.py),
+so rotation trades no coverage — it converts local parity into
+driver-recorded evidence for the tail.
 """
 
 from __future__ import annotations
@@ -44,72 +50,111 @@ except ImportError:
     pass
 
 _PRIORITY = [
-    # reference-entity pipeline + robustness queries added after the r2
-    # sample froze (VERDICT r2 "Missing" items 2 and partially 3)
-    "q_pipe_clean_suppliers",
-    "mm_decode_quarantine",
-    "dedup_ngram_jaccard_maxdf",
-    "q_constraint_catalog",
-    # events_* family: the streaming operators' batch twins (windows,
-    # sessionization, JSON/struct props, funnels, rollups, enrichment)
-    "events_hourly",
-    "events_sessionize",
-    "events_dedup",
-    "events_funnel",
-    "events_props_json",
-    "events_props_struct",
-    "events_time_rollup",
-    "events_enriched",
-    # text tail
-    "text_fingerprint",
-    "text_chunk_sliding",
-    "text_pii_redact",
-    "text_ngram_counts",
-    "text_bpe_tokens",
-    # multimodal tail
-    "mm_resize",
-    # training-data utilities
-    "op_hash_split",
-    "op_stratified_sample",
+    # --- round-4 block 1: re-evidence the r3 reds (all canonicalization
+    # fixes: arrays->array_join/%.6f, HUGEINT->BIGINT, signed zero) ---
     "op_vector_centroids",
-    # analytics / function-kit tail (registration-order within family)
-    "op_histogram",
-    "op_skew_two_phase_agg",
-    "op_grouping_sets",
-    "op_win_distinct_count",
-    "op_seq_gaps",
-    "op_fuzzy_match",
-    "op_forward_fill",
-    "op_posexplode",
-    "op_join_full",
-    "op_unpivot",
     "op_collect_agg",
-    "op_datetime_funcs",
-    "op_string_funcs",
-    "op_win_range_frame",
-    "op_mode_per_group",
     "op_regexp_extract_all",
-    "op_win_navigation",
-    "op_agg_corr",
-    "op_min_by_max_by",
-    "op_string_agg",
     "op_bool_aggs",
-    "op_try_funcs",
-    "op_cross_join_grid",
-    "op_topn_per_group",
-    "op_date_spine",
-    "op_percent_rank",
-    "op_market_basket",
-    "op_bitwise_aggs",
-    "q_sql_interface",
+    "op_seasonal_decompose",
+    # --- changed this round (plan fixes: min_by argmax / basket cap) ---
+    "op_skew_report",
+    "op_item_cf_jaccard",
+    # --- new driver-facing shapes for the two library-only §2 rows
+    # (VERDICT r3 item 6: OP-CSV-LOAD, OP-CTAS) ---
+    "q_csv_staging_roundtrip",
+    "q_ctas_roundtrip",
+    # --- never-driver-sampled tail, part 1 of 2 (registration order;
+    # r1∪r2∪r3 sampled 134 distinct names — these are from the other 89;
+    # catalog growth frozen until this converges, VERDICT r3 item 2) ---
     "q_profile_columns",
-    # round-3 additions past the ~50-sample cut: picked up next round
     "op_pack_sequences",
     "text_repetition_filter",
     "text_decontaminate",
     "op_histogram_equidepth",
     "text_url_dedup",
     "events_cohort_retention",
+    "op_set_ops_all",
+    "op_outlier_zscore",
+    "op_incremental_agg",
+    "op_bloom_prune_join",
+    "events_attribution",
+    "op_skew_salted_join",
+    "op_corpus_mixture",
+    "text_vocab_coverage",
+    "text_normalize",
+    "text_line_dedup",
+    "text_entropy_filter",
+    "dedup_containment",
+    "op_kmeans_refine",
+    "text_winnow_fingerprint",
+    "sim_ann_pq",
+    "sim_ann_pq_rerank",
+    "text_hashing_vectorizer",
+    "q_expectations",
+    "op_weighted_sample",
+    "events_anomaly",
+    "text_char_lm_score",
+    "op_pagerank",
+    "dedup_semantic",
+    "op_bm25_search",
+    "op_time_weighted_avg",
+    "events_sliding_distinct",
+    "op_cdc_apply",
+    "op_snapshot_diff",
+    "q_masked_view",
+    "events_sliding_distinct_hll",
+    "op_triangle_count",
+    "op_interpolate_gaps",
+    "events_markov_transitions",
+    "events_ohlc",
+    # --- never-driver-sampled tail, part 2 (past the ~50 cut this round;
+    # becomes block 1 of round 5's rotation) ---
+    "op_chi_square",
+    "op_ab_test_welch",
+    "op_rfm_segmentation",
+    "op_word_pmi",
+    "events_time_to_convert",
+    "events_ewma",
+    "op_gini_concentration",
+    "events_top_paths",
+    "op_basket_lift",
+    "op_abc_analysis",
+    "op_benford",
+    "events_inter_arrival",
+    "op_seasonality",
+    "op_mad_outliers",
+    "op_xcorr_lagged",
+    "text_zipf_fit",
+    "events_dau_wau_mau",
+    "op_embedding_norm_stats",
+    "events_bot_detection",
+    "events_window_funnel",
+    "events_error_budget",
+    "op_mann_whitney",
+    "op_ks_test",
+    "op_survival_km",
+    "op_label_propagation",
+    "events_heavy_hitters_cms",
+    "op_pca_power",
+    "op_holt_linear",
+    "op_cohort_ltv",
+    "events_concurrency_peak",
+    "q_dp_release",
+    "op_metric_decomposition",
+    "op_bootstrap_ci",
+    "events_forecast_backtest",
+    "op_neyman_allocation",
+    "op_join_size_estimate",
+    "q_gdpr_erasure",
+    "op_gains_chart",
+    "op_shard_plan",
+    "events_shapley_attribution",
+    "op_diff_in_diff",
+    "op_cuped",
+    "op_kmv_distinct",
+    "op_winsorized_mean",
+    "op_price_elasticity",
 ]
 
 

@@ -804,7 +804,7 @@ def op_unpivot(spark, sf_dir):
     "op_collect_agg",
     oracle="""
         SELECT o_custkey,
-               list_sort(list(o_orderkey)) AS orderkeys,
+               array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
                array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
         FROM orders WHERE o_custkey <= 50
         GROUP BY o_custkey
@@ -813,12 +813,20 @@ def op_unpivot(spark, sf_dir):
     "group, sorted for engine-order determinism — array_agg semantics. The "
     "building block for nested training-example assembly (all orders of a "
     "user into one row). Map-side partial collect keeps the shuffle at "
-    "|groups| rows.",
+    "|groups| rows. Output arrays leave the engine through array_join "
+    "(registry 'no array columns in driver-facing output' rule: pandas "
+    "canonicalizers cannot sort/hash list cells).",
 )
 def op_collect_agg(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
     return o.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("orderkeys"),
         F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("priorities"),
     )
 
@@ -988,7 +996,7 @@ def op_mode_per_group(spark, sf_dir):
     "op_regexp_extract_all",
     oracle="""
         SELECT doc_id,
-               regexp_extract_all(lower(text), '[a-z]{8,}') AS long_words,
+               coalesce(array_to_string(regexp_extract_all(lower(text), '[a-z]{8,}'), ' '), '') AS long_words,
                CAST(len(regexp_extract_all(lower(text), '[a-z]{8,}')) AS INT) AS n_long
         FROM documents WHERE doc_id % 50 = 0
     """,
@@ -1002,7 +1010,8 @@ def op_regexp_extract_all(spark, sf_dir):
     extracted = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]{8,}"), 0)
     return d.select(
         "doc_id",
-        extracted.alias("long_words"),
+        # array_join, not a raw array column: driver-canonicalizer rule
+        F.array_join(extracted, " ").alias("long_words"),
         F.size(extracted).cast("int").alias("n_long"),
     )
 
@@ -1161,7 +1170,7 @@ def op_string_agg(spark, sf_dir):
         SELECT o_orderpriority,
                bool_and(o_totalprice > 1000) AS all_over_1k,
                bool_or(o_orderstatus = 'F') AS any_finished,
-               count_if(o_totalprice > 100000) AS n_large
+               CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_large
         FROM orders GROUP BY o_orderpriority
     """,
     doc="Boolean/conditional aggregate kit (beyond reference): BOOL_AND / "
@@ -1444,7 +1453,7 @@ def op_bitwise_aggs(spark, sf_dir):
         )
         SELECT c_nationkey,
                count(*) AS n_outliers,
-               sum(c_custkey) AS sum_outlier_keys,
+               CAST(sum(c_custkey) AS BIGINT) AS sum_outlier_keys,
                round(max(abs(z)), 6) AS max_abs_z
         FROM scored WHERE abs(z) > 1.5
         GROUP BY c_nationkey

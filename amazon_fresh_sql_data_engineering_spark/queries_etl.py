@@ -1090,3 +1090,109 @@ def q_constraint_catalog(spark, sf_dir):
 
     specs = {n: f() for n, f in SPEC_FACTORIES.items()}
     return constraint_catalog(spark, specs, DECLARED_CHECKS, DECLARED_UNIQUES)
+
+
+@register(
+    "q_csv_staging_roundtrip",
+    oracle="""
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS sum_acctbal,
+               min(c_custkey) AS min_key,
+               max(c_custkey) AS max_key
+        FROM customer GROUP BY c_mktsegment
+    """,
+    doc="OP-CSV-LOAD end-to-end (ref TablesCreated-Imported.sql:80-103 "
+    "all-TEXT staging landing zone): the customer table is exported to a "
+    "header CSV, re-ingested through sources.loaders.load_staging_csv "
+    "(all-StringType schema, NO inference — the reference's TEXT-tier "
+    "contract), typed back via validate-then-cast (parse_int + decimal "
+    "cast), and aggregated. The oracle states the same aggregate over the "
+    "original parquet — the round-trip must be lossless, which is the "
+    "point: a staging load that corrupts values would diverge here. The "
+    "CSV write/read is test-scale scaffolding; the OPERATOR under test is "
+    "the schema-pinned, inference-free CSV reader (at 100 TB, inference "
+    "is a full extra scan and a type-drift hazard). Result is fenced with "
+    "an eager localCheckpoint so the scratch directory can be removed "
+    "before the driver collects.",
+)
+def q_csv_staging_roundtrip(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .functions.cleaning import parse_decimal
+    from .sources.loaders import load_staging_csv
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_csv_")
+    try:
+        path = f"{tmp}/customer_csv"
+        # fixed column order: the staging reader maps schema positionally
+        _t(spark, sf_dir, "customer").select(*cols).write.mode(
+            "overwrite"
+        ).option("header", True).csv(path)
+        staged = load_staging_csv(spark, path, cols)
+        typed = staged.select(
+            parse_int(F.col("c_custkey")).cast("bigint").alias("c_custkey"),
+            parse_decimal(F.col("c_acctbal")).alias("c_acctbal"),
+            F.col("c_mktsegment"),
+        )
+        out = typed.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            fin(F.sum(dec("c_acctbal")), 2).alias("sum_acctbal"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "q_ctas_roundtrip",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS sum_price,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus
+    """,
+    doc="OP-CTAS end-to-end (ref TablesCreated-Imported.sql:242-247 CTAS "
+    "quarantine/mapping tables): orders is CTAS'd to a scratch parquet "
+    "directory PARTITIONED BY o_orderpriority (sources.sinks."
+    "ctas_partitioned), read back with a filter on the partition column — "
+    "which prunes at the directory listing, the layout lever that turns a "
+    "100 TB scan into one partition's worth of files — and aggregated. "
+    "The oracle states the same filtered aggregate over the original "
+    "table: CTAS + partitioned read-back must be value-lossless and "
+    "partition-complete. Fenced with an eager localCheckpoint so the "
+    "scratch directory can be removed before the driver collects.",
+)
+def q_ctas_roundtrip(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .sources.sinks import ctas_partitioned
+
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_ctas_")
+    try:
+        path = f"{tmp}/orders_by_priority"
+        ctas_partitioned(
+            _t(spark, sf_dir, "orders"), path, ["o_orderpriority"]
+        )
+        back = spark.read.parquet(path).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        out = back.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            fin(F.sum(dec("o_totalprice")), 2).alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

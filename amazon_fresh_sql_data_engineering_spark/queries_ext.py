@@ -1095,10 +1095,13 @@ def op_stratified_sample(spark, sf_dir):
             FROM embeddings
         ),
         means AS (
-            SELECT label, pos, round(avg(v), 6) AS m
+            SELECT label, pos, round(avg(v), 6) + 0.0 AS m
             FROM flat GROUP BY label, pos
         )
-        SELECT label, list(m ORDER BY pos) AS centroid, n_members
+        SELECT label,
+               array_to_string(list(printf('%.6f', m) ORDER BY pos), ',')
+                   AS centroid,
+               n_members
         FROM means
         JOIN (SELECT label, count(*) AS n_members FROM embeddings GROUP BY label)
         USING (label)
@@ -1117,12 +1120,21 @@ def op_vector_centroids(spark, sf_dir):
     flat = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
     )
-    means = flat.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("m"))
+    # + 0.0 normalizes IEEE signed zero (Spark round can emit -0.0 where
+    # DuckDB emits +0.0 or vice versa); %.6f string join keeps array columns
+    # out of the driver-facing output schema (registry rule).
+    means = flat.groupBy("label", "pos").agg(
+        (F.round(F.avg("v"), 6) + F.lit(0.0)).alias("m")
+    )
     cent = (
         means.groupBy("label")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: F.format_string("%.6f", s["m"]),
+                ),
+                ",",
             ).alias("centroid")
         )
     )
@@ -1561,8 +1573,9 @@ def text_bpe_tokens(spark, sf_dir):
                                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
             FROM t
         )
-        SELECT doc_id, n_tokens, cum_tokens,
-               (cum_tokens - 1) // 2048 AS bin_id,
+        SELECT doc_id, n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens,
+               CAST((cum_tokens - 1) // 2048 AS BIGINT) AS bin_id,
                ((cum_tokens - n_tokens) // 2048) <> ((cum_tokens - 1) // 2048)
                    AS crosses_boundary
         FROM c
@@ -1930,7 +1943,7 @@ _MIX_WEIGHTS = {"en": 4, "de": 2, "fr": 2, "es": 1, "zh": 1}
         )
         SELECT d.lang, r.n_total, r.ppm AS target_ppm,
                count(*) AS n_sampled,
-               sum(d.doc_id) AS sum_ids
+               CAST(sum(d.doc_id) AS BIGINT) AS sum_ids
         FROM documents d JOIN rates r USING (lang)
         WHERE CAST(('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8))
                    AS BIGINT) % 1000000 < r.ppm
@@ -2246,7 +2259,8 @@ def text_line_dedup(spark, sf_dir):
                    round(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS entropy
             FROM counts GROUP BY doc_id
         )
-        SELECT doc_id, n_chars_counted, entropy,
+        SELECT doc_id, CAST(n_chars_counted AS BIGINT) AS n_chars_counted,
+               entropy,
                entropy >= 4.10 AS keep
         FROM ent
     """,
@@ -2740,7 +2754,7 @@ def sim_ann_pq_rerank(spark, sf_dir):
             FROM tok GROUP BY 1, 2
         )
         SELECT doc_id,
-               sum(cnt) AS n_tokens,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
                count(*) AS n_buckets,
                md5(string_agg(CAST(bucket AS VARCHAR) || ':'
                               || CAST(cnt AS VARCHAR), ',' ORDER BY bucket))

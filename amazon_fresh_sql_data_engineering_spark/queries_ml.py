@@ -62,7 +62,8 @@ _BAD_ORDERS_SQL = """
                     WHERE l.l_orderkey IS NOT NULL
                       AND o.o_orderkey IS NULL) AS v
         )
-        SELECT rule, table_name, n_checked, n_violations,
+        SELECT rule, table_name, n_checked,
+               CAST(n_violations AS BIGINT) AS n_violations,
                n_violations = 0 AS pass
         FROM (
             SELECT 'not_null(o_custkey)' AS rule, 'orders' AS table_name,

@@ -71,8 +71,8 @@ from .registry import tables as _t
                    sum(n * n * n - n) AS ties
             FROM ranked
         )
-        SELECT n1 AS n_a,
-               n2 AS n_b,
+        SELECT CAST(n1 AS BIGINT) AS n_a,
+               CAST(n2 AS BIGINT) AS n_b,
                r_a - CAST(n1 * (n1 + 1) AS DOUBLE) / CAST(2 AS DOUBLE) AS u_a,
                CAST(n1 * n2 AS DOUBLE)
                    - (r_a - CAST(n1 * (n1 + 1) AS DOUBLE)
@@ -177,7 +177,7 @@ def op_mann_whitney(spark, sf_dir):
                              / CAST(n2 AS DOUBLE))) AS d_stat
             FROM ecdf, tot
         )
-        SELECT n1 AS n_a, n2 AS n_b, d_stat,
+        SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b, d_stat,
                CAST(1.358 AS DOUBLE)
                    * sqrt(CAST(n1 + n2 AS DOUBLE)
                           / CAST(n1 * n2 AS DOUBLE)) AS d_crit_05,
@@ -275,9 +275,9 @@ _KM_CENSOR_US = 365 * 24 * 3600 * 1000000  # churn horizon: 1 year order-silence
             FROM r WHERE d > 0
         )
         SELECT dur AS duration_d,
-               at_risk AS n_at_risk,
-               d AS n_churned,
-               censored AS n_censored,
+               CAST(at_risk AS BIGINT) AS n_at_risk,
+               CAST(d AS BIGINT) AS n_churned,
+               CAST(censored AS BIGINT) AS n_censored,
                round(exp(sum(term) OVER (ORDER BY dur
                                          ROWS BETWEEN UNBOUNDED PRECEDING
                                          AND CURRENT ROW)), 6) AS survival
@@ -522,9 +522,18 @@ def events_heavy_hitters_cms(spark, sf_dir):
 @register(
     "op_item_cf_jaccard",
     oracle="""
-        WITH ui AS (
-            SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+        WITH ui0 AS (
+            SELECT o.o_custkey AS u, l.l_partkey AS item,
+                   max(o.o_orderdate) AS last_d
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ),
+        ui AS (
+            SELECT u, item FROM (
+                SELECT u, item,
+                       row_number() OVER (PARTITION BY u
+                                          ORDER BY last_d DESC, item) AS rn
+                FROM ui0) WHERE rn <= 64
         ),
         sizes AS (SELECT item, count(*) AS n FROM ui GROUP BY 1),
         co AS (
@@ -556,9 +565,18 @@ def events_heavy_hitters_cms(spark, sf_dir):
     "bought Y'): top-3 neighbours per part by Jaccard similarity of "
     "buyer sets. Co-occurrence counted once per unordered pair via a "
     "customer-keyed self-equi-join of the DISTINCT (customer, part) "
-    "table (work proportional to sum of per-customer basket-size^2 — "
-    "the op_market_basket shape, bounded by a per-user item cap in "
-    "prod), then emitted in both directions for the per-item window. "
+    "table. Pair work is proportional to sum of per-customer "
+    "basket-size^2, so baskets are CAPPED at max_items_per_user=64 "
+    "items (most-recent-purchase first, ties to smallest part id; the "
+    "oracle states the identical cut as a uniform row_number <= 64) "
+    "BEFORE the self-join — one power user with 10^4 items would "
+    "otherwise put 10^8 pairs in a single key group that AQE cannot "
+    "split. The cap is SKEW-TARGETED: rn <= cap cannot bind for a "
+    "user with <= cap items, so the recency window+sort runs only "
+    "over the over-cap (power-user) rows and normal users pass "
+    "through the plain distinct — the expensive arm scales with the "
+    "skew tail, not the corpus. Pairs are then emitted in both "
+    "directions for the per-item neighbour window. "
     "jaccard = co / (|A| + |B| - co) is an integer-derived "
     "exactly-rounded division — shipped unrounded; the neighbour rank "
     "uses the total order (jaccard DESC, co DESC, nbr) so ties are "
@@ -567,17 +585,50 @@ def events_heavy_hitters_cms(spark, sf_dir):
     "op_basket_lift (association rules) at the user rather than order "
     "grain.",
 )
-def op_item_cf_jaccard(spark, sf_dir):
+def op_item_cf_jaccard(spark, sf_dir, max_items_per_user: int = 64):
     li, o = _t(spark, sf_dir, "lineitem", "orders")
     from pyspark.sql import Window
 
-    ui = (
+    ui_dist = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item"))
         .distinct()
     )
-    # read three times (sizes + both self-join sides) — fence once
-    ui = ui.localCheckpoint(eager=True)
+    # read 3+ times (cap probe + sizes + both self-join sides) — fence once
+    ui_dist = ui_dist.localCheckpoint(eager=True)
+    # Per-user basket cap (the 100x lever): top-N items by recency bounds
+    # the self-join at N^2 pairs per user no matter how hot the user is —
+    # one power user with 10^4 items would otherwise put 10^8 pairs in a
+    # single key group that AQE cannot split. SKEW-TARGETED + ADAPTIVE:
+    # "row_number <= cap" cannot bind for a user with <= cap items
+    # (rn <= n <= cap always holds), so (a) a metadata-sized probe on the
+    # fenced distinct frame first checks whether ANY over-cap user exists
+    # — the common case runs the exact uncapped plan with zero extra
+    # stages — and (b) when skew exists, the recency window+sort runs
+    # ONLY over the over-cap users' rows (the skew tail, not the corpus).
+    # The oracle states the equivalent uniform rn <= cap cut.
+    cnt = ui_dist.groupBy("u").agg(F.count(F.lit(1)).alias("__n"))
+    over_users = cnt.where(F.col("__n") > max_items_per_user).select("u")
+    if over_users.limit(1).count() > 0:
+        under = ui_dist.join(over_users, "u", "left_anti")
+        wu = Window.partitionBy("u").orderBy(F.col("last_d").desc(), "item")
+        over_capped = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .select(
+                F.col("o_custkey").alias("u"),
+                F.col("l_partkey").alias("item"),
+                F.col("o_orderdate").alias("d"),
+            )
+            .join(over_users, "u")
+            .groupBy("u", "item")
+            .agg(F.max("d").alias("last_d"))
+            .withColumn("rn", F.row_number().over(wu))
+            .where(F.col("rn") <= max_items_per_user)
+            .select("u", "item")
+        )
+        ui = under.unionByName(over_capped).localCheckpoint(eager=True)
+    else:
+        ui = ui_dist
     sizes = ui.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
     a = ui.select(F.col("u"), F.col("item").alias("ia"))
     b = ui.select(F.col("u"), F.col("item").alias("ib"))
@@ -1013,7 +1064,7 @@ _SESSION_GAP_US = 1800 * 1000000  # 30-minute inactivity gap
         ),
         peak AS (SELECT max(c) AS peak_concurrency FROM swept)
         SELECT (SELECT count(*) FROM iv) AS n_sessions,
-               p.peak_concurrency,
+               CAST(p.peak_concurrency AS BIGINT) AS peak_concurrency,
                (SELECT min(us) FROM swept, peak
                 WHERE c = peak.peak_concurrency) AS first_peak_us
         FROM peak p
@@ -1419,7 +1470,7 @@ def op_bootstrap_ci(spark, sf_dir):
         stats AS (
             SELECT key_col,
                    count(*) AS n_keys,
-                   sum(n) AS n_rows,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
                    max(n) AS max_freq,
                    CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)
                        AS mean_freq
@@ -1448,14 +1499,14 @@ def op_bootstrap_ci(spark, sf_dir):
     "the 10x threshold (SCALE.md's own hazard rule, surfaced as a "
     "query). One map-side-combined frequency pass per key (unioned "
     "into a single scan pipeline), metadata-grain stats, hottest key "
-    "via a key-partitioned window with a total tie order. All outputs "
+    "via a min_by argmax over struct(-n, k) folded into the same "
+    "map-side-combinable aggregate (never a data-sized window sort; "
+    "ties break to the smallest key, matching the oracle). All outputs "
     "integer-derived (mean/skew are exactly-rounded divisions) — "
     "shipped unrounded. Companion to skew.salted_broadcast_join / "
     "op_skew_two_phase_agg, which this report tells you when to use.",
 )
 def op_skew_report(spark, sf_dir):
-    from pyspark.sql import Window
-
     li, o = _t(spark, sf_dir, "lineitem", "orders")
     keyed = (
         li.select(
@@ -1476,7 +1527,13 @@ def op_skew_report(spark, sf_dir):
         )
     )
     freq = keyed.groupBy("key_col", "k").agg(F.count(F.lit(1)).alias("n"))
-    freq = freq.localCheckpoint(eager=True)  # stats + hottest both read it
+    # Hottest key via min_by argmax over struct(-n, k) — a map-side
+    # combinable aggregate, folded into the SAME groupBy as the stats. The
+    # previous window form (row_number over PARTITION BY key_col) put every
+    # distinct key of a fact column through 3 data-sized sort partitions —
+    # the exact single-partition hazard this report exists to warn about.
+    # Total tie order: highest n first, then smallest k (matches the
+    # oracle's ORDER BY n DESC, k).
     stats = freq.groupBy("key_col").agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n").alias("n_rows"),
@@ -1484,15 +1541,18 @@ def op_skew_report(spark, sf_dir):
         (F.sum("n").cast("double") / F.count(F.lit(1)).cast("double")).alias(
             "mean_freq"
         ),
-    )
-    w = Window.partitionBy("key_col").orderBy(F.col("n").desc(), "k")
-    hot = (
-        freq.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("key_col", F.col("k").alias("hottest_key"), F.col("n").alias("hottest_n"))
+        F.min_by(
+            F.struct(F.col("k"), F.col("n")),
+            F.struct((-F.col("n")).alias("neg_n"), F.col("k").alias("k")),
+        ).alias("hot"),
+    ).withColumns(
+        {
+            "hottest_key": F.col("hot.k"),
+            "hottest_n": F.col("hot.n"),
+        }
     )
     skew = F.col("max_freq").cast("double") / F.col("mean_freq")
-    return stats.join(hot, "key_col").select(
+    return stats.select(
         "key_col",
         "n_keys",
         "n_rows",
@@ -1783,7 +1843,8 @@ def op_neyman_allocation(spark, sf_dir):
             UNION ALL
             SELECT 'lineitem*lineitem@partkey', NULL
         )
-        SELECT e.join_name, e.est_rows, a.actual_rows,
+        SELECT e.join_name, CAST(e.est_rows AS BIGINT) AS est_rows,
+               a.actual_rows,
                e.est_rows = a.actual_rows AS exact_match
         FROM (SELECT * FROM lo UNION ALL SELECT * FROM oc
               UNION ALL SELECT * FROM ll) e
@@ -1977,7 +2038,8 @@ def q_gdpr_erasure(spark, sf_dir):
         tot AS (
             SELECT sum(n_customers) AS nc, sum(n_responders) AS nr FROM cells
         )
-        SELECT decile, n_customers, n_responders,
+        SELECT decile, n_customers,
+               CAST(n_responders AS BIGINT) AS n_responders,
                CAST(n_responders AS DOUBLE) / CAST(n_customers AS DOUBLE)
                    AS response_rate,
                CAST(sum(n_responders) OVER (ORDER BY decile
@@ -2099,9 +2161,9 @@ _SHARD_BYTES = 8 * 1024  # target shard size (chars as byte proxy)
                    (c.gcum - o.off - 1) // {_SHARD_BYTES} AS shard_id
             FROM cum c JOIN offs o ON c.split = o.split
         )
-        SELECT split, shard_id,
+        SELECT split, CAST(shard_id AS BIGINT) AS shard_id,
                count(*) AS n_docs,
-               sum(n_chars) AS shard_bytes,
+               CAST(sum(n_chars) AS BIGINT) AS shard_bytes,
                min(doc_id) AS first_doc,
                max(doc_id) AS last_doc
         FROM sharded GROUP BY 1, 2
@@ -2338,7 +2400,7 @@ def events_shapley_attribution(spark, sf_dir):
         SELECT t_pre AS treat_pre, t_post AS treat_post,
                c_pre AS control_pre, c_post AS control_post,
                (t_post - t_pre) - (c_post - c_pre) AS did_estimate,
-               n_orders
+               CAST(n_orders AS BIGINT) AS n_orders
         FROM wide
     """,
     doc="Difference-in-differences estimator: the average order value "
@@ -2779,10 +2841,10 @@ _SD_MA = 25  # centered moving-average window (odd -> symmetric, exact /25)
         )
         SELECT event_type, hod,
                count(*) AS n_obs,
-               round(sum(detr) / CAST(count(*) AS DOUBLE), 6) AS seasonal,
+               round(sum(detr) / CAST(count(*) AS DOUBLE), 6) + 0.0 AS seasonal,
                round(sum(detr * detr) / CAST(count(*) AS DOUBLE)
                      - (sum(detr) / CAST(count(*) AS DOUBLE))
-                       * (sum(detr) / CAST(count(*) AS DOUBLE)), 6)
+                       * (sum(detr) / CAST(count(*) AS DOUBLE)), 6) + 0.0
                    AS residual_var
         FROM det GROUP BY 1, 2
     """,
@@ -2831,11 +2893,17 @@ def op_seasonal_decompose(spark, sf_dir):
     )
     nd = F.count(F.lit(1)).cast("double")
     mean = F.sum("detr") / nd
+    # + 0.0 after round: IEEE -0.0 + 0.0 = +0.0, so an exactly-zero residual
+    # variance ships with the same sign bit on both engines (Spark's round
+    # emitted +0.0 where DuckDB's emitted -0.0 — a real hash divergence).
     return det.groupBy("event_type", "hod").agg(
         F.count(F.lit(1)).alias("n_obs"),
-        F.round(mean, 6).alias("seasonal"),
-        F.round(
-            F.sum(F.col("detr") * F.col("detr")) / nd - mean * mean, 6
+        (F.round(mean, 6) + F.lit(0.0)).alias("seasonal"),
+        (
+            F.round(
+                F.sum(F.col("detr") * F.col("detr")) / nd - mean * mean, 6
+            )
+            + F.lit(0.0)
         ).alias("residual_var"),
     )
 

@@ -1151,10 +1151,10 @@ def op_seasonality(spark, sf_dir):
                count(*) AS n,
                round(dev.med, 4) AS median_value,
                round(mad.mad, 4) AS mad,
-               sum(CASE WHEN round(dev.adev
+               CAST(sum(CASE WHEN round(dev.adev
                               / (CAST(1.4826 AS DOUBLE) * mad.mad), 4)
                              >= CAST(3.5 AS DOUBLE)
-                        THEN 1 ELSE 0 END) AS n_outliers
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM dev JOIN mad ON dev.event_type = mad.event_type
         GROUP BY dev.event_type, dev.med, mad.mad
     """,
@@ -1466,7 +1466,8 @@ def events_dau_wau_mau(spark, sf_dir):
                count(*) AS n_vecs,
                min(dim) AS min_dim,
                max(dim) AS max_dim,
-               sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS n_zero,
+               CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero,
                round(avg(nrm), 4) AS mean_norm,
                round(quantile_cont(nrm, 0.5), 4) AS p50_norm,
                round(quantile_cont(nrm, 0.9), 4) AS p90_norm

@@ -75,6 +75,35 @@ def fin(c, k: int = 2):
     identical. Every decimal column leaves the engine as
     ``round(CAST(x AS DOUBLE), k)`` — the matching oracle side writes the
     identical ``round(CAST(... AS DOUBLE), k)``.
+
+    DRIVER-SAFE OUTPUT-TYPE RULES (the full ``fin()`` discipline — every
+    rule below is backed by a measured driver divergence; scripts_
+    parity_sweep.py --strict enforces them over the whole catalog):
+
+    1. DECIMAL: never in output — this function (above).
+    2. ARRAY / MAP / STRUCT: never in output — the driver's pandas
+       canonicalizer sorts rows by every column and list cells raise
+       ``TypeError: unhashable type`` (3 driver ``err`` rows in r3).
+       Final-project arrays through ``F.array_join`` (strings), a
+       ``transform`` + ``.cast("string")`` for numeric arrays (sort FIRST,
+       in the element dtype — string-sorting reorders numbers), or
+       ``format_string("%.6f", x)`` per element for rounded doubles; the
+       oracle mirrors with ``array_to_string`` / ``printf('%.6f', x)``.
+    3. DuckDB integer ``sum()`` / windowed ``sum()`` returns HUGEINT,
+       which pandas converts to float64 while Spark ships int64 — the
+       driver hash distinguishes ``216`` from ``216.0`` (the r3
+       ``op_bool_aggs`` red; 16 more latent cases found by the strict
+       sweep). Oracle-side: ``CAST(sum(...) AS BIGINT)`` on every
+       integer-sum output column. ``count(*)`` is already BIGINT.
+    4. Rounded float outputs that can be exactly zero: append ``+ 0.0``
+       on BOTH sides — IEEE ``-0.0 + 0.0 = +0.0`` normalizes the sign
+       bit (Spark round emitted ``+0.0`` where DuckDB emitted ``-0.0``
+       in op_seasonal_decompose).
+    Driver-BENIGN (measured green, do NOT churn): boolean columns,
+    int8/int32-vs-int64 width, datetime64[ns]-vs-[us] precision,
+    date-vs-datetime, None-vs-NaN — the driver's hash normalizes all of
+    these (events_hourly, op_grouping_sets, sim_ann_ivf, q_clean_scalars
+    all carry green rows with exactly these dtype deltas).
     """
     col = F.col(c) if isinstance(c, str) else c
     return F.round(col.cast("double"), k)

@@ -60,9 +60,59 @@ def _rowset(columns, rows):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT",
+}
+_SPARK_FLOAT = {"float", "double"}
+_DUCK_FLOAT = {"FLOAT", "DOUBLE", "REAL"}
+
+
+def _dtype_problems(spark_df, con, sql: str) -> list[str]:
+    """Driver-dtype gate: ``fetchall()`` masks divergences the driver's
+    pandas path exposes. DuckDB HUGEINT (integer sum()) becomes float64 in
+    ``.df()`` while Spark ships int64 — the driver hash distinguishes 216
+    from 216.0 (r3 op_bool_aggs red) even though fetchall() returns equal
+    Python ints. Likewise list cells break the driver's sort_values
+    canonicalizer. Planning-only: executes nothing."""
+    probs = []
+    for f in spark_df.schema.fields:
+        s = f.dataType.simpleString()
+        if s.startswith(("array<", "map<", "struct<")):
+            probs.append(
+                f"spark column {f.name!r} is {s}: unsortable at the driver "
+                "— final-project through array_join/format_string (registry rule 2)"
+            )
+    try:
+        rel = con.sql(sql)
+        duck_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+    except Exception:
+        return probs  # oracle with side effects / non-relation; value compare will catch
+    spark_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
+    for c, dt in duck_types.items():
+        if dt in ("HUGEINT", "UHUGEINT"):
+            probs.append(
+                f"oracle column {c!r} is {dt}: pandas converts it to float64 at "
+                "the driver while Spark ships int64 — CAST(... AS BIGINT) (registry rule 3)"
+            )
+        st = spark_types.get(c)
+        if st is None:
+            continue
+        if (st in _SPARK_INT and dt in _DUCK_FLOAT) or (
+            st in _SPARK_FLOAT and dt in _DUCK_INT
+        ):
+            probs.append(
+                f"int/float family mismatch on {c!r}: spark={st} duck={dt} "
+                "— driver hash distinguishes 216 from 216.0"
+            )
+    return probs
+
+
 def compare(spark_df, con, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = parity)."""
     problems: list[str] = []
+    problems.extend(_dtype_problems(spark_df, con, sql))
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     res = con.execute(sql)

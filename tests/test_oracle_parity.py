@@ -45,15 +45,24 @@ def test_no_decimal_reaches_any_output_schema(spark, sf_dir):
     differently (trailing zeros), so any decimal column in an output
     schema would break the driver's value hash. Schema-only check: builds
     every plan, executes nothing heavy."""
-    from pyspark.sql.types import DecimalType
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
     offenders = {}
     for name, spec in CATALOG.items():
         df = spec.fn(spark, sf_dir)
-        decs = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
-        if decs:
-            offenders[name] = decs
-    assert not offenders, f"decimal columns leaked into output schemas: {offenders}"
+        # Arrays/maps/structs are equally fatal at the driver: its pandas
+        # canonicalizer sorts rows by every column and list cells raise
+        # TypeError (3 driver `err` rows in r3) — registry fin() rule 2.
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (DecimalType, ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"driver-unsafe (decimal/array/map/struct) output columns: {offenders}"
+    )
 
 
 def test_every_catalog_query_has_an_oracle():

@@ -305,3 +305,20 @@ def test_bootstrap_fanout_is_broadcast_nested_loop_free(spark, sf_dir):
     replica list, never a shuffled cartesian."""
     plan = X.physical_plan(CATALOG["op_bootstrap_ci"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_skew_report_hottest_key_is_argmax_not_window(spark, sf_dir):
+    """op_skew_report's hottest key must come from the min_by argmax folded
+    into the stats aggregate — the r3 form ran row_number over
+    PARTITION BY key_col, i.e. every distinct key of a fact column sorted
+    through 3 data-sized partitions (the exact hazard the report warns
+    about). No Window may appear anywhere in the plan."""
+    plan = X.physical_plan(CATALOG["op_skew_report"].fn(spark, sf_dir))
+    assert "Window" not in plan, plan[:3000]
+
+
+def test_item_cf_basket_cap_window_is_user_partitioned(spark, sf_dir):
+    """op_item_cf_jaccard's only windows are user/item-partitioned
+    (the basket-cap row_number and the neighbour rank) — never global."""
+    plan = X.physical_plan(CATALOG["op_item_cf_jaccard"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan[:3000]

@@ -884,3 +884,47 @@ class TestWinsorizedMean:
             assert abs(r.raw_mean - p.mean()) < 0.01
             # the winsorized mean must sit inside the clamp bounds
             assert lo - 1e-9 <= r.winsorized_mean <= hi + 1e-9
+
+
+class TestItemCfBasketCap:
+    def test_power_user_is_bounded_by_cap(self, spark, tmp_path):
+        """Adversarial: one user with 10^3 distinct items. Uncapped, the
+        self-join would emit ~half a million pairs from a single key group
+        (at 10^4 items: 10^8 — un-splittable by AQE). With the cap, only
+        the 50 most-recent items survive, so pairs <= C(50,2) and the
+        output can only mention capped-in items."""
+        import datetime
+
+        n = 1000
+        cap = 50
+        base = datetime.datetime(2024, 1, 1)
+        orders = spark.createDataFrame(
+            [
+                (i, 1, base + datetime.timedelta(days=i))
+                for i in range(1, n + 1)
+            ],
+            "o_orderkey long, o_custkey long, o_orderdate timestamp",
+        )
+        lineitem = spark.createDataFrame(
+            [(i, i) for i in range(1, n + 1)],
+            "l_orderkey long, l_partkey long",
+        )
+        orders.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        lineitem.write.mode("overwrite").parquet(
+            str(tmp_path / "lineitem.parquet")
+        )
+        from amazon_fresh_sql_data_engineering_spark.queries_sci import (
+            op_item_cf_jaccard,
+        )
+
+        rows = op_item_cf_jaccard(
+            spark, str(tmp_path), max_items_per_user=cap
+        ).collect()
+        # only the `cap` most recent items (largest ids here) may appear
+        kept = set(range(n - cap + 1, n + 1))
+        assert rows, "capped neighbourhood unexpectedly empty"
+        assert {r.item for r in rows} <= kept
+        assert {r.nbr for r in rows} <= kept
+        # top-3 per item over a single shared buyer
+        assert len(rows) <= cap * 3
+        assert all(r.co == 1 and r.rnk <= 3 for r in rows)
