@@ -610,22 +610,30 @@ def op_item_cf_jaccard(spark, sf_dir, max_items_per_user: int = 64):
     cnt = ui_dist.groupBy("u").agg(F.count(F.lit(1)).alias("__n"))
     over_users = cnt.where(F.col("__n") > max_items_per_user).select("u")
     if over_users.limit(1).count() > 0:
+        # filter-FIRST: restrict orders to the over-cap users before
+        # touching lineitem, so the recency re-derivation is proportional
+        # to the skew tail (AQE broadcasts the tiny user set), never a
+        # second full fact-fact join
         under = ui_dist.join(over_users, "u", "left_anti")
+        over_orders = o.join(
+            over_users, o["o_custkey"] == F.col("u")
+        ).select("u", "o_orderkey", F.col("o_orderdate").alias("d"))
         wu = Window.partitionBy("u").orderBy(F.col("last_d").desc(), "item")
         over_capped = (
-            li.join(o, li["l_orderkey"] == o["o_orderkey"])
-            .select(
-                F.col("o_custkey").alias("u"),
-                F.col("l_partkey").alias("item"),
-                F.col("o_orderdate").alias("d"),
-            )
-            .join(over_users, "u")
+            li.join(over_orders, li["l_orderkey"] == F.col("o_orderkey"))
+            .select("u", F.col("l_partkey").alias("item"), "d")
             .groupBy("u", "item")
             .agg(F.max("d").alias("last_d"))
             .withColumn("rn", F.row_number().over(wu))
             .where(F.col("rn") <= max_items_per_user)
             .select("u", "item")
         )
+        # the union MUST be fenced: unfenced, the downstream self-join
+        # sees both arms claim compatible hash partitionings with
+        # different partition counts and AQE's SortMergeJoin dies with
+        # "Can't zip RDDs with unequal numbers of partitions" (measured,
+        # Spark 4.1.2) — and the fence also stops the anti-join arm
+        # replaying into all three downstream reads
         ui = under.unionByName(over_capped).localCheckpoint(eager=True)
     else:
         ui = ui_dist

@@ -71,6 +71,15 @@ def main() -> None:
         # drop caches an operator persisted internally (LSH signatures,
         # iterative labels) so no run's memory footprint leaks into the next
         spark.catalog.clearCache()
+        # clearCache() does NOT free localCheckpoint RDD blocks — the
+        # ContextCleaner only reaps them after a JVM GC notices the dropped
+        # references, which lags a busy sequential loop. Leaked blocks
+        # accumulate across 225 queries x 4 executions, squeeze execution
+        # memory, and inflate later queries' timings (measured: untouched
+        # queries 4-8x slower late in the run). Unpersist them explicitly.
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            jmap.get(rid).unpersist()
         return dt
 
     timings: dict[str, float] = {}

@@ -179,7 +179,7 @@ def test_supplier_stock(tables, duck):
     out = domain.supplier_stock(tables)
     sql = """
         SELECT s.supplierid, s.suppliername,
-               SUM(COALESCE(p.stockquantity, 0)) AS total_stock
+               CAST(SUM(COALESCE(p.stockquantity, 0)) AS BIGINT) AS total_stock
         FROM suppliers s LEFT JOIN products p ON p.supplierid = s.supplierid
         GROUP BY s.supplierid, s.suppliername
         ORDER BY total_stock DESC, s.supplierid LIMIT 1

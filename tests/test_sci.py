@@ -214,22 +214,41 @@ class TestItemCfJaccard:
             assert js == sorted(js, reverse=True)
 
     def test_matches_pandas_replica_sample(self, spark, sf_dir):
-        """Recompute top-3 neighbours for 20 items from raw data."""
+        """Recompute top-3 neighbours for 20 items from raw data,
+        including the basket cap (keep each user's 64 most-recent items,
+        ties to smallest part id — the r4 skew lever; it binds for at
+        least one user even at sf0.001)."""
         from collections import defaultdict
 
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        import pyspark.sql.functions as F
+
         ui = (
             li.join(o, li.l_orderkey == o.o_orderkey)
-            .select("o_custkey", "l_partkey")
-            .distinct()
+            .groupBy("o_custkey", "l_partkey")
+            .agg(F.max("o_orderdate").alias("last_d"))
             .collect()
         )
+        by_user = defaultdict(list)
+        for r in ui:
+            by_user[r.o_custkey].append((r.last_d, r.l_partkey))
         items_of_user = defaultdict(set)
         users_of_item = defaultdict(set)
-        for r in ui:
-            items_of_user[r.o_custkey].add(r.l_partkey)
-            users_of_item[r.l_partkey].add(r.o_custkey)
+        capped_any = False
+        for u, rows in by_user.items():
+            if len(rows) > 64:
+                capped_any = True
+            # last_d DESC, item ASC: stable sort by item, then by date desc
+            kept = sorted(
+                sorted(rows, key=lambda t: t[1]),
+                key=lambda t: t[0],
+                reverse=True,
+            )[:64]
+            for _, item in kept:
+                items_of_user[u].add(item)
+                users_of_item[item].add(u)
+        assert capped_any, "cap never binds at this sf — test loses power"
         got = defaultdict(list)
         for r in _rows(spark, sf_dir, "op_item_cf_jaccard"):
             got[r.item].append(r)
