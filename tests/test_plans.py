@@ -322,3 +322,94 @@ def test_item_cf_basket_cap_window_is_user_partitioned(spark, sf_dir):
     (the basket-cap row_number and the neighbour rank) — never global."""
     plan = X.physical_plan(CATALOG["op_item_cf_jaccard"].fn(spark, sf_dir))
     assert "SinglePartition" not in plan, plan[:3000]
+
+
+# Frozen per-query SinglePartition budgets (round-4 catalog-wide audit).
+# Every entry was inspected: all are metadata-grain — final single-partition
+# aggregates of partial (per-partition) rows, scalar subqueries, or windows
+# over <= |deciles|/|cells| rows (the op_gains_chart / global_ntile class).
+# A query NOT listed here must plan with ZERO single-partition exchanges;
+# growing any budget requires re-auditing the query (this is the gate that
+# would have caught op_skew_report's data-sized window before round 3
+# shipped it).
+_SINGLE_PARTITION_BUDGET = {
+    "q_profile_columns": 1,
+    "op_histogram_equidepth": 1,
+    "op_corpus_mixture": 1,
+    "sim_ann_pq_rerank": 1,
+    "q_expectations": 3,
+    "text_char_lm_score": 1,
+    "op_bm25_search": 1,
+    "op_chi_square": 1,
+    "op_rfm_segmentation": 1,
+    "op_word_pmi": 1,
+    "events_time_to_convert": 1,
+    "op_gini_concentration": 3,
+    "op_basket_lift": 1,
+    "op_abc_analysis": 1,
+    "op_benford": 1,
+    "op_xcorr_lagged": 2,
+    "text_zipf_fit": 1,
+    "events_window_funnel": 1,
+    "events_error_budget": 1,
+    "op_mann_whitney": 1,
+    "op_ks_test": 1,
+    "op_pca_power": 3,
+    "events_concurrency_peak": 4,
+    "op_bootstrap_ci": 2,
+    "op_neyman_allocation": 1,
+    "op_join_size_estimate": 3,
+    "q_gdpr_erasure": 3,
+    "op_gains_chart": 4,
+    "op_diff_in_diff": 1,
+    "op_cuped": 1,
+    "op_agg_counts": 1,
+    "op_agg_scalars_report": 3,
+    "op_topk_ties": 1,
+    "op_set_intersect_except": 2,
+    "op_win_ntile": 1,
+    "op_win_share_of_total": 1,
+    "op_approx_count_distinct": 1,
+    "op_date_spine": 1,
+    "q_cascade_delete": 2,
+    "q_audit_report": 5,
+    "events_funnel": 1,
+    "text_tfidf_top_terms": 1,
+}
+
+
+def test_catalog_plan_linter(spark, sf_dir):
+    """Catalog-wide single-pass plan linter, three rules:
+
+    1. Serial-stage budget: no query may plan MORE Exchange
+       SinglePartition stages than its audited budget (default 0).
+       Metadata-grain exchanges (scalar finals, decile windows) are
+       budgeted; anything new is presumed a data-sized serial stage until
+       audited. (This is the gate that would have caught op_skew_report's
+       data-sized window before round 3 shipped it.)
+    2. No BatchEvalPython anywhere: every Python crossing must be
+       Arrow-batched (ArrowEvalPython / mapInPandas / applyInPandas) —
+       a row-at-a-time UDF in any catalog plan is a 10-100x hot-path bug.
+    3. Column pruning: no parquet scan may read 10+ columns (the widest
+       table, lineitem, has 11 — a 10+-col ReadSchema means a full-width
+       read that defeats columnar pruning at 100 TB).
+    """
+    import re
+
+    over, py_rows, wide = {}, [], {}
+    for name, spec in CATALOG.items():
+        plan = X.physical_plan(spec.fn(spark, sf_dir))
+        sp = plan.count("SinglePartition")
+        if sp > _SINGLE_PARTITION_BUDGET.get(name, 0):
+            over[name] = (sp, _SINGLE_PARTITION_BUDGET.get(name, 0))
+        if "BatchEvalPython" in plan:
+            py_rows.append(name)
+        scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        w = [s for s in scans if s.count(",") >= 9]
+        if w:
+            wide[name] = w[0][:90]
+    assert not over, (
+        f"single-partition stages over audited budget (got, budget): {over}"
+    )
+    assert not py_rows, f"row-at-a-time Python UDFs in plans: {py_rows}"
+    assert not wide, f"full-width scans (pruning defeated): {wide}"
