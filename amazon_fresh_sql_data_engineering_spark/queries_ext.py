@@ -2561,21 +2561,24 @@ def op_kmeans_refine(spark, sf_dir):
     "— no argmin needed, engines agree on string order). Guarantees any "
     "shared 6-word run between two documents shares a fingerprint while "
     "keeping ~2/(w+1) of grams — the local-substring sibling of "
-    "dedup_minhash's global signatures. One narrow gram explode consumed "
-    "streaming by a doc-keyed window sort, a distinct, one aggregation; "
-    "no joins or collects, so the shape is scan-rate at 100 TB. Output is "
+    "dedup_minhash's global signatures. Winnowing is row-local, so the "
+    "whole selection runs inside one projection (indexed transform + "
+    "array_min over slices + array_distinct/sort): ZERO shuffles, pure "
+    "map at scan rate — embarrassingly parallel at 100 TB. Output is "
     "one row per doc (fingerprint count + order-insensitive md5 digest of "
     "the full fingerprint set) so the driver compare pins every selected "
     "fingerprint without shipping them all.",
 )
 def text_winnow_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    fps = TXT.winnow_fingerprints(d, "doc_id", "text", k=3, w=4)
-    return fps.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_fp"),
-        F.md5(F.concat_ws("", F.array_sort(F.collect_list("fp")))).alias(
-            "fp_digest"
-        ),
+    # row-local array core: selection + count + digest all inside one
+    # projection — zero shuffles (was: gram explode + doc-keyed window
+    # sort + distinct + groupBy; 8.3 s warm -> map-only at sf0.1)
+    arr = TXT.winnow_fingerprint_array(d, "doc_id", "text", k=3, w=4)
+    return arr.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fp"),
+        F.md5(F.concat_ws("", F.col("fps"))).alias("fp_digest"),
     )
 
 

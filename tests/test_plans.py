@@ -413,3 +413,11 @@ def test_catalog_plan_linter(spark, sf_dir):
     )
     assert not py_rows, f"row-at-a-time Python UDFs in plans: {py_rows}"
     assert not wide, f"full-width scans (pruning defeated): {wide}"
+
+
+def test_winnow_fingerprint_is_shuffle_free(spark, sf_dir):
+    """Winnowing is row-local; the whole query (selection + count +
+    digest) must plan as a pure map — zero exchanges (r4 rewrite: was a
+    gram explode + doc-keyed window sort + distinct + groupBy)."""
+    df = CATALOG["text_winnow_fingerprint"].fn(spark, sf_dir)
+    assert X.shuffle_count(df) == 0, X.physical_plan(df)[:2000]
