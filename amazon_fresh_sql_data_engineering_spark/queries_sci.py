@@ -563,20 +563,21 @@ def events_heavy_hitters_cms(spark, sf_dir):
     """,
     doc="Item-item collaborative filtering ('customers who bought X also "
     "bought Y'): top-3 neighbours per part by Jaccard similarity of "
-    "buyer sets. Co-occurrence counted once per unordered pair via a "
-    "customer-keyed self-equi-join of the DISTINCT (customer, part) "
-    "table. Pair work is proportional to sum of per-customer "
+    "buyer sets. Pair work is proportional to sum of per-customer "
     "basket-size^2, so baskets are CAPPED at max_items_per_user=64 "
     "items (most-recent-purchase first, ties to smallest part id; the "
     "oracle states the identical cut as a uniform row_number <= 64) "
-    "BEFORE the self-join — one power user with 10^4 items would "
-    "otherwise put 10^8 pairs in a single key group that AQE cannot "
-    "split. The cap is SKEW-TARGETED: rn <= cap cannot bind for a "
-    "user with <= cap items, so the recency window+sort runs only "
-    "over the over-cap (power-user) rows and normal users pass "
-    "through the plain distinct — the expensive arm scales with the "
-    "skew tail, not the corpus. Pairs are then emitted in both "
-    "directions for the per-item neighbour window. "
+    "BEFORE pair generation — one power user with 10^4 items would "
+    "otherwise contribute 10^8 pairs. Both the cap and the pair "
+    "generation are ROW-LOCAL: per-user item arrays are built with one "
+    "collect_list aggregation, the recency cut is array_sort+slice "
+    "inside the row, and unordered pairs come from a nested transform "
+    "over the ascending-sorted capped array (ia < ib by construction), "
+    "so the plan has no self-join, no per-user window, and no probe "
+    "stage — the (u,item) stream is shuffled ONCE instead of feeding "
+    "a two-sided sort-merge self-join (which shuffles and sorts it "
+    "twice). Pairs are then emitted in both directions for the "
+    "per-item neighbour window. "
     "jaccard = co / (|A| + |B| - co) is an integer-derived "
     "exactly-rounded division — shipped unrounded; the neighbour rank "
     "uses the total order (jaccard DESC, co DESC, nbr) so ties are "
@@ -589,60 +590,75 @@ def op_item_cf_jaccard(spark, sf_dir, max_items_per_user: int = 64):
     li, o = _t(spark, sf_dir, "lineitem", "orders")
     from pyspark.sql import Window
 
-    ui_dist = (
+    # Distinct (user, item, last purchase date) — one shuffle on (u, item)
+    # with map-side partial max.
+    ui0 = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item"))
-        .distinct()
-    )
-    # read 3+ times (cap probe + sizes + both self-join sides) — fence once
-    ui_dist = ui_dist.localCheckpoint(eager=True)
-    # Per-user basket cap (the 100x lever): top-N items by recency bounds
-    # the self-join at N^2 pairs per user no matter how hot the user is —
-    # one power user with 10^4 items would otherwise put 10^8 pairs in a
-    # single key group that AQE cannot split. SKEW-TARGETED + ADAPTIVE:
-    # "row_number <= cap" cannot bind for a user with <= cap items
-    # (rn <= n <= cap always holds), so (a) a metadata-sized probe on the
-    # fenced distinct frame first checks whether ANY over-cap user exists
-    # — the common case runs the exact uncapped plan with zero extra
-    # stages — and (b) when skew exists, the recency window+sort runs
-    # ONLY over the over-cap users' rows (the skew tail, not the corpus).
-    # The oracle states the equivalent uniform rn <= cap cut.
-    cnt = ui_dist.groupBy("u").agg(F.count(F.lit(1)).alias("__n"))
-    over_users = cnt.where(F.col("__n") > max_items_per_user).select("u")
-    if over_users.limit(1).count() > 0:
-        # filter-FIRST: restrict orders to the over-cap users before
-        # touching lineitem, so the recency re-derivation is proportional
-        # to the skew tail (AQE broadcasts the tiny user set), never a
-        # second full fact-fact join
-        under = ui_dist.join(over_users, "u", "left_anti")
-        over_orders = o.join(
-            over_users, o["o_custkey"] == F.col("u")
-        ).select("u", "o_orderkey", F.col("o_orderdate").alias("d"))
-        wu = Window.partitionBy("u").orderBy(F.col("last_d").desc(), "item")
-        over_capped = (
-            li.join(over_orders, li["l_orderkey"] == F.col("o_orderkey"))
-            .select("u", F.col("l_partkey").alias("item"), "d")
-            .groupBy("u", "item")
-            .agg(F.max("d").alias("last_d"))
-            .withColumn("rn", F.row_number().over(wu))
-            .where(F.col("rn") <= max_items_per_user)
-            .select("u", "item")
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item")
         )
-        # the union MUST be fenced: unfenced, the downstream self-join
-        # sees both arms claim compatible hash partitionings with
-        # different partition counts and AQE's SortMergeJoin dies with
-        # "Can't zip RDDs with unequal numbers of partitions" (measured,
-        # Spark 4.1.2) — and the fence also stops the anti-join arm
-        # replaying into all three downstream reads
-        ui = under.unionByName(over_capped).localCheckpoint(eager=True)
-    else:
-        ui = ui_dist
-    sizes = ui.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
-    a = ui.select(F.col("u"), F.col("item").alias("ia"))
-    b = ui.select(F.col("u"), F.col("item").alias("ib"))
+        .agg(F.max("o_orderdate").alias("last_d"))
+    )
+    # Per-user basket as ONE array row (shuffle on u; collect_list runs
+    # under ObjectHashAggregate with partial aggregation). The recency cap
+    # is row-local: sort structs by (-epoch_day, item) ascending ==
+    # (last_d DESC, item ASC), slice to the cap, then re-sort the surviving
+    # item ids ascending so nested-loop pair generation emits each
+    # unordered pair exactly once with ia < ib by construction.
+    # Scale note: the aggregation buffer for one user holds ALL their
+    # distinct items before the slice — memory is proportional to the
+    # single hottest user's distinct-item count (a few MB at 10^5 items),
+    # one row per user, never a data-sized single partition; this replaces
+    # the r4 adaptive window arm whose probe/anti-join/window pipeline cost
+    # ~2x the whole query at bench scale (measured: 16.6 s -> see
+    # BASELINE.md round-4 errata) while bounding the same quantity.
+    baskets = (
+        ui0.groupBy("u")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    (-F.datediff(F.col("last_d"), F.lit("1970-01-01"))).alias(
+                        "negd"
+                    ),
+                    F.col("item"),
+                )
+            ).alias("recency")
+        )
+        .select(
+            "u",
+            F.array_sort(
+                F.transform(
+                    F.slice(
+                        F.array_sort("recency"), 1, max_items_per_user
+                    ),
+                    lambda s: s["item"],
+                )
+            ).alias("items"),
+        )
+    )
+    # baskets feeds both the pair stream and the buyer-set sizes; it is a
+    # small frame (one row per user) — fence it so the join+agg above runs
+    # once.
+    baskets = baskets.localCheckpoint(eager=True)
+    sizes = baskets.select(F.explode("items").alias("item")).groupBy(
+        "item"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # Row-local unordered pair generation: for the i-th item (0-based),
+    # pair it with every later item in the ascending array. slice() is
+    # 1-based and clamps past the end, so a length of max_items_per_user
+    # always covers the tail.
+    pairs = F.flatten(
+        F.transform(
+            "items",
+            lambda x, i: F.transform(
+                F.slice("items", i + F.lit(2), F.lit(max_items_per_user)),
+                lambda y: F.struct(x.alias("ia"), y.alias("ib")),
+            ),
+        )
+    )
     co = (
-        a.join(b, "u")
-        .where(F.col("ia") < F.col("ib"))
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.ia", "p.ib")
         .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).alias("co"))
     )
