@@ -638,8 +638,17 @@ def op_item_cf_jaccard(spark, sf_dir, max_items_per_user: int = 64):
     )
     # baskets feeds both the pair stream and the buyer-set sizes; it is a
     # small frame (one row per user) — fence it so the join+agg above runs
-    # once.
-    baskets = baskets.localCheckpoint(eager=True)
+    # once. Then REPARTITION: AQE coalesces the tiny basket shuffle (~15k
+    # array rows at sf0.1 -> 6 partitions) because the ~200x pair-explode
+    # blowup downstream is invisible to its byte-based sizing, which would
+    # strand the heaviest stage (explode + partial pair agg) on a fraction
+    # of the cores. Round-robin over the full parallelism costs one shuffle
+    # of the small frame and measures 9.4 s -> 6.0 s warm at sf0.1; at
+    # 100 TB the same coalesce-before-explode trap is the difference
+    # between scan-rate pair generation and a handful of straggler tasks.
+    baskets = baskets.localCheckpoint(eager=True).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sizes = baskets.select(F.explode("items").alias("item")).groupBy(
         "item"
     ).agg(F.count(F.lit(1)).alias("n"))
