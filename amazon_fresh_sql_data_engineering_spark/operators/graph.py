@@ -27,7 +27,7 @@ scalar aggregate per iteration, not a new shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
@@ -180,10 +180,16 @@ def label_propagation(
     total tie order, so reruns (and engine replays) are bit-identical.
 
     Per iteration: one src-keyed equi-join (labels onto edges), one
-    map-side-combined (node, label) weight aggregation, one node-keyed
-    window to pick the argmax — no global window, nothing collected.
-    Labels are node ids, so the shuffled payload stays two id columns
-    wide; at 100 TB this is the same shape GraphX/Pregel LPA lowers to.
+    map-side-combined (node, label) weight aggregation, then the argmax
+    as a second map-side-combinable aggregation — ``min(struct(-v,
+    label))`` picks the largest vote with ties to the smallest label
+    (negating a positive double is exact and order-reversing; votes are
+    sums of positive weights, so NaN/-0.0 never occur) — no window, no
+    per-iteration sort, nothing collected. The same argmax-as-aggregate
+    rewrite as ``op_skew_report``: a ``row_number`` window here would
+    sort every (node, label) vote each round, a per-iteration data-sized
+    sort at 100 TB. Labels are node ids, so the shuffled payload stays
+    two id columns wide; this is the shape GraphX/Pregel LPA lowers to.
     """
     und = edges.select(
         F.col("src"), F.col("dst"), F.col("weight").cast("double").alias("w")
@@ -196,9 +202,6 @@ def label_propagation(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    w_pick = Window.partitionBy("dst").orderBy(
-        F.col("v").desc(), F.col("label").asc()
-    )
     for _ in range(iterations):
         votes = (
             und.join(labels, und["src"] == labels["node"])
@@ -206,8 +209,12 @@ def label_propagation(
             .agg(F.sum("w").alias("v"))
         )
         labels = (
-            votes.withColumn("__rn", F.row_number().over(w_pick))
-            .where(F.col("__rn") == 1)
-            .select(F.col("dst").alias("node"), "label")
+            votes.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct((-F.col("v")).alias("nv"), F.col("label"))
+                ).alias("b")
+            )
+            .select(F.col("dst").alias("node"), F.col("b.label").alias("label"))
         )
     return labels

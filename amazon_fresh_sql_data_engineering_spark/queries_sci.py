@@ -401,8 +401,10 @@ def op_survival_km(spark, sf_dir):
     "replaced by a total tie order so engine replays are bit-identical "
     "(vote weights are integer-derived doubles, exact under any "
     "summation order). Per iteration one src-keyed join + one "
-    "(node, label) combiner-collapsed aggregation + one node-partitioned "
-    "window; labels are node ids so the shuffle payload never exceeds "
+    "(node, label) combiner-collapsed aggregation + a min(struct(-v, "
+    "label)) argmax aggregation (map-side combinable — no window, no "
+    "per-iteration sort; the oracle keeps the row_number form); labels "
+    "are node ids so the shuffle payload never exceeds "
     "two id columns — the GraphX/Pregel LPA shape without GraphX. "
     "Graph-analytics sibling of op_pagerank (centrality), "
     "op_triangle_count (cohesion), and dedup_cluster_corpus "
