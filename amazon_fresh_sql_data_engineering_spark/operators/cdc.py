@@ -10,15 +10,15 @@ incremental-pipeline loop a lakehouse DML layer needs:
   published snapshots (what changed between ``v=N`` and ``v=N+1``), the
   input an incremental consumer wants when the writer didn't emit a log.
 
-Scale shape: ``changelog_apply`` is ONE key-partitioned window pass (the
-dedup-keep-latest idiom — row_number over (key, seq desc), no global
-sort); ``snapshot_diff`` is ONE full-outer key join with column-wise
+Scale shape: ``changelog_apply`` is ONE map-side-combinable keyed
+aggregation (max_by latest-row — each scan task pre-collapses to one
+candidate per key before the shuffle); ``snapshot_diff`` is ONE full-outer key join with column-wise
 null-safe comparison — both AQE-skew-splittable, neither collects.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def changelog_apply(
@@ -33,8 +33,8 @@ def changelog_apply(
     The row with the highest ``seq_col`` per key wins; keys whose latest
     event is a delete disappear. ``seq_col`` must be unique per key (a
     log offset / commit LSN — true for any ordered CDC feed); ties would
-    be nondeterministic, so the window orders by (seq desc) only after
-    that contract.
+    be nondeterministic, so the latest-per-key pick relies on that
+    contract.
     """
     return (
         compact_log(log, keys, seq_col)
@@ -52,13 +52,20 @@ def compact_log(log: DataFrame, keys: list[str], seq_col: str) -> DataFrame:
     ``changelog_apply`` is this plus the reader-side tombstone filter;
     the streaming apply (streaming/cdc.py) persists THIS form in its
     sink and filters on read.
+
+    Realized as ``max_by(struct(<row>), seq)`` per key rather than the
+    dedup-keep-latest ``row_number`` window: the aggregate is map-side
+    combinable, so each scan task collapses to ONE candidate row per key
+    BEFORE the shuffle — a year-long changelog shuffles ~|live keys|
+    rows, where the window form shuffles and sorts the entire log.
+    ``max_by`` only needs ``seq_col`` orderable (the payload may contain
+    maps or other unorderable types); its tie behavior is unreachable
+    under the seq-unique-per-key contract above.
     """
-    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
-    return (
-        log.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    latest = F.max_by(
+        F.struct(*[F.col(c) for c in log.columns]), F.col(seq_col)
+    ).alias("__b")
+    return log.groupBy(*keys).agg(latest).select("__b.*")
 
 
 def snapshot_diff(
