@@ -1068,9 +1068,15 @@ def events_dedup(spark, sf_dir):
     doc="Deterministic stratified sample: fixed-size per-stratum pick by "
     "md5 order — 'random' but stable across runs/engines/partitionings "
     "(rand()/TABLESAMPLE resample on every rerun, breaking train-set "
-    "reproducibility). One shuffle on the stratum key; for heavy strata "
-    "at 100 TB, pre-filter with a bucket threshold (op_hash_split) so the "
-    "window sees ~k x strata rows, not the full table.",
+    "reproducibility). Strata (languages) are FEW and data-sized, which "
+    "would make a per-stratum window the per-group sibling of the "
+    "single-partition trap — but Catalyst's InferWindowGroupLimit "
+    "two-phases the rn <= k filter itself: a PARTIAL WindowGroupLimit "
+    "keeps k rows per stratum per input partition BEFORE the stratum "
+    "exchange, so the post-shuffle sort sees <= k x partitions rows per "
+    "stratum, never the stratum's data (plan-gated in test_plans.py — "
+    "if a Spark version or expression change drops the partial limit, "
+    "the gate fails rather than the cluster).",
 )
 def op_stratified_sample(spark, sf_dir):
     from pyspark.sql import Window

@@ -421,3 +421,34 @@ def test_winnow_fingerprint_is_shuffle_free(spark, sf_dir):
     gram explode + doc-keyed window sort + distinct + groupBy)."""
     df = CATALOG["text_winnow_fingerprint"].fn(spark, sf_dir)
     assert X.shuffle_count(df) == 0, X.physical_plan(df)[:2000]
+
+
+def test_stratified_sample_partial_group_limit_before_stratum_shuffle(spark, sf_dir):
+    """op_stratified_sample windows over lang — a handful of data-sized
+    strata. It is only viable because InferWindowGroupLimit plants a
+    PARTIAL WindowGroupLimit before the stratum exchange (k rows per
+    stratum per input partition survive the map side), so the per-stratum
+    sort never sees the stratum's data. Gate the optimizer property: a
+    Spark upgrade or expression change that defeats the inference should
+    fail here, not on the cluster."""
+    plan = X.physical_plan(CATALOG["op_stratified_sample"].fn(spark, sf_dir))
+    tree = [
+        l
+        for l in plan.splitlines()
+        if "WindowGroupLimit (" in l or "Exchange (" in l
+    ]
+    # tree prints top-down: Final limit, the stratum Exchange, then the
+    # Partial limit on the map side
+    kinds = ["WindowGroupLimit" if "WindowGroupLimit" in l else "Exchange" for l in tree]
+    assert kinds == ["WindowGroupLimit", "Exchange", "WindowGroupLimit"], plan[:3000]
+
+
+def test_cdc_compaction_is_aggregate_not_window(spark, sf_dir):
+    """compact_log picks the latest row per key with max_by — map-side
+    combinable (each scan task collapses to one candidate per key before
+    the shuffle). The row_number-window form would shuffle AND sort the
+    whole changelog; no Window may appear in op_cdc_apply's plan, and the
+    aggregate must have a partial phase."""
+    plan = X.physical_plan(CATALOG["op_cdc_apply"].fn(spark, sf_dir))
+    assert "Window" not in plan, plan[:3000]
+    assert "partial_max_by" in plan or "HashAggregate" in plan, plan[:3000]
