@@ -57,9 +57,11 @@ _PRIORITY = [
     "op_regexp_extract_all",
     "op_bool_aggs",
     "op_seasonal_decompose",
-    # --- changed this round (plan fixes: min_by argmax / basket cap) ---
+    # --- changed this round (plan fixes: min_by argmax / basket cap /
+    # row-local pairs+repartition / LPA argmax aggregate) ---
     "op_skew_report",
     "op_item_cf_jaccard",
+    "op_label_propagation",
     # --- new driver-facing shapes for the two library-only §2 rows
     # (VERDICT r3 item 6: OP-CSV-LOAD, OP-CTAS) ---
     "q_csv_staging_roundtrip",
