@@ -201,8 +201,8 @@ def global_lead(
 def global_cumsum(
     df: DataFrame,
     order_cols,
-    value_col: str,
-    name: str,
+    value_col,
+    name,
     *,
     descending: bool = False,
     rows_frame: bool = True,
@@ -211,33 +211,52 @@ def global_cumsum(
     """Append SUM(value_col) OVER (ORDER BY order_cols <frame>) — the
     global running total — with no single-partition stage.
 
+    ``value_col`` / ``name`` may each be a list of equal length: every
+    listed column gets its running total over the SAME ordering in ONE
+    two-phase pass (one range exchange, one per-partition window, one
+    metadata-sized offset table carrying a column per value) — chaining
+    two single-column calls would range-partition and window the data
+    twice for no reason.
+
     ``rows_frame=True`` is ROWS UNBOUNDED PRECEDING..CURRENT ROW (give a
     total order or the result is as nondeterministic as the SQL form);
     ``False`` is the SQL-default RANGE frame (peers share the value, so
     any order works). Two-phase: local cumulative sum per range partition
     plus broadcast offsets of earlier partitions' totals (ties co-located,
     so RANGE peer groups never split)."""
+    vals = [value_col] if isinstance(value_col, str) else list(value_col)
+    names = [name] if isinstance(name, str) else list(name)
+    if len(vals) != len(names):
+        raise ValueError("global_cumsum: value_col and name length mismatch")
     spec = _order_spec(order_cols, descending)
     pid_df, _, _ = _two_phase(df, spec, num_partitions)
-    sums = pid_df.groupBy(_PID).agg(F.sum(value_col).alias(_CNT))
+    sums = pid_df.groupBy(_PID).agg(
+        *[F.sum(v).alias(f"__gr_s_{i}") for i, v in enumerate(vals)]
+    )
     earlier = sums.select(
-        F.col(_PID).alias("__gr_pid_b"), F.col(_CNT).alias("__gr_cnt_b")
+        F.col(_PID).alias("__gr_pid_b"),
+        *[F.col(f"__gr_s_{i}").alias(f"__gr_sb_{i}") for i in range(len(vals))],
     )
     offsets = (
         sums.join(F.broadcast(earlier), F.col("__gr_pid_b") < F.col(_PID), "left")
         .groupBy(_PID)
-        .agg(F.coalesce(F.sum("__gr_cnt_b"), F.lit(0)).alias(_OFF))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"__gr_sb_{i}"), F.lit(0)).alias(f"__gr_off_{i}")
+                for i in range(len(vals))
+            ]
+        )
     )
     w = Window.partitionBy(_PID).orderBy(*spec)
     if rows_frame:
         w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    local = F.sum(value_col).over(w)
-    return (
-        pid_df.withColumn(_LOCAL, local)
-        .join(F.broadcast(offsets), _PID)
-        .withColumn(name, F.col(_LOCAL) + F.col(_OFF))
-        .select(*df.columns, name)
-    )
+    out = pid_df
+    for i, v in enumerate(vals):
+        out = out.withColumn(f"__gr_l_{i}", F.sum(v).over(w))
+    out = out.join(F.broadcast(offsets), _PID)
+    for i, nm in enumerate(names):
+        out = out.withColumn(nm, F.col(f"__gr_l_{i}") + F.col(f"__gr_off_{i}"))
+    return out.select(*df.columns, *names)
 
 
 def global_ntile(

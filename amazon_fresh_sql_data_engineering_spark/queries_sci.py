@@ -188,10 +188,10 @@ def op_mann_whitney(spark, sf_dir):
     """,
     doc="Two-sample Kolmogorov-Smirnov test on the A/B spend split: "
     "D = max |ECDF_A - ECDF_B| evaluated at the distinct-value grain "
-    "(the supremum over all reals is attained at sample points), ECDFs "
-    "from one two-phase global_cumsum pass (cum_b = cum_n - cum_a, so "
-    "ONE cumulative column serves both arms — no chained window "
-    "replay). ECDF ratios are integer-derived exactly-rounded "
+    "(the supremum over all reals is attained at sample points), both "
+    "ECDF numerators from ONE multi-column two-phase global_cumsum pass "
+    "(one range exchange + one window emit cum_a and cum_n together; "
+    "cum_b = cum_n - cum_a). ECDF ratios are integer-derived exactly-rounded "
     "divisions, the max of exact values is exact, and the alpha=0.05 "
     "critical value c*sqrt((n1+n2)/(n1*n2)) goes through IEEE-correct "
     "sqrt — all shipped unrounded, the 1.358 coefficient entering as a "
@@ -206,13 +206,11 @@ def op_ks_test(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(0)).alias("na"),
     )
-    # cum of na and of n in ONE two-phase pass each over the same fenced
-    # base (metadata-sized; localCheckpoint per the chained-two-phase
-    # discipline — see NOTES_r3 rfm lesson)
+    # cum of na and of n in ONE two-phase pass (multi-column global_cumsum:
+    # one range exchange + one window serve both arms); the fence keeps the
+    # aggregate from replaying under the range sampler (NOTES_r3 rfm lesson)
     vals = vals.localCheckpoint(eager=True)
-    ec = global_cumsum(vals, ["v"], "na", "cum_a")
-    ec = ec.localCheckpoint(eager=True)
-    ec = global_cumsum(ec, ["v"], "n", "cum_n")
+    ec = global_cumsum(vals, ["v"], ["na", "n"], ["cum_a", "cum_n"])
     tot = vals.agg(
         F.sum("na").alias("n1"), F.sum(F.col("n") - F.col("na")).alias("n2")
     )

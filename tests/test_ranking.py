@@ -129,3 +129,19 @@ def test_global_cumsum_range_frame_peers_share(tied_df):
     assert {(r.id, r.cs) for r in exp.collect()} == {
         (r.id, r.cs) for r in got.collect()
     }
+
+
+def test_global_cumsum_multi_column_one_pass(tied_df):
+    # both running totals in one call == two chained single-column calls
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    src = tied_df.withColumn("v2", F.col("v") * 10 + F.col("id"))
+    exp = src.withColumn("cs", F.sum("v").over(w)).withColumn(
+        "cs2", F.sum("v2").over(w)
+    )
+    spec = [F.col("v").asc(), F.col("id").asc()]
+    got = global_cumsum(src, spec, ["v", "v2"], ["cs", "cs2"])
+    assert {(r.id, r.cs, r.cs2) for r in exp.collect()} == {
+        (r.id, r.cs, r.cs2) for r in got.collect()
+    }
+    with pytest.raises(ValueError, match="length mismatch"):
+        global_cumsum(src, spec, ["v", "v2"], ["cs"])
