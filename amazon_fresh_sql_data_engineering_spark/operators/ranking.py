@@ -41,10 +41,25 @@ range partition (any rank implementation must co-locate ties); for rank
 over low-cardinality keys aggregate to the key grain first, which every
 catalog user of these operators already does.
 
-Determinism: ``spark_partition_id()`` is stable here because the range
-partitioner's boundary sampling is seeded per-partition-index (XORShift of
-the partition id), so the same input yields the same boundaries and the
-same row->pid mapping even when the exchange is not reused.
+Determinism: the stamped ``spark_partition_id()`` frame is **persisted**
+before any branch consumes it. Range-exchange boundary sampling is seeded
+by the *RDD instance id* (``byteswap32(-rdd.id - 1)`` in
+``RangePartitioner.sketch``), so two physical materializations of the
+same logical ``repartitionByRange`` can pick DIFFERENT boundaries; the
+local-window branch, the counts branch, and the offsets branch then see
+inconsistent row->pid mappings and the composed rank silently drifts.
+Catalyst's ReuseExchange usually collapses the three branches onto one
+exchange, masking this — but column pruning gives each branch a
+differently-projected exchange and reuse is NOT applied (observed on
+Spark 4.1: three ``Exchange rangepartitioning`` nodes, zero
+``ReusedExchange``, ranks off by a partition's tie count at 300k rows).
+Pinning the pid view with ``persist()`` makes every branch read the one
+materialized assignment; on cache eviction the recompute flows through
+the same ShuffleDependency (partitioner instance already holds its
+boundaries), so the mapping stays frozen. The pinned frame is the
+operator's input at its (usually aggregate) grain — the cost is one
+cached pass, and it replaces up to three independent shuffles of the
+same data.
 """
 
 from __future__ import annotations
@@ -80,7 +95,10 @@ def _two_phase(df: DataFrame, spec: list[Column], num_partitions: int | None):
         if num_partitions
         else df.repartitionByRange(*spec)
     )
-    pid_df = ranged.withColumn(_PID, F.spark_partition_id())
+    # persist = the consistency pin for every downstream branch (see module
+    # docstring: per-instance boundary-sampling seeds make an un-reused
+    # range exchange nondeterministic)
+    pid_df = ranged.withColumn(_PID, F.spark_partition_id()).persist()
     counts = pid_df.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
     earlier = counts.select(
         F.col(_PID).alias("__gr_pid_b"), F.col(_CNT).alias("__gr_cnt_b")
@@ -172,7 +190,9 @@ def global_lead(
         if num_partitions
         else df.repartitionByRange(*spec)
     )
-    pid_df = ranged.withColumn(_PID, F.spark_partition_id())
+    # same consistency pin as _two_phase: heads/patch branches must see the
+    # exact row->pid mapping the stamped window branch saw
+    pid_df = ranged.withColumn(_PID, F.spark_partition_id()).persist()
     w = Window.partitionBy(_PID).orderBy(*spec)
     payload = F.struct(*[F.col(src) for src in leads])
     stamped = pid_df.withColumn(_LOCAL, F.lead(payload).over(w)).withColumn(

@@ -156,3 +156,42 @@ def test_streaming_cdc_apply_matches_batch_and_restarts_idempotent(
     again = read_current_state(spark, out)
     assert again.exceptAll(batch).count() == 0
     assert batch.exceptAll(again).count() == 0
+
+
+def test_compact_log_long_changelog_forced_scale(spark):
+    """Forced-scale compaction stress: a 300k-event changelog over 3k keys
+    (100 versions per key, deletes interleaved) must collapse to exactly one
+    latest row per key with tombstones retained — the map-side-combinable
+    max_by path, exercised well past the toy-changelog grain of the unit
+    tests. Expectation is computed by expression (latest seq per key is
+    closed-form), compared with a distributed anti-count, no driver-side
+    materialization of the log."""
+    from amazon_fresh_sql_data_engineering_spark.operators.cdc import compact_log
+
+    n_keys, n_versions = 3_000, 100
+    log = (
+        spark.range(n_keys * n_versions)
+        .repartition(32)
+        .select(
+            (F.col("id") % n_keys).alias("k"),
+            F.col("id").alias("seq"),
+            # every 7th event is a delete; payload derives from seq
+            F.when(F.col("id") % 7 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            (F.col("id") * 2).alias("v"),
+        )
+    )
+    got = compact_log(log, ["k"], "seq")
+    assert got.count() == n_keys
+    # latest event for key k is id = n_keys*(n_versions-1) + k
+    exp = spark.range(n_keys).select(
+        F.col("id").alias("k"),
+        (F.lit(n_keys * (n_versions - 1)) + F.col("id")).alias("seq"),
+        F.when((F.lit(n_keys * (n_versions - 1)) + F.col("id")) % 7 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        ((F.lit(n_keys * (n_versions - 1)) + F.col("id")) * 2).alias("v"),
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    # tombstones retained in the compacted form (storage semantics)
+    assert got.filter(F.col("op") == "D").count() > 0

@@ -145,3 +145,68 @@ def test_global_cumsum_multi_column_one_pass(tied_df):
     }
     with pytest.raises(ValueError, match="length mismatch"):
         global_cumsum(src, spec, ["v", "v2"], ["cs"])
+
+
+@pytest.mark.parametrize(
+    "dist",
+    ["mega_tie", "all_equal", "unique"],
+    ids=["half-the-rows-one-key", "single-tie-group", "total-order"],
+)
+def test_two_phase_family_forced_scale_stress(spark, dist):
+    """Forced-scale adversarial stress: 300k rows pushed through 64 range
+    partitions (two orders of magnitude past the unit fixtures) under the
+    three distributions that break naive rank composition — a mega tie
+    group holding half the table (every boundary sample lands inside it),
+    one single global tie group (rank must be 1 everywhere while cumsum
+    still advances), and a fully unique ordering. Parity vs the
+    single-window SQL forms is asserted with a distributed mismatch count
+    (join on the unique id), never a driver collect of the data."""
+    n = 300_000
+    base = spark.range(n).repartition(24)
+    if dist == "mega_tie":
+        v = F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(
+            F.pmod(F.hash(F.col("id")), F.lit(1000))
+        )
+    elif dist == "all_equal":
+        v = F.lit(7)
+    else:
+        v = F.col("id") * 3 + 1
+    df = base.select(F.col("id"), v.cast("long").alias("v"),
+                     (F.col("id") % 5).cast("long").alias("w"))
+
+    w_rank = Window.orderBy(F.col("v").desc())
+    w_total = Window.orderBy("v", "id")
+    exp = (
+        df.withColumn("r_exp", F.rank().over(w_rank))
+        .withColumn("rn_exp", F.row_number().over(w_total))
+        .withColumn(
+            "cs_exp",
+            F.sum("v").over(w_total.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "cw_exp",
+            F.sum("w").over(w_total.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    got = global_rank(df, "v", "r", num_partitions=64)
+    got = global_row_number(
+        got, [F.col("v").asc(), F.col("id").asc()], "rn", num_partitions=64
+    )
+    got = global_cumsum(
+        got,
+        [F.col("v").asc(), F.col("id").asc()],
+        ["v", "w"],
+        ["cs", "cw"],
+        num_partitions=64,
+    )
+    joined = exp.select("id", "r_exp", "rn_exp", "cs_exp", "cw_exp").join(
+        got.select("id", "r", "rn", "cs", "cw"), "id"
+    )
+    bad = joined.filter(
+        (F.col("r") != F.col("r_exp"))
+        | (F.col("rn") != F.col("rn_exp"))
+        | (F.col("cs") != F.col("cs_exp"))
+        | (F.col("cw") != F.col("cw_exp"))
+    ).count()
+    assert bad == 0
+    assert joined.count() == n
