@@ -210,3 +210,30 @@ def test_two_phase_family_forced_scale_stress(spark, dist):
     ).count()
     assert bad == 0
     assert joined.count() == n
+
+
+def test_lead_and_ntile_forced_scale_stress(spark):
+    """Same forced-scale hazard class as the rank/cumsum stress, for the
+    two remaining family members: lead's cross-partition patch rows and
+    ntile's remainder-tile arithmetic at 64 range partitions / 300k rows,
+    against the single-window forms via distributed mismatch counts."""
+    n = 300_000
+    df = spark.range(n).repartition(24).select(
+        F.col("id"), (F.pmod(F.hash(F.col("id")), F.lit(50))).cast("long").alias("v")
+    )
+    w = Window.orderBy("v", "id")
+    exp = df.withColumn("nid_exp", F.lead("id").over(w)).withColumn(
+        "t_exp", F.ntile(7).over(w)
+    )
+    spec = [F.col("v").asc(), F.col("id").asc()]
+    got = global_lead(df, spec, {"id": "nid"}, num_partitions=64)
+    got = global_ntile(got, 7, spec, "t", num_partitions=64)
+    joined = exp.select("id", "nid_exp", "t_exp").join(
+        got.select("id", "nid", "t"), "id"
+    )
+    bad = joined.filter(
+        (~F.col("nid").eqNullSafe(F.col("nid_exp")))
+        | (F.col("t") != F.col("t_exp"))
+    ).count()
+    assert bad == 0
+    assert joined.count() == n
