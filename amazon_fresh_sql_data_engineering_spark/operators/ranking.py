@@ -60,6 +60,15 @@ boundaries), so the mapping stays frozen. The pinned frame is the
 operator's input at its (usually aggregate) grain — the cost is one
 cached pass, and it replaces up to three independent shuffles of the
 same data.
+
+Caller discipline for long-running jobs: the pin is a ``persist()`` (NOT
+``localCheckpoint`` — persisted blocks are LRU-evictable and recompute
+through the frozen ShuffleDependency, so eviction costs performance, never
+correctness or memory safety), but each call does register a CacheManager
+entry that outlives the query. A service calling these operators in a loop
+should ``spark.catalog.clearCache()`` (or unpersist the returned plan's
+cached ancestors) between logically independent jobs — the same discipline
+bench.py applies between queries.
 """
 
 from __future__ import annotations

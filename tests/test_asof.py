@@ -71,3 +71,59 @@ def test_asof_preserves_left_columns(spark):
         payload={"rid": "rid"}, tiebreak="rid",
     ).columns
     assert cols == ["lid", "k", "lts", "rid"]
+
+
+def test_asof_forced_scale_stress(spark):
+    """Forced-scale adversarial stress, same hazard class as the two-phase
+    family stress: 120k left x 120k right rows over ~100 keys with one
+    mega key holding a third of each side (one window task sorts ~80k
+    rows), timestamps drawn from a coarse grid so exact left==right ties
+    and duplicate right timestamps are everywhere, plus NULL-timestamp
+    slices on both sides. Parity oracle is pandas ``merge_asof`` — an
+    independent merge-join implementation, not a re-plan of the same
+    union-merge: right sorted stably by (ts, tiebreak) makes backward
+    inclusive matching pick the greatest rid among the most recent
+    timestamps, which is exactly asof_join's contract."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n = 120_000
+    mega = F.col("id") % 3 == 0  # ~40k rows on key 7
+    left = spark.range(n).repartition(16).select(
+        F.col("id").alias("lid"),
+        F.when(mega, F.lit(7)).otherwise(F.pmod(F.hash("id"), F.lit(97))).alias("k"),
+        F.when(
+            F.col("id") % 101 == 0, F.lit(None)
+        ).otherwise(F.pmod(F.hash(F.col("id") + 1), F.lit(1000)) * 7).alias("lts"),
+    )
+    right = spark.range(n).repartition(16).select(
+        F.col("id").alias("rid"),
+        F.when(mega, F.lit(7)).otherwise(F.pmod(F.hash("id"), F.lit(97))).alias("k"),
+        F.when(
+            F.col("id") % 103 == 0, F.lit(None)
+        ).otherwise(F.pmod(F.hash(F.col("id") + 2), F.lit(1000)) * 7).alias("rts"),
+        (F.pmod(F.hash(F.col("id") + 3), F.lit(10_000)) / 100.0).alias("v"),
+    )
+
+    got = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        payload={"rid": "rid", "v": "v"}, tiebreak="rid", how="left",
+    ).toPandas()
+
+    pl = left.toPandas()
+    pr = right.toPandas()
+    pl = pl[pl.lts.notna()].sort_values("lts", kind="mergesort")
+    pr = pr[pr.rts.notna()].sort_values(["rts", "rid"], kind="mergesort")
+    exp = pd.merge_asof(
+        pl, pr, left_on="lts", right_on="rts", by="k",
+        direction="backward", allow_exact_matches=True,
+    ).set_index("lid")
+
+    assert len(got) == len(exp)  # how="left": every non-null-lts left row
+    got = got.set_index("lid")
+    merged = exp[["rid", "v"]].join(got[["rid", "v"]], lsuffix="_e", rsuffix="_g")
+    both_null = merged.rid_e.isna() & merged.rid_g.isna()
+    same = (merged.rid_e == merged.rid_g) & (merged.v_e == merged.v_g)
+    assert (both_null | same).all()
+    # the unmatched slice is real (early left rows before any right row)
+    assert both_null.sum() > 0 and same.sum() > 100_000
