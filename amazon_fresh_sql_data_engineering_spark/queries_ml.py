@@ -124,14 +124,14 @@ def q_expectations(spark, sf_dir):
     "op_weighted_sample",
     oracle="""
         SELECT o_orderkey, o_totalprice,
-               round(priority, 10) AS priority
+               round(p, 10) AS priority
         FROM (
             SELECT o_orderkey, o_totalprice,
                    ((CAST(('0x' || substr(md5('ws' || CAST(o_orderkey AS VARCHAR)), 1, 8))
-                          AS BIGINT) + 1) / 4294967296.0) / o_totalprice AS priority
+                          AS BIGINT) + 1) / 4294967296.0) / o_totalprice AS p
             FROM orders
         )
-        ORDER BY priority, o_orderkey
+        ORDER BY p, o_orderkey
         LIMIT 100
     """,
     doc="Weighted sampling without replacement via sequential Poisson / "
