@@ -41,34 +41,41 @@ range partition (any rank implementation must co-locate ties); for rank
 over low-cardinality keys aggregate to the key grain first, which every
 catalog user of these operators already does.
 
-Determinism: the stamped ``spark_partition_id()`` frame is **persisted**
-before any branch consumes it. Range-exchange boundary sampling is seeded
-by the *RDD instance id* (``byteswap32(-rdd.id - 1)`` in
-``RangePartitioner.sketch``), so two physical materializations of the
-same logical ``repartitionByRange`` can pick DIFFERENT boundaries; the
-local-window branch, the counts branch, and the offsets branch then see
-inconsistent row->pid mappings and the composed rank silently drifts.
-Catalyst's ReuseExchange usually collapses the three branches onto one
-exchange, masking this — but column pruning gives each branch a
-differently-projected exchange and reuse is NOT applied (observed on
-Spark 4.1: three ``Exchange rangepartitioning`` nodes, zero
-``ReusedExchange``, ranks off by a partition's tie count at 300k rows).
-Pinning the pid view with ``persist()`` makes every branch read the one
-materialized assignment; on cache eviction the recompute flows through
-the same ShuffleDependency (partitioner instance already holds its
-boundaries), so the mapping stays frozen. The pinned frame is the
-operator's input at its (usually aggregate) grain — the cost is one
-cached pass, and it replaces up to three independent shuffles of the
-same data.
+Determinism: the stamped ``spark_partition_id()`` frame is **eagerly
+localCheckpoint-ed** before any branch consumes it. Two stacked hazards
+force a materialized pin:
 
-Caller discipline for long-running jobs: the pin is a ``persist()`` (NOT
-``localCheckpoint`` — persisted blocks are LRU-evictable and recompute
-through the frozen ShuffleDependency, so eviction costs performance, never
-correctness or memory safety), but each call does register a CacheManager
-entry that outlives the query. A service calling these operators in a loop
-should ``spark.catalog.clearCache()`` (or unpersist the returned plan's
-cached ancestors) between logically independent jobs — the same discipline
-bench.py applies between queries.
+1. Range-exchange boundary sampling is seeded by the *RDD instance id*
+   (``byteswap32(-rdd.id - 1)`` in ``RangePartitioner.sketch``), so two
+   physical materializations of the same logical ``repartitionByRange``
+   can pick DIFFERENT boundaries; the local-window branch, the counts
+   branch, and the offsets branch then see inconsistent row->pid mappings
+   and the composed rank silently drifts (observed on Spark 4.1: ranks
+   off by a partition's tie count at 300k rows).
+2. ``spark_partition_id()`` is a **nondeterministic expression**, so no
+   two consumer plans of the stamped frame are ever canonically equal:
+   ``CacheManager`` lookups miss (a ``persist()`` pin is silently
+   BYPASSED — measured: persist + eager count still composes wrong) and
+   ``ReuseExchange`` cannot fire above the stamp. Under AQE the
+   *exchange below the stamp* is deduplicated by runtime stage-level
+   reuse (its subtree is deterministic), which masks the bug — with
+   ``spark.sql.adaptive.enabled=false`` every branch plans its own
+   exchange, samples its own boundaries, and the composed cumsum was
+   measured wrong on 12k of 15k rows (found by an AQE-off
+   odd-partition-count perturbation sweep, round 4).
+
+``localCheckpoint(eager=True)`` freezes the pid values IN THE DATA —
+every branch reads the one materialized assignment under any config, and
+the checkpoint also truncates lineage. The pinned frame is the operator's
+input at its (usually aggregate) grain; the one materialized pass
+replaces up to three independent shuffles of the same data.
+
+Caller discipline for long-running jobs: localCheckpoint blocks are not
+evictable and not recomputable — unpersist them between logically
+independent jobs (bench.py's between-query discipline), and on clusters
+with preemptible executors prefer reliable ``checkpoint()`` semantics if
+mid-query executor loss must be survivable (same tradeoff as every other
+eager fence in this engine).
 """
 
 from __future__ import annotations
@@ -104,10 +111,14 @@ def _two_phase(df: DataFrame, spec: list[Column], num_partitions: int | None):
         if num_partitions
         else df.repartitionByRange(*spec)
     )
-    # persist = the consistency pin for every downstream branch (see module
-    # docstring: per-instance boundary-sampling seeds make an un-reused
-    # range exchange nondeterministic)
-    pid_df = ranged.withColumn(_PID, F.spark_partition_id()).persist()
+    # eager localCheckpoint = the consistency pin for every downstream
+    # branch (see module docstring: spark_partition_id() is nondeterministic,
+    # so consumer plans never canonically match — cache lookups and
+    # ReuseExchange both miss, and each branch would sample its own range
+    # boundaries)
+    pid_df = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     counts = pid_df.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
     earlier = counts.select(
         F.col(_PID).alias("__gr_pid_b"), F.col(_CNT).alias("__gr_cnt_b")
@@ -201,7 +212,9 @@ def global_lead(
     )
     # same consistency pin as _two_phase: heads/patch branches must see the
     # exact row->pid mapping the stamped window branch saw
-    pid_df = ranged.withColumn(_PID, F.spark_partition_id()).persist()
+    pid_df = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     w = Window.partitionBy(_PID).orderBy(*spec)
     payload = F.struct(*[F.col(src) for src in leads])
     stamped = pid_df.withColumn(_LOCAL, F.lead(payload).over(w)).withColumn(
