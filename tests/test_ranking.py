@@ -237,3 +237,43 @@ def test_lead_and_ntile_forced_scale_stress(spark):
     ).count()
     assert bad == 0
     assert joined.count() == n
+
+
+def test_two_phase_correct_with_aqe_disabled(spark):
+    """Regression gate for the round-4 false-pin find: spark_partition_id()
+    is nondeterministic, so the stamped pid frame's consumer plans never
+    canonically match — a persist() pin is silently bypassed (CacheManager
+    lookup misses) and ReuseExchange can't fire above the stamp. The family
+    survived only via AQE's runtime stage-level reuse of the deterministic
+    exchange BELOW the stamp; with AQE off each branch sampled its own
+    range boundaries and the composed cumsum was wrong on 12k of 15k rows.
+    This runs the composition in a sibling session (same JVM, own SQLConf)
+    with adaptive execution OFF and a partition count that forces multiple
+    boundary samples, against the single-window form."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "5")
+    n = 15_000
+    df = s2.range(n).repartition(8).select(
+        F.col("id"),
+        (F.pmod(F.hash(F.col("id")), F.lit(100_000)) / 7.0).alias("v"),
+        (F.col("id") % 3).cast("long").alias("x"),
+    )
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    exp = df.select(
+        "id",
+        F.sum("x").over(w).alias("cx_exp"),
+        F.sum("v").over(w).alias("cv_exp"),
+        F.rank().over(Window.orderBy("v")).alias("r_exp"),
+    )
+    spec = [F.col("v").asc(), F.col("id").asc()]
+    got = global_cumsum(df, spec, ["x", "v"], ["cx", "cv"])
+    got = global_rank(got, "v", "r", descending=False)
+    joined = exp.join(got.select("id", "cx", "cv", "r"), "id")
+    bad = joined.filter(
+        (F.col("cx") != F.col("cx_exp"))
+        | (F.abs(F.col("cv") - F.col("cv_exp")) > 1e-6)
+        | (F.col("r") != F.col("r_exp"))
+    ).count()
+    assert bad == 0
+    assert joined.count() == n
