@@ -58,10 +58,12 @@ _PRIORITY = [
     "op_bool_aggs",
     "op_seasonal_decompose",
     # --- changed this round (plan fixes: min_by argmax / basket cap /
-    # row-local pairs+repartition / LPA argmax aggregate) ---
+    # row-local pairs+repartition / LPA argmax aggregate; weighted-sample
+    # oracle re-ordered by the RAW priority — the sf0.1 top-k-cut fix) ---
     "op_skew_report",
     "op_item_cf_jaccard",
     "op_label_propagation",
+    "op_weighted_sample",
     # --- new driver-facing shapes for the two library-only §2 rows
     # (VERDICT r3 item 6: OP-CSV-LOAD, OP-CTAS) ---
     "q_csv_staging_roundtrip",
@@ -94,7 +96,6 @@ _PRIORITY = [
     "sim_ann_pq_rerank",
     "text_hashing_vectorizer",
     "q_expectations",
-    "op_weighted_sample",
     "events_anomaly",
     "text_char_lm_score",
     "op_pagerank",
