@@ -3,21 +3,24 @@ family into ``registry.CATALOG``.
 
 The external driver samples the FIRST ~50 catalog entries (registration
 order) for its per-round correctness gate, so ``_PRIORITY`` front-loads the
-queries that most need driver-side evidence this round. Rounds 1-3 put 130
-distinct queries on green driver rows (CORRECTNESS_r01 ∪ r02 ∪ r03); round
-4 front-loads (a) the four r3 driver reds + one local red, all fixed by
-canonicalization-proofing (arrays -> array_join/%.6f strings, DuckDB
-HUGEINT sums -> CAST AS BIGINT, signed-zero + 0.0 — see registry.fin's
-rules), (b) the two queries whose plans changed this round
-(op_skew_report argmax, op_item_cf_jaccard basket cap), (c) the new
-OP-CSV-LOAD / OP-CTAS end-to-end shapes, then (d) the 89-name
-never-sampled tail in registration order — part 1 fits this round's ~50
-sample, part 2 is queued first for round 5. Catalog growth is frozen
-until driver evidence converges (VERDICT r3 item 2). Previously-green
-queries rotate to the back; the full catalog is still oracle-checked
-locally every round (scripts_parity_sweep.py / tests/test_oracle_parity.py),
-so rotation trades no coverage — it converts local parity into
-driver-recorded evidence for the tail.
+queries that most need driver-side evidence this round. Rounds 1-4 put 180
+distinct queries on green driver rows (CORRECTNESS_r01 ∪ … ∪ r04); round 5
+front-loads (a) the new PIPE-IDREMAP driver shape (VERDICT r4 item 5), (b)
+one re-evidence query per two-phase window family member — rank / ntile /
+lead / cumsum — because the round-5 deterministic-boundary rewrite of
+operators/ranking.py changed every consumer's plan, then (c) ALL 45
+remaining never-driver-sampled queries (the queries_stats/queries_sci tail,
+registration order) — 1+4+45 = 50, so this round converges driver evidence
+to the full catalog (VERDICT r4 item 1). Catalog growth stays frozen until
+the convergence lands.
+
+STANDING RULE (VERDICT r4 item 7): when the catalog grows after
+convergence, new entries go to the FRONT of _PRIORITY in the same round
+they land — never the back — so a never-sampled tail can't re-accumulate
+(the r3 failure mode). Previously-green queries rotate to the back; the
+full catalog is still oracle-checked locally every round
+(scripts_parity_sweep.py / tests/test_oracle_parity.py), so rotation trades
+no coverage — it converts local parity into driver-recorded evidence.
 """
 
 from __future__ import annotations
@@ -50,69 +53,20 @@ except ImportError:
     pass
 
 _PRIORITY = [
-    # --- round-4 block 1: re-evidence the r3 reds (all canonicalization
-    # fixes: arrays->array_join/%.6f, HUGEINT->BIGINT, signed zero) ---
-    "op_vector_centroids",
-    "op_collect_agg",
-    "op_regexp_extract_all",
-    "op_bool_aggs",
-    "op_seasonal_decompose",
-    # --- changed this round (plan fixes: min_by argmax / basket cap /
-    # row-local pairs+repartition / LPA argmax aggregate; weighted-sample
-    # oracle re-ordered by the RAW priority — the sf0.1 top-k-cut fix) ---
-    "op_skew_report",
-    "op_item_cf_jaccard",
-    "op_label_propagation",
-    "op_weighted_sample",
-    # --- new driver-facing shapes for the two library-only §2 rows
-    # (VERDICT r3 item 6: OP-CSV-LOAD, OP-CTAS) ---
-    "q_csv_staging_roundtrip",
-    "q_ctas_roundtrip",
-    # --- never-driver-sampled tail, part 1 of 2 (registration order;
-    # r1∪r2∪r3 sampled 134 distinct names — these are from the other 89;
-    # catalog growth frozen until this converges, VERDICT r3 item 2) ---
-    "q_profile_columns",
-    "op_pack_sequences",
-    "text_repetition_filter",
-    "text_decontaminate",
-    "op_histogram_equidepth",
-    "text_url_dedup",
-    "events_cohort_retention",
-    "op_set_ops_all",
-    "op_outlier_zscore",
-    "op_incremental_agg",
-    "op_bloom_prune_join",
-    "events_attribution",
-    "op_skew_salted_join",
-    "op_corpus_mixture",
-    "text_vocab_coverage",
-    "text_normalize",
-    "text_line_dedup",
-    "text_entropy_filter",
-    "dedup_containment",
-    "op_kmeans_refine",
-    "text_winnow_fingerprint",
-    "sim_ann_pq",
-    "sim_ann_pq_rerank",
-    "text_hashing_vectorizer",
-    "q_expectations",
-    "events_anomaly",
-    "text_char_lm_score",
-    "op_pagerank",
-    "dedup_semantic",
-    "op_bm25_search",
-    "op_time_weighted_avg",
-    "events_sliding_distinct",
-    "op_cdc_apply",
-    "op_snapshot_diff",
-    "q_masked_view",
-    "events_sliding_distinct_hll",
-    "op_triangle_count",
-    "op_interpolate_gaps",
-    "events_markov_transitions",
+    # --- round-5 block 1: the new PIPE-IDREMAP driver shape (new catalog
+    # entries always go FRONT — see the standing rule above) ---
+    "q_idremap_roundtrip",
+    # --- round-5 block 2: plan-changed re-evidence — the deterministic
+    # literal-boundary pid rewrite of operators/ranking.py touched every
+    # two-phase consumer; one representative per family member ---
+    "q_high_value",  # global_rank
+    "op_win_ntile",  # global_ntile
+    "op_seq_gaps",  # global_lead
+    "op_pack_sequences",  # global_cumsum
+    # --- round-5 block 3: the 45 never-driver-sampled names (registration
+    # order) — with blocks 1-2 exactly the driver's ~50 sample, converging
+    # driver evidence to all 226 catalog queries ---
     "events_ohlc",
-    # --- never-driver-sampled tail, part 2 (past the ~50 cut this round;
-    # becomes block 1 of round 5's rotation) ---
     "op_chi_square",
     "op_ab_test_welch",
     "op_rfm_segmentation",
@@ -137,7 +91,6 @@ _PRIORITY = [
     "op_mann_whitney",
     "op_ks_test",
     "op_survival_km",
-    "op_label_propagation",
     "events_heavy_hitters_cms",
     "op_pca_power",
     "op_holt_linear",

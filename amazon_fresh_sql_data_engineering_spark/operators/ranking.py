@@ -11,77 +11,87 @@ the whole job.
 These operators keep exact SQL window semantics with no single-partition
 pass over the data:
 
-1. **Range phase** — ``repartitionByRange`` on the full ordering spec.
-   Spark's range partitioner puts *equal keys in the same partition*
-   (partition choice is a binary search of the key against sampled
-   boundaries, so equal keys always land on the same side), which is what
-   makes per-partition ranks composable: a tie group never spans
-   partitions, and partition order equals sort order.
-2. **Local phase** — the window function over ``PARTITION BY
-   spark_partition_id()``. This is a parallel hash exchange over the
-   range-partition ids, never a single-partition one.
-3. **Offset phase** — per-partition row counts (one row per shuffle
-   partition, metadata-sized) become cumulative offsets via a triangular
-   broadcast self-join instead of an ORDER BY window, so the rank/
-   row_number plans are *entirely* free of ``Exchange SinglePartition``
-   (asserted in tests/test_plans.py). ``global = local + rows in earlier
-   partitions``.
+1. **Boundary phase** — a bounded, deterministic sample of the ordering
+   key is collected to the driver (metadata-sized: ~64 keys per target
+   partition, capped at 1M), sorted with the exact sort semantics Spark
+   uses (per-column direction, NULLS FIRST/LAST, NaN-largest), and P-1
+   evenly spaced split keys are baked into the plan **as literals**.
+2. **Assignment phase** — every row's partition id ``pid`` is computed
+   map-side by a generated balanced binary decision tree over the literal
+   boundaries (O(log P) lexicographic key comparisons per row, expression
+   size O(P·ncols)). ``pid`` is therefore a **pure deterministic function
+   of the row's key**: equal keys always get equal pids, pids are monotone
+   in the sort order, and — critically — every consumer branch of the
+   stamped frame computes the *same* mapping under any configuration,
+   because the mapping lives in the data, not in a runtime partitioner.
+3. **Local phase** — the window function over ``PARTITION BY pid``: a
+   parallel hash exchange over pid, never a single-partition one. This is
+   the ONLY full-data shuffle in the plan (the old design paid a range
+   exchange *plus* this hash exchange).
+4. **Offset phase** — per-pid row counts (one row per pid,
+   metadata-sized) become cumulative offsets via a triangular broadcast
+   self-join instead of an ORDER BY window, so the rank/row_number plans
+   are *entirely* free of ``Exchange SinglePartition`` (asserted in
+   tests/test_plans.py). ``global = local + rows in earlier pids``.
 
 ``global_ntile`` additionally needs the total row count; that scalar is
-aggregated from the per-partition counts, so the one single-partition
-exchange it contains sees at most ``spark.sql.shuffle.partitions`` rows —
-metadata, not data.
+aggregated from the per-pid counts, so the one single-partition exchange
+it contains sees at most P rows — metadata, not data.
 
-The offsets side is at most ``spark.sql.shuffle.partitions`` rows, so the
-triangular join is O(P^2) on P <= a few thousand — noise — and every join
-of a tiny side is explicitly broadcast.
+The offsets side is at most P rows, so the triangular join is O(P^2) on
+P <= a few thousand — noise — and every join of a tiny side is explicitly
+broadcast.
+
+Why literal boundaries instead of ``repartitionByRange`` +
+``spark_partition_id()`` (the round-1..4 design): range-exchange boundary
+sampling is seeded by the RDD *instance* id, so independent
+materializations of the same logical exchange can pick different
+boundaries; and ``spark_partition_id()`` is a nondeterministic expression,
+so consumer plans are never canonically equal — ``CacheManager`` lookups
+miss (a ``persist()`` pin is silently bypassed) and ``ReuseExchange``
+cannot fire. Round 4 measured the composed cumsum wrong on 12k of 15k rows
+under AQE-off, and pinned it with an eager ``localCheckpoint`` — correct,
+but the checkpoint blocks are non-evictable and non-recomputable, so an
+executor loss mid-job was unrecoverable and long-running callers could not
+release the blocks. With literal boundaries the row->pid mapping cannot
+drift between branches *by construction*, every expression in the plan is
+deterministic (caches hit, exchanges reuse), and the operators are
+fault-tolerant: an executor loss simply recomputes through lineage.
 
 Skew note: a single key value that dominates the table still lands in one
-range partition (any rank implementation must co-locate ties); for rank
-over low-cardinality keys aggregate to the key grain first, which every
-catalog user of these operators already does.
+pid (any rank implementation must co-locate ties); for rank over
+low-cardinality keys aggregate to the key grain first, which every catalog
+user of these operators already does. Boundary balance degrades gracefully:
+a stale or unlucky sample only skews partition sizes, never correctness.
 
-Determinism: the stamped ``spark_partition_id()`` frame is **eagerly
-localCheckpoint-ed** before any branch consumes it. Two stacked hazards
-force a materialized pin:
+Pinning (the ``pin`` parameter on every operator):
 
-1. Range-exchange boundary sampling is seeded by the *RDD instance id*
-   (``byteswap32(-rdd.id - 1)`` in ``RangePartitioner.sketch``), so two
-   physical materializations of the same logical ``repartitionByRange``
-   can pick DIFFERENT boundaries; the local-window branch, the counts
-   branch, and the offsets branch then see inconsistent row->pid mappings
-   and the composed rank silently drifts (observed on Spark 4.1: ranks
-   off by a partition's tie count at 300k rows).
-2. ``spark_partition_id()`` is a **nondeterministic expression**, so no
-   two consumer plans of the stamped frame are ever canonically equal:
-   ``CacheManager`` lookups miss (a ``persist()`` pin is silently
-   BYPASSED — measured: persist + eager count still composes wrong) and
-   ``ReuseExchange`` cannot fire above the stamp. Under AQE the
-   *exchange below the stamp* is deduplicated by runtime stage-level
-   reuse (its subtree is deterministic), which masks the bug — with
-   ``spark.sql.adaptive.enabled=false`` every branch plans its own
-   exchange, samples its own boundaries, and the composed cumsum was
-   measured wrong on 12k of 15k rows (found by an AQE-off
-   odd-partition-count perturbation sweep, round 4).
-
-``localCheckpoint(eager=True)`` freezes the pid values IN THE DATA —
-every branch reads the one materialized assignment under any config, and
-the checkpoint also truncates lineage. The pinned frame is the operator's
-input at its (usually aggregate) grain; the one materialized pass
-replaces up to three independent shuffles of the same data.
-
-Caller discipline for long-running jobs: localCheckpoint blocks are not
-evictable and not recomputable — unpersist them between logically
-independent jobs (bench.py's between-query discipline), and on clusters
-with preemptible executors prefer reliable ``checkpoint()`` semantics if
-mid-query executor loss must be survivable (same tradeoff as every other
-eager fence in this engine).
+- ``"persist"`` (default) — MEMORY_AND_DISK-persist the input before the
+  boundary job, so the boundary pass plus each consumer branch reads one
+  materialization instead of recomputing upstream. Persist blocks are
+  evictable under memory pressure and recomputable after executor loss,
+  so a leaked pin degrades to recompute, never to wrong results or OOM.
+  Long-running jobs should still ``spark.catalog.clearCache()`` between
+  independent jobs (bench.py's between-query discipline).
+- ``"checkpoint"`` — eager ``localCheckpoint``: truncates lineage, for
+  callers stacking many operators whose lineage would otherwise grow
+  unboundedly (iterative algorithms). Not fault-tolerant to executor
+  loss; not evictable.
+- ``None`` — no pin: zero cache footprint; the boundary count/sample jobs
+  and each consumer branch recompute the input through lineage. Correct
+  under every configuration (the literal boundaries make branch agreement
+  unconditional); choose it when the input is a cheap scan.
 """
 
 from __future__ import annotations
 
+import functools
+import math
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 _PID = "__gr_pid"
 _CNT = "__gr_cnt"
@@ -89,36 +99,221 @@ _OFF = "__gr_off"
 _LOCAL = "__gr_local"
 _TOT = "__gr_total"
 
+# bounded driver-side sample for boundary estimation: ~this many keys per
+# target partition (the JVM RangePartitioner uses ~100/partition), capped
+# so a 20k-partition cluster job still collects ~1M keys, not more
+_SAMPLE_PER_PID = 64
+_SAMPLE_CAP = 1_000_000
+_SAMPLE_SEED = 0x5EED
 
-def _order_spec(order_cols, descending: bool) -> list[Column]:
+
+@dataclass(frozen=True)
+class _Key:
+    """One column of the ordering spec: value expression + sort semantics."""
+
+    col: Column
+    desc: bool
+    nulls_first: bool
+
+    def sort_col(self) -> Column:
+        if self.desc:
+            return (
+                self.col.desc_nulls_first() if self.nulls_first else self.col.desc_nulls_last()
+            )
+        return self.col.asc_nulls_first() if self.nulls_first else self.col.asc_nulls_last()
+
+
+def _decompose(c: Column, descending: bool) -> _Key:
+    """Split a caller-passed Column into (value expr, direction, null order).
+
+    A plain Column sorts ascending-nulls-first (Spark's default) unless the
+    operator-level ``descending`` flag says otherwise; an explicit SortOrder
+    (``F.col("v").desc()`` …) carries its own direction, which wins. Uses the
+    classic-mode ``Column.node`` ColumnNode (pyspark>=4); sort specs built
+    by :func:`_parse_spec` from strings never take this path.
+    """
+    try:
+        node = c._jc.node()  # noqa: SLF001 — classic-mode internal, probed in tests
+        is_sort = node.getClass().getSimpleName() == "SortOrder"
+    except AttributeError as exc:  # Connect-mode Column or future pyspark
+        raise ValueError(
+            "ranking: cannot decompose a Column sort expression on this "
+            "pyspark build — pass column names (with descending=...) instead"
+        ) from exc
+    if not is_sort:
+        # plain value expression: operator-level flag decides direction
+        return _Key(c, descending, nulls_first=not descending)
+    desc = node.sortDirection().getClass().getSimpleName().startswith("Descending")
+    nulls_first = node.nullOrdering().getClass().getSimpleName().startswith("NullsFirst")
+    from pyspark.sql import SparkSession
+
+    jvm = SparkSession.getActiveSession()._jvm  # noqa: SLF001
+    child = type(c)(jvm.org.apache.spark.sql.Column(node.child()))
+    return _Key(child, desc, nulls_first)
+
+
+def _parse_spec(order_cols, descending: bool) -> list[_Key]:
     cols = [order_cols] if isinstance(order_cols, (str, Column)) else list(order_cols)
-    out = []
+    keys: list[_Key] = []
     for c in cols:
         if isinstance(c, str):
-            out.append(F.col(c).desc() if descending else F.col(c).asc())
-        else:  # caller passed an explicit sort expression
-            out.append(c)
+            keys.append(_Key(F.col(c), descending, nulls_first=not descending))
+        else:
+            keys.append(_decompose(c, descending))
+    return keys
+
+
+def _order_spec(order_cols, descending: bool) -> list[Column]:
+    """Sort Columns for the window phase (back-compat helper)."""
+    return [k.sort_col() for k in _parse_spec(order_cols, descending)]
+
+
+def _cmp_one(x, y, desc: bool, nulls_first: bool) -> int:
+    """Compare two sampled key values with Spark's sort semantics.
+
+    NULL placement is positional (unaffected by direction); NaN is larger
+    than every other double and equal to itself — both exactly as Spark
+    orders them, so the driver-side boundary sort can never disagree with
+    the executor-side comparisons in :func:`_pid_expr`.
+    """
+    if x is None and y is None:
+        return 0
+    if x is None:
+        return -1 if nulls_first else 1
+    if y is None:
+        return 1 if nulls_first else -1
+    xn = isinstance(x, float) and math.isnan(x)
+    yn = isinstance(y, float) and math.isnan(y)
+    if xn or yn:
+        base = 0 if (xn and yn) else (1 if xn else -1)
+    else:
+        base = -1 if x < y else (1 if x > y else 0)
+    return -base if desc else base
+
+
+def _make_cmp(keys: list[_Key]):
+    flags = [(k.desc, k.nulls_first) for k in keys]
+
+    def cmp(a, b):
+        for (desc, nf), x, y in zip(flags, a, b):
+            c = _cmp_one(x, y, desc, nf)
+            if c:
+                return c
+        return 0
+
+    return cmp
+
+
+def _gt_lit(k: _Key, bv) -> Column:
+    """Boolean (never NULL) Column: row key column strictly AFTER literal bv
+    in this column's sort order."""
+    if bv is None:
+        # after NULL: everything non-null iff nulls sort first; nothing if last
+        return k.col.isNotNull() if k.nulls_first else F.lit(False)
+    base = (k.col < F.lit(bv)) if k.desc else (k.col > F.lit(bv))
+    # a NULL row value sorts before everything (nulls_first) or after
+    # everything (nulls_last), regardless of direction
+    return F.when(k.col.isNull(), F.lit(not k.nulls_first)).otherwise(base)
+
+
+def _eq_lit(k: _Key, bv) -> Column:
+    if bv is None:
+        return k.col.isNull()
+    return k.col.eqNullSafe(F.lit(bv))
+
+
+def _after(keys: list[_Key], b: tuple) -> Column:
+    """Lexicographic 'row key > boundary tuple b' under the full sort spec."""
+    out = None
+    prefix = None
+    for k, bv in zip(keys, b):
+        term = _gt_lit(k, bv) if prefix is None else (prefix & _gt_lit(k, bv))
+        out = term if out is None else (out | term)
+        eq = _eq_lit(k, bv)
+        prefix = eq if prefix is None else (prefix & eq)
     return out
 
 
-def _two_phase(df: DataFrame, spec: list[Column], num_partitions: int | None):
-    """Range-partition on ``spec`` and return (pid_df, counts, offsets)."""
-    for c in (_PID, _CNT, _OFF, _LOCAL, _TOT):
+def _pid_expr(keys: list[_Key], boundaries: list[tuple]) -> Column:
+    """Balanced binary decision tree assigning pid in [0, len(boundaries)]
+    by O(log P) literal comparisons; pure, deterministic, monotone."""
+    if not boundaries:
+        return F.lit(0)
+
+    def tree(lo: int, hi: int) -> Column:
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(_after(keys, boundaries[mid]), tree(mid + 1, hi)).otherwise(
+            tree(lo, mid)
+        )
+
+    return tree(0, len(boundaries))
+
+
+def _boundaries(df: DataFrame, keys: list[_Key], num_pids: int) -> list[tuple]:
+    """Collect a bounded deterministic key sample and pick <= num_pids-1
+    strictly increasing split tuples (metadata-sized driver traffic)."""
+    if num_pids <= 1:
+        return []
+    n = df.count()
+    if n == 0:
+        return []
+    sel = df.select(*[k.col.alias(f"__k_{i}") for i, k in enumerate(keys)])
+    target = min(max(num_pids * _SAMPLE_PER_PID, 1024), _SAMPLE_CAP)
+    if n <= target:
+        rows = sel.collect()
+    else:
+        frac = min(1.0, 1.3 * target / n)
+        rows = sel.sample(False, frac, seed=_SAMPLE_SEED).limit(target * 2).collect()
+        if not rows:  # pathological under-sample on tiny n
+            rows = sel.limit(target).collect()
+    cmp = _make_cmp(keys)
+    tuples = sorted((tuple(r) for r in rows), key=functools.cmp_to_key(cmp))
+    step = len(tuples) / num_pids
+    out: list[tuple] = []
+    for i in range(1, num_pids):
+        t = tuples[min(len(tuples) - 1, int(i * step))]
+        if not out or cmp(out[-1], t) < 0:  # strictly increasing: no empty-pid dups
+            out.append(t)
+    return out
+
+
+def _target_pids(df: DataFrame, num_partitions: int | None) -> int:
+    if num_partitions:
+        return num_partitions
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
+def _guard(df: DataFrame, names) -> None:
+    for c in names:
         if c in df.columns:
             raise ValueError(f"ranking scratch column {c!r} already present")
-    ranged = (
-        df.repartitionByRange(num_partitions, *spec)
-        if num_partitions
-        else df.repartitionByRange(*spec)
-    )
-    # eager localCheckpoint = the consistency pin for every downstream
-    # branch (see module docstring: spark_partition_id() is nondeterministic,
-    # so consumer plans never canonically match — cache lookups and
-    # ReuseExchange both miss, and each branch would sample its own range
-    # boundaries)
-    pid_df = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
-        eager=True
-    )
+
+
+def _prepare(
+    df: DataFrame, keys: list[_Key], num_partitions: int | None, pin: str | None
+) -> DataFrame:
+    """Pin the input per ``pin`` and stamp the deterministic pid column."""
+    if pin == "persist":
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    elif pin == "checkpoint":
+        df = df.localCheckpoint(eager=True)
+    elif pin is not None:
+        raise ValueError(f"ranking: pin must be 'persist', 'checkpoint' or None, got {pin!r}")
+    bnds = _boundaries(df, keys, _target_pids(df, num_partitions))
+    return df.withColumn(_PID, _pid_expr(keys, bnds))
+
+
+def _two_phase(
+    df: DataFrame, keys: list[_Key], num_partitions: int | None, pin: str | None
+):
+    """Stamp pid and return (pid_df, counts, offsets)."""
+    _guard(df, (_PID, _CNT, _OFF, _LOCAL, _TOT))
+    pid_df = _prepare(df, keys, num_partitions, pin)
     counts = pid_df.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
     earlier = counts.select(
         F.col(_PID).alias("__gr_pid_b"), F.col(_CNT).alias("__gr_cnt_b")
@@ -148,14 +343,16 @@ def global_rank(
     *,
     descending: bool = True,
     num_partitions: int | None = None,
+    pin: str | None = "persist",
 ) -> DataFrame:
     """Append ``rank_name`` = RANK() OVER (ORDER BY order_cols [DESC]).
 
     Output rank is BIGINT (an int32 rank overflows past ~2.1B rows — real
     at corpus scale). Column order: original columns, then the rank.
     """
-    spec = _order_spec(order_cols, descending)
-    pid_df, _, offsets = _two_phase(df, spec, num_partitions)
+    keys = _parse_spec(order_cols, descending)
+    spec = [k.sort_col() for k in keys]
+    pid_df, _, offsets = _two_phase(df, keys, num_partitions, pin)
     return _offset_window(df, pid_df, offsets, spec, F.rank, rank_name)
 
 
@@ -166,14 +363,16 @@ def global_row_number(
     *,
     descending: bool = False,
     num_partitions: int | None = None,
+    pin: str | None = "persist",
 ) -> DataFrame:
     """Append ``name`` = ROW_NUMBER() OVER (ORDER BY order_cols).
 
     The ordering should be total (include a unique tiebreaker) or the
     numbering is nondeterministic — same contract as the SQL form.
     """
-    spec = _order_spec(order_cols, descending)
-    pid_df, _, offsets = _two_phase(df, spec, num_partitions)
+    keys = _parse_spec(order_cols, descending)
+    spec = [k.sort_col() for k in keys]
+    pid_df, _, offsets = _two_phase(df, keys, num_partitions, pin)
     return _offset_window(df, pid_df, offsets, spec, F.row_number, name)
 
 
@@ -184,37 +383,27 @@ def global_lead(
     *,
     descending: bool = False,
     num_partitions: int | None = None,
+    pin: str | None = "persist",
 ) -> DataFrame:
     """Append LEAD(col, 1) OVER (ORDER BY order_cols) for each ``leads``
     entry (source column -> output name) with no single-partition stage.
 
-    Two-phase like :func:`global_rank`: range-partition on the ordering
-    spec, then one per-partition window pass computes both the local lead
-    and the partition's first row ("head"). The only rows a local lead
-    gets wrong are each partition's last — their successor lives in the
-    next non-empty partition, whose head is found with a triangular
-    broadcast join over the metadata-sized head set (every non-empty
-    partition contributes exactly one head row, so |heads| <= shuffle
-    partitions) and patched in via a broadcast hash join. The globally
+    Two-phase like :func:`global_rank`: deterministic pid assignment, then
+    one per-pid window pass computes both the local lead and the pid's
+    first row ("head"). The only rows a local lead gets wrong are each
+    pid's last — their successor lives in the next non-empty pid, whose
+    head is found with a triangular broadcast join over the metadata-sized
+    head set (every non-empty pid contributes exactly one head row, so
+    |heads| <= P) and patched in via a broadcast hash join. The globally
     last row keeps NULL, matching the SQL form.
 
     The ordering should be total (include a unique tiebreaker): same
     determinism contract as LEAD over a non-unique ORDER BY.
     """
-    spec = _order_spec(order_cols, descending)
-    for c in (_PID, _LOCAL, "__gl_rn", "__gl_head", "__gl_patch", "__gl_hpid"):
-        if c in df.columns:
-            raise ValueError(f"ranking scratch column {c!r} already present")
-    ranged = (
-        df.repartitionByRange(num_partitions, *spec)
-        if num_partitions
-        else df.repartitionByRange(*spec)
-    )
-    # same consistency pin as _two_phase: heads/patch branches must see the
-    # exact row->pid mapping the stamped window branch saw
-    pid_df = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
-        eager=True
-    )
+    keys = _parse_spec(order_cols, descending)
+    spec = [k.sort_col() for k in keys]
+    _guard(df, (_PID, _LOCAL, "__gl_rn", "__gl_head", "__gl_patch", "__gl_hpid"))
+    pid_df = _prepare(df, keys, num_partitions, pin)
     w = Window.partitionBy(_PID).orderBy(*spec)
     payload = F.struct(*[F.col(src) for src in leads])
     stamped = pid_df.withColumn(_LOCAL, F.lead(payload).over(w)).withColumn(
@@ -226,8 +415,8 @@ def global_lead(
     later = heads.select(
         F.col("__gl_hpid").alias("__gl_hpid_b"), F.col("__gl_head").alias("__gl_head_b")
     )
-    # next non-empty partition's head per partition: min-pid head strictly
-    # after it (triangular join over <= shuffle-partition-count rows)
+    # next non-empty pid's head per pid: min-pid head strictly after it
+    # (triangular join over <= P rows)
     patch = (
         heads.join(F.broadcast(later), F.col("__gl_hpid_b") > F.col("__gl_hpid"))
         .groupBy("__gl_hpid")
@@ -249,29 +438,35 @@ def global_cumsum(
     descending: bool = False,
     rows_frame: bool = True,
     num_partitions: int | None = None,
+    pin: str | None = "persist",
 ) -> DataFrame:
     """Append SUM(value_col) OVER (ORDER BY order_cols <frame>) — the
     global running total — with no single-partition stage.
 
     ``value_col`` / ``name`` may each be a list of equal length: every
     listed column gets its running total over the SAME ordering in ONE
-    two-phase pass (one range exchange, one per-partition window, one
+    two-phase pass (one data shuffle, one per-pid window, one
     metadata-sized offset table carrying a column per value) — chaining
-    two single-column calls would range-partition and window the data
-    twice for no reason.
+    two single-column calls would shuffle and window the data twice for
+    no reason.
 
     ``rows_frame=True`` is ROWS UNBOUNDED PRECEDING..CURRENT ROW (give a
     total order or the result is as nondeterministic as the SQL form);
     ``False`` is the SQL-default RANGE frame (peers share the value, so
-    any order works). Two-phase: local cumulative sum per range partition
-    plus broadcast offsets of earlier partitions' totals (ties co-located,
-    so RANGE peer groups never split)."""
+    any order works). Two-phase: local cumulative sum per pid plus
+    broadcast offsets of earlier pids' totals (ties co-located by the
+    deterministic pid function, so RANGE peer groups never split)."""
     vals = [value_col] if isinstance(value_col, str) else list(value_col)
     names = [name] if isinstance(name, str) else list(name)
+    if not vals:
+        raise ValueError("global_cumsum: at least one value column required")
     if len(vals) != len(names):
         raise ValueError("global_cumsum: value_col and name length mismatch")
-    spec = _order_spec(order_cols, descending)
-    pid_df, _, _ = _two_phase(df, spec, num_partitions)
+    scratch = [f"__gr_{p}_{i}" for i in range(len(vals)) for p in ("s", "sb", "off", "l")]
+    _guard(df, scratch)
+    keys = _parse_spec(order_cols, descending)
+    spec = [k.sort_col() for k in keys]
+    pid_df, _, _ = _two_phase(df, keys, num_partitions, pin)
     sums = pid_df.groupBy(_PID).agg(
         *[F.sum(v).alias(f"__gr_s_{i}") for i, v in enumerate(vals)]
     )
@@ -309,18 +504,20 @@ def global_ntile(
     *,
     descending: bool = False,
     num_partitions: int | None = None,
+    pin: str | None = "persist",
 ) -> DataFrame:
     """Append ``name`` = NTILE(n) OVER (ORDER BY order_cols) as INT.
 
     SQL NTILE semantics: with N rows the first ``N % n`` tiles get
     ``N // n + 1`` rows, the rest get ``N // n``. Computed from the
     two-phase global row_number plus the total count (a scalar aggregated
-    from the per-partition counts — the only single-partition exchange in
-    the plan runs over <= shuffle-partition-count rows). Ordering should be
-    total for deterministic tile assignment.
+    from the per-pid counts — the only single-partition exchange in the
+    plan runs over <= P rows). Ordering should be total for deterministic
+    tile assignment.
     """
-    spec = _order_spec(order_cols, descending)
-    pid_df, counts, offsets = _two_phase(df, spec, num_partitions)
+    keys = _parse_spec(order_cols, descending)
+    spec = [k.sort_col() for k in keys]
+    pid_df, counts, offsets = _two_phase(df, keys, num_partitions, pin)
     rn = _offset_window(df, pid_df, offsets, spec, F.row_number, _LOCAL + "_rn")
     total = counts.agg(F.sum(_CNT).alias(_TOT))
     rn = rn.join(F.broadcast(total))  # 1-row cross: BroadcastNestedLoop, no shuffle

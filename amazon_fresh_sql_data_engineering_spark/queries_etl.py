@@ -367,6 +367,63 @@ def q_pipe_placeholder_parents(spark, sf_dir):
     return res.placeholders["customers"].select("customerid", "name")
 
 
+@register(
+    "q_idremap_roundtrip",
+    oracle=f"""
+        WITH staged AS ({_ORD_STAGED_SQL}),
+        quar AS (
+            SELECT * FROM staged
+            WHERE nullif(trim(orderid), '') IS NOT NULL
+              AND nullif(trim(customerid), '') IS NOT NULL
+              AND NOT regexp_matches(trim(customerid), '{_UUID_RE}')
+        ),
+        mapping AS (
+            SELECT old_text,
+                   {_UUIDIFY.format(h="md5('orders.fkmap' || chr(31) || old_text)")} AS new_uuid
+            FROM (SELECT DISTINCT trim(customerid) AS old_text FROM quar)
+        ),
+        remapped AS (
+            SELECT q.orderid, m.new_uuid AS customerid, q.orderdate,
+                   q.shipdate, q.shipmode, q.totalamount
+            FROM quar q JOIN mapping m ON trim(q.customerid) = m.old_text
+        )
+        SELECT
+          CASE WHEN regexp_matches(trim(orderid), '{_UUID_RE}')
+               THEN lower(trim(orderid))
+               ELSE {_UUIDIFY.format(h=_ORD_FP_SQL)} END AS orderid,
+          lower(trim(customerid)) AS customerid,
+          CASE WHEN regexp_matches(trim(orderdate), '^\\d{{1,2}}/\\d{{1,2}}/\\d{{4}}$')
+               THEN CAST(try_strptime(trim(orderdate), '%-m/%-d/%Y') AS DATE) END AS orderdate,
+          CASE WHEN regexp_matches(trim(shipdate), '^\\d{{1,2}}/\\d{{1,2}}/\\d{{4}}$')
+               THEN CAST(try_strptime(trim(shipdate), '%-m/%-d/%Y') AS DATE) END AS shipdate,
+          nullif(trim(shipmode), '') AS shipmode,
+          round(CAST(CASE WHEN regexp_matches(trim(totalamount), '^-?\\d+(\\.\\d+)?$')
+                          THEN CAST(trim(totalamount) AS DECIMAL(12,2)) END AS DOUBLE), 2) AS totalamount
+        FROM remapped
+    """,
+    doc="PIPE-IDREMAP end-to-end (ref mapping_orderids T:737-787, "
+    "mapping_productids T:911-963): the FK-quarantined orders from the "
+    "cleaning pass feed a mapping table (distinct malformed FK text -> "
+    "content-addressed fresh uuid), the children are rewritten through a "
+    "broadcast join against the mapping, and the repaired rows re-run the "
+    "full cleaning program — so every quarantined row lands (conservation: "
+    "row count == quarantined count minus nothing; the oracle replays "
+    "mapping build + rewrite + clean independently in DuckDB SQL). The "
+    "mapping side is |distinct malformed texts| rows — broadcast-sized at "
+    "any corpus scale; the child rewrite is one broadcast hash join.",
+)
+def q_idremap_roundtrip(spark, sf_dir):
+    from .pipelines.cleaning import build_id_mapping, clean_entity, remap_quarantined
+    from .pipelines.entities import spec_orders
+
+    staging = _staged_orders(spark, sf_dir)
+    res = clean_entity(staging, spec_orders())
+    mapping = build_id_mapping(res.quarantined, ["customerid"], "orders.fkmap")
+    out = remap_quarantined(res.quarantined, spec_orders(), mapping).final
+    # same driver-facing projection as q_pipe_clean_orders (registry.fin)
+    return out.withColumn("totalamount", fin("totalamount"))
+
+
 def _fp_sql(salt: str, cols: list[str]) -> str:
     return (
         f"md5(concat_ws(chr(31), '{salt}', "

@@ -20,6 +20,14 @@ plan/codegen constant — this measures it instead of asserting it):
     `value_warm`.
 
 Set SPARK_GRAFT_BENCH_WARM=0 to skip the warm tier (cold-only, ~4x faster).
+
+`--compare PRIOR.json` emits the drift-normalized round-over-round read
+(BASELINE.md errata protocol, automated per VERDICT r4 item 4): per-query
+ratios vs the prior run's cold tier are divided by the median ratio over
+queries present in both runs (host drift is uniform — measured 1.15-1.36x
+across four r4 re-runs — so the median isolates real plan changes), and
+queries whose normalized ratio exceeds 2x are flagged in `regressions`.
+The compare fields ride along in the same single JSON line.
 """
 
 from __future__ import annotations
@@ -103,8 +111,45 @@ def main() -> None:
     if warm:
         out["value_warm"] = round(sum(warm.values()), 4)
         out["queries_warm"] = warm
+    if "--compare" in sys.argv:
+        prior_path = sys.argv[sys.argv.index("--compare") + 1]
+        out.update(compare_to_prior(timings, prior_path))
     print(json.dumps(out))
     spark.stop()
+
+
+def compare_to_prior(timings: dict[str, float], prior_path: str) -> dict:
+    """Drift-normalized comparison vs a prior bench JSON (cold tier)."""
+    with open(prior_path) as fh:
+        prior = json.load(fh)
+    prev = prior.get("queries", {})
+    ratios = {
+        n: timings[n] / prev[n] for n in timings if n in prev and prev[n] > 0
+    }
+    if not ratios:
+        return {"compare": {"prior": prior_path, "common": 0}}
+    rs = sorted(ratios.values())
+    drift = rs[len(rs) // 2]  # median ratio over common queries = host drift
+    normalized = {n: round(r / drift, 3) for n, r in ratios.items()}
+    regressions = {
+        n: {"prior_sec": prev[n], "now_sec": timings[n], "normalized_ratio": v}
+        for n, v in sorted(normalized.items(), key=lambda kv: -kv[1])
+        if v > 2.0
+    }
+    return {
+        "compare": {
+            "prior": prior_path,
+            "common": len(ratios),
+            "drift_median_ratio": round(drift, 4),
+            "normalized_total_ratio": round(
+                sum(timings[n] for n in ratios)
+                / (drift * sum(prev[n] for n in ratios)),
+                4,
+            ),
+            "regressions": regressions,
+            "new_queries": sorted(n for n in timings if n not in prev),
+        }
+    }
 
 
 if __name__ == "__main__":

@@ -80,7 +80,8 @@ def canon(df):
         p = p.sort_values(
             by=list(p.columns), key=lambda s: s.map(repr)
         ).reset_index(drop=True)
-    return p.map(repr)
+    # DataFrame.map landed in pandas 2.1 (renamed from applymap)
+    return p.map(repr) if hasattr(p, "map") else p.applymap(repr)
 
 
 def main() -> int:

@@ -220,3 +220,20 @@ def test_pipeline_idempotent_rerun(dirty, pipeline_run):
         dirty["suppliers"], E.spec_suppliers(), existing=finals["suppliers"]
     )
     assert res.final.count() == finals["suppliers"].count()
+
+
+def test_idremap_roundtrip_catalog_conservation(spark, sf_dir):
+    """The driver-facing q_idremap_roundtrip shape: every FK-quarantined
+    order from the cleaning pass must land in the remapped final (no row
+    lost, no row invented) and every remapped FK must be uuid-shaped."""
+    from amazon_fresh_sql_data_engineering_spark.catalog import CATALOG
+    from amazon_fresh_sql_data_engineering_spark.pipelines.cleaning import clean_entity
+    from amazon_fresh_sql_data_engineering_spark.pipelines.entities import spec_orders
+    from amazon_fresh_sql_data_engineering_spark.queries_etl import _staged_orders
+
+    res = clean_entity(_staged_orders(spark, sf_dir), spec_orders())
+    out = CATALOG["q_idremap_roundtrip"].fn(spark, sf_dir)
+    assert out.count() == res.quarantined.count()
+    from amazon_fresh_sql_data_engineering_spark.functions.cleaning import is_valid_uuid
+
+    assert out.filter(~is_valid_uuid("customerid")).count() == 0

@@ -239,6 +239,94 @@ def test_lead_and_ntile_forced_scale_stress(spark):
     assert joined.count() == n
 
 
+def test_plan_is_deterministic_no_checkpoint_no_range_exchange(spark):
+    """The round-5 design invariant: pid is a pure literal-tree function of
+    the key, so two-phase plans contain NO checkpoint fence (Scan
+    ExistingRDD), NO range exchange, and exactly one full-data hash
+    exchange (the pid window shuffle; counts/offsets move metadata)."""
+    from amazon_fresh_sql_data_engineering_spark.plans import explain as X
+
+    df = spark.range(50_000).select(
+        F.col("id"), (F.pmod(F.hash("id"), F.lit(977))).alias("v")
+    )
+    out = global_rank(df, "v", "r")
+    plan = X.physical_plan(out)
+    assert "Scan ExistingRDD" not in plan, plan[:2000]
+    assert "rangepartitioning" not in plan, plan[:2000]
+    assert "SinglePartition" not in plan, plan[:2000]
+    # the persist pin is visible to every branch (deterministic pid means
+    # the CacheManager lookup actually HITS — the round-4 failure mode)
+    assert "InMemoryTableScan" in plan, plan[:2000]
+    spark.catalog.clearCache()
+
+
+def test_pin_modes_all_agree(spark):
+    df = spark.range(10_000).select(
+        F.col("id"), (F.pmod(F.hash("id"), F.lit(321))).alias("v")
+    )
+    exp = {(r.id, r.r) for r in global_rank(df, "v", "r").collect()}
+    for pin in ("checkpoint", None):
+        got = {(r.id, r.r) for r in global_rank(df, "v", "r", pin=pin).collect()}
+        assert got == exp, pin
+    with pytest.raises(ValueError, match="pin"):
+        global_rank(df, "v", "r", pin="reliable")
+    spark.catalog.clearCache()
+
+
+def test_cumsum_indexed_scratch_guard_and_empty_values(spark):
+    df = spark.range(5).withColumn("__gr_l_0", F.lit(1))
+    with pytest.raises(ValueError, match="__gr_l_0"):
+        global_cumsum(df, "id", "id", "cs")
+    with pytest.raises(ValueError, match="at least one value column"):
+        global_cumsum(spark.range(5), "id", [], [])
+
+
+def test_null_and_nan_keys_match_single_window(spark):
+    """Boundary literals can be NULL or NaN at any position; the generated
+    comparisons must reproduce Spark's NULLS FIRST/LAST + NaN-largest sort
+    semantics exactly, ascending and descending."""
+    rows = []
+    for i in range(4000):
+        if i % 11 == 0:
+            v = None
+        elif i % 17 == 0:
+            v = float("nan")
+        else:
+            v = float((i * 37) % 991)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "id int, v double").repartition(16)
+    for desc in (False, True):
+        order = F.col("v").desc() if desc else F.col("v").asc()
+        exp = df.withColumn("r", F.rank().over(Window.orderBy(order, F.col("id"))))
+        got = global_rank(df, [order, F.col("id").asc()], "r", num_partitions=16)
+        mism = (
+            exp.select("id", F.col("r").alias("r_exp"))
+            .join(got.select("id", "r"), "id")
+            .filter(F.col("r") != F.col("r_exp"))
+            .count()
+        )
+        assert mism == 0, f"desc={desc}"
+    spark.catalog.clearCache()
+
+
+def test_explicit_null_ordering_decomposition(spark):
+    """Non-default NULLS orderings pass through the SortOrder decomposition
+    (desc_nulls_first / asc_nulls_last) and match the single-window form."""
+    rows = [(i, None if i % 7 == 0 else (i * 13) % 101) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id int, v int").repartition(8)
+    for order in (F.col("v").desc_nulls_first(), F.col("v").asc_nulls_last()):
+        exp = df.withColumn("rn", F.row_number().over(Window.orderBy(order, "id")))
+        got = global_row_number(df, [order, F.col("id").asc()], "rn", num_partitions=8)
+        mism = (
+            exp.select("id", F.col("rn").alias("rn_exp"))
+            .join(got.select("id", "rn"), "id")
+            .filter(F.col("rn") != F.col("rn_exp"))
+            .count()
+        )
+        assert mism == 0, str(order)
+    spark.catalog.clearCache()
+
+
 def test_two_phase_correct_with_aqe_disabled(spark):
     """Regression gate for the round-4 false-pin find: spark_partition_id()
     is nondeterministic, so the stamped pid frame's consumer plans never
