@@ -105,6 +105,9 @@ _TOT = "__gr_total"
 _SAMPLE_PER_PID = 64
 _SAMPLE_CAP = 1_000_000
 _SAMPLE_SEED = 0x5EED
+# below this many rows per pid, a partition-parallel global window buys
+# nothing — the adaptive pid count in _prepare floors on it
+_MIN_ROWS_PER_PID = 65_536
 
 
 @dataclass(frozen=True)
@@ -251,13 +254,10 @@ def _pid_expr(keys: list[_Key], boundaries: list[tuple]) -> Column:
     return tree(0, len(boundaries))
 
 
-def _boundaries(df: DataFrame, keys: list[_Key], num_pids: int) -> list[tuple]:
+def _boundaries(df: DataFrame, keys: list[_Key], num_pids: int, n: int) -> list[tuple]:
     """Collect a bounded deterministic key sample and pick <= num_pids-1
     strictly increasing split tuples (metadata-sized driver traffic)."""
-    if num_pids <= 1:
-        return []
-    n = df.count()
-    if n == 0:
+    if num_pids <= 1 or n == 0:
         return []
     sel = df.select(*[k.col.alias(f"__k_{i}") for i, k in enumerate(keys)])
     target = min(max(num_pids * _SAMPLE_PER_PID, 1024), _SAMPLE_CAP)
@@ -276,7 +276,37 @@ def _boundaries(df: DataFrame, keys: list[_Key], num_pids: int) -> list[tuple]:
         t = tuples[min(len(tuples) - 1, int(i * step))]
         if not out or cmp(out[-1], t) < 0:  # strictly increasing: no empty-pid dups
             out.append(t)
-    return out
+    return _truncate_prefix(out, keys)
+
+
+def _truncate_prefix(bnds: list[tuple], keys: list[_Key]) -> list[tuple]:
+    """Shorten every boundary to the smallest shared column-prefix that keeps
+    the list strictly increasing.
+
+    Any strictly increasing boundary list yields a correct monotone pid
+    assignment — a shorter tuple just splits at a coarser point — so when
+    the first ordering column is (near-)unique, the whole decision tree
+    degenerates to single-column comparisons. That matters at volume: the
+    pid expression runs per row in every consumer branch, and a multi-column
+    lexicographic node costs O(ncols) predicates (string eqNullSafe chains
+    included) versus one comparison after truncation, and big CASE trees
+    risk falling out of whole-stage codegen entirely."""
+    if not bnds or len(bnds[0]) == 1:
+        return bnds
+    for length in range(1, len(keys)):
+        sub = [(k.desc, k.nulls_first) for k in keys[:length]]
+
+        def cmp_l(a, b, _sub=sub):
+            for (desc, nf), x, y in zip(_sub, a, b):
+                c = _cmp_one(x, y, desc, nf)
+                if c:
+                    return c
+            return 0
+
+        cut = [t[:length] for t in bnds]
+        if all(cmp_l(cut[i], cut[i + 1]) < 0 for i in range(len(cut) - 1)):
+            return cut
+    return bnds
 
 
 def _target_pids(df: DataFrame, num_partitions: int | None) -> int:
@@ -297,14 +327,33 @@ def _guard(df: DataFrame, names) -> None:
 def _prepare(
     df: DataFrame, keys: list[_Key], num_partitions: int | None, pin: str | None
 ) -> DataFrame:
-    """Pin the input per ``pin`` and stamp the deterministic pid column."""
+    """Pin the input per ``pin`` and stamp the deterministic pid column.
+
+    The pid count adapts to the data: below ``_MIN_ROWS_PER_PID`` rows per
+    pid a partition-parallel window buys nothing (the single-task hazard
+    these operators exist to avoid only bites at millions of rows), so
+    small inputs get a shallow decision tree — fewer boundary literals to
+    codegen in every consumer branch and fewer window partitions to merge.
+    At cluster scale ``n / _MIN_ROWS_PER_PID`` dwarfs the configured
+    parallelism, so the cap is the shuffle-partition count, exactly as
+    before. An explicit ``num_partitions`` is honored verbatim (tests use
+    it to force many boundaries over small data). The count job doubles as
+    the eager materialization of the ``pin='persist'`` cache.
+    """
     if pin == "persist":
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
     elif pin == "checkpoint":
         df = df.localCheckpoint(eager=True)
     elif pin is not None:
         raise ValueError(f"ranking: pin must be 'persist', 'checkpoint' or None, got {pin!r}")
-    bnds = _boundaries(df, keys, _target_pids(df, num_partitions))
+    n = df.count()
+    if num_partitions:
+        num_pids = num_partitions
+    else:
+        # floor of 2: a constant pid would fold and re-plan the window
+        # exchange as SinglePartition — the exact node these operators ban
+        num_pids = min(_target_pids(df, None), max(2, -(-n // _MIN_ROWS_PER_PID)))
+    bnds = _boundaries(df, keys, num_pids, n)
     return df.withColumn(_PID, _pid_expr(keys, bnds))
 
 
