@@ -365,3 +365,42 @@ def test_two_phase_correct_with_aqe_disabled(spark):
     ).count()
     assert bad == 0
     assert joined.count() == n
+
+
+def test_boundary_prefix_truncation_and_adaptive_pids(spark):
+    """Internals of the round-5 tuning: boundaries shrink to the shortest
+    strictly-increasing column prefix (near-unique lead column -> 1-tuples),
+    and the adaptive pid count floors at 2 so the pid expression never
+    folds to a constant (which would re-plan the window exchange as
+    SinglePartition)."""
+    from amazon_fresh_sql_data_engineering_spark.operators import ranking as R
+
+    keys = R._parse_spec(["a", "b"], False)
+    # unique lead column: truncate to 1-tuples
+    assert R._truncate_prefix([(1, 9), (2, 1), (3, 5)], keys) == [(1,), (2,), (3,)]
+    # tied lead column: full tuples survive
+    full = [(1, 1), (1, 2), (2, 0)]
+    assert R._truncate_prefix(full, keys) == full
+    assert R._truncate_prefix([], keys) == []
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    out = global_rank(df, "v", "r")  # n=1000 -> adaptive 2 pids
+    from amazon_fresh_sql_data_engineering_spark.plans import explain as X
+
+    plan = X.physical_plan(out)
+    assert "SinglePartition" not in plan, plan[:1500]
+    exp = df.withColumn("r", F.rank().over(Window.orderBy(F.col("v").desc())))
+    assert {(x.id, x.r) for x in out.collect()} == {(x.id, x.r) for x in exp.collect()}
+    spark.catalog.clearCache()
+
+
+def test_plain_column_spec_respects_descending_flag(spark):
+    """A bare Column (no .asc()/.desc()) in the ordering spec takes its
+    direction from the operator-level descending flag, like a string."""
+    df = spark.range(500).select(F.col("id"), (F.col("id") % 13).alias("v"))
+    exp = df.withColumn(
+        "r", F.rank().over(Window.orderBy(F.col("v").desc(), F.col("id").desc()))
+    )
+    got = global_rank(df, [F.col("v"), F.col("id")], "r", descending=True)
+    assert {(x.id, x.r) for x in exp.collect()} == {(x.id, x.r) for x in got.collect()}
+    spark.catalog.clearCache()
