@@ -404,3 +404,87 @@ def test_plain_column_spec_respects_descending_flag(spark):
     got = global_rank(df, [F.col("v"), F.col("id")], "r", descending=True)
     assert {(x.id, x.r) for x in exp.collect()} == {(x.id, x.r) for x in got.collect()}
     spark.catalog.clearCache()
+
+
+def test_sql_tree_matches_column_tree_across_types(spark):
+    """The large-P SQL-string rendering of the pid tree must agree with the
+    Column-API tree on every whitelisted literal type, including the nasty
+    ones (quotes/backslashes in strings, NaN, NULL boundaries, dates,
+    timestamps, decimals, booleans, bytes)."""
+    import datetime
+    import decimal
+
+    from amazon_fresh_sql_data_engineering_spark.operators import ranking as R
+
+    rows = []
+    for i in range(300):
+        rows.append((
+            i,
+            None if i % 11 == 0 else float("nan") if i % 13 == 0 else (i * 37 % 97) / 3.0,
+            None if i % 7 == 0 else f"x{i % 23}'\\{i % 5}",
+            datetime.date(2024, 1 + i % 12, 1 + i % 28),
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i * 977),
+            decimal.Decimal(i % 41) / 100,
+            i % 2 == 0,
+            bytes([i % 251, (i * 7) % 251]),
+        ))
+    df = spark.createDataFrame(
+        rows,
+        "id int, f double, s string, d date, t timestamp, m decimal(10,2), b boolean, y binary",
+    )
+    for colname in ("f", "s", "d", "t", "m", "b", "y"):
+        keys = R._parse_spec([colname, "id"], False)
+        sample = [tuple(r) for r in df.select(colname, "id").collect()]
+        import functools
+
+        cmp = R._make_cmp(keys)
+        ordered = sorted(sample, key=functools.cmp_to_key(cmp))
+        picks = []
+        for i in range(10, len(ordered) - 1, 17):  # strictly increasing picks
+            if not picks or cmp(picks[-1], ordered[i]) < 0:
+                picks.append(ordered[i])
+        clean = R._truncate_prefix(picks, keys)
+        if not clean:
+            continue
+        sql = R._pid_expr_sql(keys, clean)
+        assert sql is not None, colname
+
+        def col_tree(lo, hi):
+            if lo == hi:
+                return F.lit(lo)
+            mid = (lo + hi) // 2
+            return F.when(R._after(keys, clean[mid]), col_tree(mid + 1, hi)).otherwise(
+                col_tree(lo, mid)
+            )
+
+        got = df.select(
+            "id",
+            F.expr(sql).alias("p_sql"),
+            col_tree(0, len(clean)).alias("p_col"),
+        )
+        bad = got.filter(~F.col("p_sql").eqNullSafe(F.col("p_col"))).count()
+        assert bad == 0, colname
+
+
+def test_large_partition_count_uses_sql_tree(spark):
+    """Cluster-like pid counts (512 boundaries) exercise the SQL-string
+    tree rendering end-to-end: parity vs the single-window form and the
+    renderer actually engaging (not silently falling back)."""
+    from amazon_fresh_sql_data_engineering_spark.operators import ranking as R
+
+    n = 200_000
+    df = spark.range(n).repartition(16).select(
+        F.col("id"), (F.pmod(F.hash("id"), F.lit(50_000)) / 7.0).alias("v")
+    )
+    keys = R._parse_spec([F.col("v").asc(), F.col("id").asc()], False)
+    bnds = R._boundaries(df, keys, 512, n)
+    assert len(bnds) > R._SQL_TREE_MIN
+    assert R._pid_expr_sql(keys, bnds) is not None  # whitelist path engaged
+    got = global_rank(df, [F.col("v").asc(), F.col("id").asc()], "r",
+                      descending=False, num_partitions=512)
+    exp = df.withColumn("r_exp", F.rank().over(Window.orderBy("v", "id")))
+    bad = exp.join(got.select("id", "r"), "id").filter(
+        F.col("r") != F.col("r_exp")
+    ).count()
+    assert bad == 0
+    spark.catalog.clearCache()
