@@ -167,11 +167,6 @@ def _parse_spec(order_cols, descending: bool) -> list[_Key]:
     return keys
 
 
-def _order_spec(order_cols, descending: bool) -> list[Column]:
-    """Sort Columns for the window phase (back-compat helper)."""
-    return [k.sort_col() for k in _parse_spec(order_cols, descending)]
-
-
 def _cmp_one(x, y, desc: bool, nulls_first: bool) -> int:
     """Compare two sampled key values with Spark's sort semantics.
 
