@@ -4,6 +4,14 @@
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+Output contract (VERDICT r5 item 8): the driver archives only the LAST ~2000
+characters of stdout and tries to parse them, so stdout's final line is a
+COMPACT self-contained summary (totals, compare verdict, the slowest queries)
+guaranteed to fit the driver's window, while the FULL per-query detail —
+every field rounds 1-5 printed — is written to $SPARK_GRAFT_BENCH_FULL
+(default BENCH_full_latest.json next to this script). `--compare` reads
+prior runs from such full files; nothing is lost, it just moved off stdout.
+
 Per-query timing = wall-clock of a full materialization (count of the result;
 the driver collects separately). One warm-up pass (JVM + parquet footer cache)
 precedes timing, matching BASELINE.md's protocol.
@@ -114,8 +122,54 @@ def main() -> None:
     if "--compare" in sys.argv:
         prior_path = sys.argv[sys.argv.index("--compare") + 1]
         out.update(compare_to_prior(timings, prior_path))
-    print(json.dumps(out))
+
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full_latest.json"),
+    )
+    with open(full_path, "w") as fh:
+        json.dump(out, fh)
+        fh.write("\n")
+    print(json.dumps(summarize(out, full_path)))
     spark.stop()
+
+
+def summarize(out: dict, full_path: str, limit: int = 1900) -> dict:
+    """Compact single-line summary bounded to ``limit`` bytes: everything the
+    judge needs (totals, drift-normalized compare verdict, slowest queries)
+    without the 226-entry per-query dicts that overflow the driver's tail."""
+    summary = {
+        k: out[k]
+        for k in (
+            "metric", "value", "value_warm", "unit", "sf", "n_queries",
+            "spark_version",
+        )
+        if k in out
+    }
+    summary["full"] = full_path
+    if "compare" in out:
+        c = out["compare"]
+        summary["compare"] = {
+            k: c[k]
+            for k in ("prior", "common", "drift_median_ratio", "normalized_total_ratio")
+            if k in c
+        }
+        # regression names + normalized ratios only (details in the full file)
+        summary["compare"]["regressions"] = {
+            n: d["normalized_ratio"] for n, d in c.get("regressions", {}).items()
+        }
+        summary["compare"]["n_new_queries"] = len(c.get("new_queries", []))
+    slowest = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+    summary["slowest"] = dict(slowest[:10])
+    while len(json.dumps(summary)) > limit and (
+        summary["slowest"] or summary.get("compare", {}).get("regressions")
+    ):
+        # trim, never overflow: drop detail entries until the line fits
+        if summary["slowest"]:
+            summary["slowest"].popitem()
+        else:
+            summary["compare"]["regressions"].popitem()
+    return summary
 
 
 def compare_to_prior(timings: dict[str, float], prior_path: str) -> dict:

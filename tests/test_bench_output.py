@@ -1,0 +1,84 @@
+"""bench.py output contract (VERDICT r5 item 8): the driver archives only the
+last ~2000 chars of stdout, so the printed line must be a bounded, parseable
+summary regardless of catalog size; the full per-query detail moves to a file."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import compare_to_prior, summarize
+
+
+def _fake_out(n_queries: int, n_regressions: int) -> dict:
+    return {
+        "metric": "catalog_total_wall_clock",
+        "value": 206.2,
+        "value_warm": 160.7,
+        "unit": "sec",
+        "queries": {f"q{i:03d}": 0.01 * (i + 1) for i in range(n_queries)},
+        "sf": 0.1,
+        "n_queries": n_queries,
+        "spark_version": "4.1.2",
+        "compare": {
+            "prior": "BENCH_full_prior.json",
+            "common": n_queries,
+            "drift_median_ratio": 1.01,
+            "normalized_total_ratio": 0.98,
+            "regressions": {
+                f"reg{i:03d}": {"prior_sec": 1.0, "now_sec": 3.0, "normalized_ratio": 3.0}
+                for i in range(n_regressions)
+            },
+            "new_queries": ["new_a", "new_b"],
+        },
+    }
+
+
+def test_summary_fits_driver_tail_and_parses():
+    s = summarize(_fake_out(226, 5), "/tmp/full.json")
+    line = json.dumps(s)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["value"] == 206.2
+    assert parsed["compare"]["normalized_total_ratio"] == 0.98
+    assert parsed["compare"]["regressions"] == {f"reg{i:03d}": 3.0 for i in range(5)}
+    assert parsed["compare"]["n_new_queries"] == 2
+    assert len(parsed["slowest"]) == 10
+    assert parsed["full"] == "/tmp/full.json"
+
+
+def test_summary_trims_rather_than_overflows():
+    # pathological: hundreds of regressions with long names must still fit
+    out = _fake_out(1000, 400)
+    out["compare"]["regressions"] = {
+        "a_very_long_regression_query_name_" + str(i): {
+            "prior_sec": 1.0, "now_sec": 3.0, "normalized_ratio": 3.0
+        }
+        for i in range(400)
+    }
+    line = json.dumps(summarize(out, "/tmp/full.json"))
+    assert len(line) <= 1900
+    json.loads(line)
+
+
+def test_summary_without_compare_block():
+    out = _fake_out(50, 0)
+    del out["compare"]
+    parsed = json.loads(json.dumps(summarize(out, "/tmp/full.json")))
+    assert "compare" not in parsed
+    assert parsed["n_queries"] == 50
+
+
+def test_compare_to_prior_round_trip(tmp_path):
+    prior = {"queries": {"a": 1.0, "b": 2.0, "c": 4.0}}
+    p = tmp_path / "prior.json"
+    p.write_text(json.dumps(prior))
+    now = {"a": 1.1, "b": 2.2, "c": 13.2}  # uniform 1.1x drift, c regressed 3x
+    c = compare_to_prior(now, str(p))["compare"]
+    assert c["common"] == 3
+    assert abs(c["drift_median_ratio"] - 1.1) < 1e-9
+    assert list(c["regressions"]) == ["c"]
+    assert abs(c["regressions"]["c"]["normalized_ratio"] - 3.0) < 1e-6
