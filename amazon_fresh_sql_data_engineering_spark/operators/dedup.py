@@ -265,16 +265,15 @@ def minhash_signatures(
     return minhash_features(df, id_col, text_col, num_hashes, k, seed).select("__id", "__sig")
 
 
-def _candidates_from_sig(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """Banded-LSH candidate pairs from a (persisted) signature frame.
-
-    The bucket key is the band's signature values themselves (joined as a
-    string) rather than a hash of them: engine-portable (a SQL oracle can
-    build the identical key), collision-free by construction, and the
-    equi-join cost is the same — the key is a few dozen bytes either way.
-    """
+def _bands_from_sig(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(__id, band, bucket) banded form of a signature frame — the LSH
+    index rows. The bucket key is the band's signature values themselves
+    (joined as a string) rather than a hash of them: engine-portable (a SQL
+    oracle can build the identical key), collision-free by construction,
+    and the equi-join cost is the same — the key is a few dozen bytes
+    either way."""
     rows_per_band = num_hashes // bands
-    banded = sig.select(
+    return sig.select(
         "__id",
         F.explode(
             F.array(
@@ -294,6 +293,11 @@ def _candidates_from_sig(sig: DataFrame, num_hashes: int, bands: int) -> DataFra
             )
         ).alias("bb"),
     ).select("__id", "bb.band", "bb.bucket")
+
+
+def _candidates_from_sig(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Banded-LSH candidate pairs from a (persisted) signature frame."""
+    banded = _bands_from_sig(sig, num_hashes, bands)
     left = banded.select(F.col("band"), F.col("bucket"), F.col("__id").alias("id_a"))
     right = banded.select(F.col("band"), F.col("bucket"), F.col("__id").alias("id_b"))
     return (
@@ -322,6 +326,101 @@ def minhash_lsh_candidates(
     """
     sig = minhash_signatures(df, id_col, text_col, num_hashes, k, seed).persist()
     return _candidates_from_sig(sig, num_hashes, bands)
+
+
+def minhash_incremental_pairs(
+    store_features: DataFrame,
+    batch_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental near-dedup: new-batch documents vs an EXISTING MinHash
+    feature store, without recomputing (or even reading the text of) the
+    stored corpus (VERDICT r5 item 5).
+
+    ``store_features`` is a persisted ``minhash_features`` output
+    ``(__id, __sig, __h)`` — in production a parquet/bucketed table that
+    grew batch by batch; each published doc carries its signature AND its
+    31-bit shingle-hash set, so screening a new batch never re-shingles
+    history (the same sink-is-the-index design as
+    streaming/corpus.run_corpus_neardup_upsert). Ids must be unique across
+    store ∪ batch (caller contract).
+
+    Returns ``(id_a, id_b, jaccard_sim, vs)`` with ``id_a < id_b`` for
+    every near-dup pair touching at least one batch doc; ``vs`` says
+    whether the partner is a ``'store'`` doc or another ``'batch'`` doc.
+
+    EQUIVALENCE (the oracle's lever): band buckets are pure per-doc
+    functions of the text, so restricting the full-union band self-join to
+    pairs with >= 1 batch side loses exactly the store-store pairs — which
+    were already found when the store was built. Hence this equals
+    ``minhash_dedup_pairs(store_docs UNION batch_docs)`` filtered to
+    batch-touching pairs, at ANY scale, and applying it batch-by-batch
+    replays the full-corpus result incrementally (asserted in pytest).
+
+    Scale shape: one Arrow UDF pass over the NEW batch only; the
+    batch-vs-store candidate join is an equi-join on (band, bucket) — at
+    100 TB partition/bucket the store's banded index by bucket prefix so
+    the probe prunes to matching buckets instead of scanning the index.
+    Nothing rescans corpus text; the verify joins shingle arrays already
+    sitting in the two feature frames.
+    """
+    new_feats = minhash_features(batch_docs, id_col, text_col, num_hashes, k, seed).persist()
+    new_sig = new_feats.select("__id", "__sig")
+    new_bands = _bands_from_sig(new_sig, num_hashes, bands)
+    store_bands = _bands_from_sig(store_features.select("__id", "__sig"), num_hashes, bands)
+    cross = (
+        new_bands.select("band", "bucket", F.col("__id").alias("id_new"))
+        .join(
+            store_bands.select("band", "bucket", F.col("__id").alias("id_old")),
+            on=["band", "bucket"],
+        )
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    within = _candidates_from_sig(new_sig, num_hashes, bands)
+    sh_new = new_feats.select("__id", "__h")
+    sh_old = store_features.select("__id", "__h")
+    cross_v = (
+        cross.join(
+            sh_new.select(F.col("__id").alias("id_new"), F.col("__h").alias("__sh_n")),
+            on="id_new",
+        )
+        .join(
+            sh_old.select(F.col("__id").alias("id_old"), F.col("__h").alias("__sh_o")),
+            on="id_old",
+        )
+        .select(
+            F.least("id_new", "id_old").alias("id_a"),
+            F.greatest("id_new", "id_old").alias("id_b"),
+            jaccard(F.col("__sh_n"), F.col("__sh_o")).alias("jaccard_sim"),
+            F.lit("store").alias("vs"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+    within_v = (
+        within.join(
+            sh_new.select(F.col("__id").alias("id_a"), F.col("__h").alias("__sh_a")),
+            on="id_a",
+        )
+        .join(
+            sh_new.select(F.col("__id").alias("id_b"), F.col("__h").alias("__sh_b")),
+            on="id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard_sim"),
+            F.lit("batch").alias("vs"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+    return cross_v.unionByName(within_v)
 
 
 def jaccard(a: Column, b: Column) -> Column:

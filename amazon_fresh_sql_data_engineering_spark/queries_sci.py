@@ -646,7 +646,17 @@ def op_item_cf_jaccard(spark, sf_dir, max_items_per_user: int = 64):
     # of the small frame and measures 9.4 s -> 6.0 s warm at sf0.1; at
     # 100 TB the same coalesce-before-explode trap is the difference
     # between scan-rate pair generation and a handful of straggler tasks.
-    baskets = baskets.localCheckpoint(eager=True).repartition(
+    # The fence is a PERSIST pin (VERDICT r5 item 7), not a localCheckpoint:
+    # evictable, recomputable after executor loss (recompute is safe — the
+    # basket arrays are array_sort-normalized, so collect_list order can't
+    # leak), and both consumers (sizes, pair stream) share this exact
+    # DataFrame object so the cache lookup hits by plan identity. The
+    # explicit repartition(N) below is immune to AQE coalescing — user-
+    # specified partition counts are preserved — so the explode keeps full
+    # parallelism without any lineage-truncating barrier.
+    from pyspark.storagelevel import StorageLevel
+
+    baskets = baskets.persist(StorageLevel.MEMORY_AND_DISK).repartition(
         spark.sparkContext.defaultParallelism
     )
     sizes = baskets.select(F.explode("items").alias("item")).groupBy(

@@ -25,6 +25,65 @@ def docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def test_minhash_incremental_replays_batch_union(spark, sf_dir):
+    """The incremental operator's defining property (VERDICT r5 item 5):
+    applying it batch-by-batch against an accreting feature store finds
+    exactly the batch-touching pairs of the full-union run — so a pipeline
+    that never recomputes history still converges to the batch answer.
+    Two sequential batches over real documents; the store grows between
+    them exactly as a production sink would."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    store_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    batch1 = docs.filter(F.col("doc_id") % 3 == 1).unionByName(
+        # guaranteed hits: exact copies of store docs under fresh ids
+        store_docs.filter(F.col("doc_id") % 12 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 10_000_000
+        )
+    )
+    batch2 = docs.filter(F.col("doc_id") % 3 == 2).unionByName(
+        batch1.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 20_000_000
+        )
+    )
+    feats = lambda d: D.minhash_features(d, "doc_id", "text", 64, 3, 42)  # noqa: E731
+
+    store = feats(store_docs).persist()
+    got1 = D.minhash_incremental_pairs(store, batch1, "doc_id", "text", threshold=0.5)
+    store2 = store.unionByName(feats(batch1)).persist()
+    got2 = D.minhash_incremental_pairs(store2, batch2, "doc_id", "text", threshold=0.5)
+    got = {
+        (r.id_a, r.id_b): (round(r.jaccard_sim, 6), r.vs)
+        for r in got1.unionByName(got2).collect()
+    }
+
+    union = store_docs.unionByName(batch1).unionByName(batch2)
+    full = D.minhash_dedup_pairs(union, "doc_id", "text", threshold=0.5)
+    b1 = {r.doc_id for r in batch1.select("doc_id").collect()}
+    b2 = {r.doc_id for r in batch2.select("doc_id").collect()}
+    exp = {}
+    for r in full.collect():
+        in_b1 = r.id_a in b1 or r.id_b in b1
+        in_b2 = r.id_a in b2 or r.id_b in b2
+        if not (in_b1 or in_b2):
+            continue  # store-store: found when the store was built
+        # classification mirrors the per-batch runs: a pair is 'batch' iff
+        # both sides arrived in the SAME batch (the later one sees earlier
+        # batches as store)
+        if r.id_a in b2 and r.id_b in b2:
+            vs = "batch"
+        elif in_b2:
+            vs = "store"
+        elif r.id_a in b1 and r.id_b in b1:
+            vs = "batch"
+        else:
+            vs = "store"
+        exp[(r.id_a, r.id_b)] = (round(r.jaccard_sim, 6), vs)
+    assert got == exp
+    assert any(v == "batch" for _, v in got.values())  # fixture exercised both
+    assert any(v == "store" for _, v in got.values())
+    spark.catalog.clearCache()
+
+
 def test_minhash_finds_known_dups_and_matches_bruteforce(spark, docs):
     pairs = {
         (r.id_a, r.id_b): r.jaccard_sim

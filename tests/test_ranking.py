@@ -466,6 +466,126 @@ def test_sql_tree_matches_column_tree_across_types(spark):
         assert bad == 0, colname
 
 
+def test_persist_pin_eviction_recomputes_correctly(spark):
+    """Fault-tolerance property the deterministic design claims (VERDICT r5
+    item 6): the persist pin is an optimization, not a correctness fence.
+    Evicting the cached blocks AFTER the boundary jobs materialized them
+    (executor loss / memory pressure) forces every consumer branch to
+    recompute the input through lineage — and because pid is a pure literal
+    function of the key, the recomputed branches still agree."""
+    df = spark.range(20_000).select(
+        F.col("id"),
+        (F.pmod(F.hash("id"), F.lit(913)) / 3.0).alias("v"),
+        (F.col("id") % 4).cast("long").alias("x"),
+    )
+    spec = [F.col("v").asc(), F.col("id").asc()]
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    exp = df.select(
+        "id",
+        F.sum("x").over(w).alias("cx_exp"),
+        F.rank().over(Window.orderBy("v")).alias("r_exp"),
+    )
+    # build with the default persist pin: the internal count() job has
+    # already materialized the cache by the time the operators return
+    got = global_cumsum(df, spec, "x", "cx", num_partitions=16)
+    got = global_rank(got, "v", "r", descending=False, num_partitions=16)
+    # simulate eviction of EVERY pinned block before any consumer action ran
+    spark.catalog.clearCache()
+    joined = exp.join(got.select("id", "cx", "r"), "id")
+    bad = joined.filter(
+        (F.col("cx") != F.col("cx_exp")) | (F.col("r") != F.col("r_exp"))
+    ).count()
+    assert bad == 0
+    assert joined.count() == 20_000
+    spark.catalog.clearCache()
+
+
+def test_decompose_public_fallback_without_column_node(spark, monkeypatch):
+    """VERDICT r5 item 3: a pyspark internals change (Column loses node())
+    must not break the two-phase family. With the probe gone, string specs
+    and PLAIN Columns still build and match the single-window form; only an
+    explicit SortOrder Column — whose child can't be extracted publicly —
+    raises the guidance ValueError."""
+    from amazon_fresh_sql_data_engineering_spark.operators import ranking as R
+
+    def boom(c):
+        raise RuntimeError("simulated: Column node() unavailable on this build")
+
+    monkeypatch.setattr(R, "_column_node", boom)
+    df = spark.range(3_000).select(
+        F.col("id"), (F.pmod(F.hash("id"), F.lit(97))).alias("v")
+    )
+    exp = df.withColumn(
+        "r", F.rank().over(Window.orderBy(F.col("v").desc(), F.col("id").desc()))
+    )
+    for spec in (["v", "id"], [F.col("v"), F.col("id")]):
+        got = global_rank(df, spec, "r", descending=True, num_partitions=8)
+        assert {(x.id, x.r) for x in got.collect()} == {
+            (x.id, x.r) for x in exp.collect()
+        }, spec
+    with pytest.raises(ValueError, match="SortOrder"):
+        global_rank(df, [F.col("v").desc()], "r")
+    spark.catalog.clearCache()
+
+
+def test_timestamp_keys_survive_hostile_session_timezone(spark):
+    """ADVICE r5: timestamp ordering keys are compared as epoch micros (TZ)
+    or fixed-width wall-clock strings (NTZ), never as naive-datetime
+    literals, so a session timezone that disagrees with the driver OS
+    timezone — including DST-folding zones — cannot shift or reorder the
+    boundary literals. Asserts parity vs the single-window form under
+    America/New_York with boundaries forced around DST transitions, and
+    that the rewrite actually engages in the plan."""
+    import datetime
+
+    from amazon_fresh_sql_data_engineering_spark.plans import explain as X
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        base = datetime.datetime(2024, 3, 9, 22, 0, 0)  # spans 2024-03-10 DST jump
+        rows = [
+            (i, base + datetime.timedelta(minutes=7 * i, microseconds=i % 3))
+            for i in range(4_000)
+        ]
+        for dtype, marker in (("timestamp", "unix_micros"), ("timestamp_ntz", "date_format")):
+            df = spark.createDataFrame(rows, f"id int, ts {dtype}").repartition(8)
+            got = global_row_number(
+                df, [F.col("ts").asc(), F.col("id").asc()], "rn", num_partitions=8
+            )
+            assert marker in X.physical_plan(got), (dtype, marker)
+            exp = df.withColumn("rn", F.row_number().over(Window.orderBy("ts", "id")))
+            mism = (
+                exp.select("id", F.col("rn").alias("rn_exp"))
+                .join(got.select("id", "rn"), "id")
+                .filter(F.col("rn") != F.col("rn_exp"))
+                .count()
+            )
+            assert mism == 0, dtype
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        spark.catalog.clearCache()
+
+
+def test_boundary_sample_covers_clustered_keys(spark):
+    """ADVICE r5: the sample path must not truncate to the earliest
+    partitions (the old sample().limit() did) — for key-clustered input the
+    boundaries must span the whole key range, not a prefix."""
+    from amazon_fresh_sql_data_engineering_spark.operators import ranking as R
+
+    n = 60_000
+    # keys perfectly clustered across input partitions: partition i holds
+    # ids [i*chunk, (i+1)*chunk)
+    df = spark.range(n).repartitionByRange(16, "id").select(F.col("id"))
+    keys = R._parse_spec(["id"], False)
+    bnds = R._boundaries(df, keys, 16, n)
+    assert len(bnds) >= 8
+    # top boundary must sit in the upper half of the key range — a
+    # prefix-only sample would cap out near target_rows/n of the range
+    assert bnds[-1][0] > n // 2, bnds
+    spark.catalog.clearCache()
+
+
 def test_large_partition_count_uses_sql_tree(spark):
     """Cluster-like pid counts (512 boundaries) exercise the SQL-string
     tree rendering end-to-end: parity vs the single-window form and the
