@@ -3,16 +3,19 @@ family into ``registry.CATALOG``.
 
 The external driver samples the FIRST ~50 catalog entries (registration
 order) for its per-round correctness gate, so ``_PRIORITY`` front-loads the
-queries that most need driver-side evidence this round. Rounds 1-4 put 180
-distinct queries on green driver rows (CORRECTNESS_r01 ∪ … ∪ r04); round 5
-front-loads (a) the new PIPE-IDREMAP driver shape (VERDICT r4 item 5), (b)
-one re-evidence query per two-phase window family member — rank / ntile /
-lead / cumsum — because the round-5 deterministic-boundary rewrite of
-operators/ranking.py changed every consumer's plan, then (c) ALL 45
-remaining never-driver-sampled queries (the queries_stats/queries_sci tail,
-registration order) — 1+4+45 = 50, so this round converges driver evidence
-to the full catalog (VERDICT r4 item 1). Catalog growth stays frozen until
-the convergence lands.
+queries that most need driver-side evidence this round. CORRECTNESS_r05 was
+50/50 green, converging cumulative driver evidence to all 226 catalog
+queries (r01 ∪ … ∪ r05); every query's latest driver row is green. Round 6
+front-loads (a) the two NEW entries (dedup_incremental — VERDICT r5 item 5;
+op_mv_incremental — the incremental-MV shape from the r5 queue), (b) the
+three two-phase consumers whose green rows predate the r5 ranking rewrite
+(VERDICT r5 item 1: q_product_sales_rank, q_top_customers_period,
+op_histogram_equidepth), (c) one re-evidence query per two-phase family
+member because round 6's probe-first boundary build (ranking.py _prepare)
+again touched every consumer, (d) op_item_cf_jaccard, whose basket fence
+moved from localCheckpoint to a persist pin, then (e) a back-rotation of
+the 40 oldest-evidence (r1) core-operator rows — scans/filters/joins/aggs/
+windows whose evidence is five rounds stale. 2+3+4+1+40 = 50.
 
 STANDING RULE (VERDICT r4 item 7): when the catalog grows after
 convergence, new entries go to the FRONT of _PRIORITY in the same round
@@ -53,64 +56,66 @@ except ImportError:
     pass
 
 _PRIORITY = [
-    # --- round-5 block 1: the new PIPE-IDREMAP driver shape (new catalog
-    # entries always go FRONT — see the standing rule above) ---
-    "q_idremap_roundtrip",
-    # --- round-5 block 2: plan-changed re-evidence — the deterministic
-    # literal-boundary pid rewrite of operators/ranking.py touched every
-    # two-phase consumer; one representative per family member ---
+    # --- round-6 block A: NEW entries (standing rule: new goes FRONT) ---
+    "dedup_incremental",  # incremental near-dedup vs a feature store
+    "op_mv_incremental",  # incremental materialized-view maintenance
+    # --- round-6 block B: two-phase consumers whose green rows predate the
+    # r5 ranking rewrite (VERDICT r5 item 1) ---
+    "q_product_sales_rank",
+    "q_top_customers_period",
+    "op_histogram_equidepth",
+    # --- round-6 block C: re-evidence per two-phase family member after
+    # the probe-first boundary build (one limit-collect replaces the
+    # count+sample job pair; op_seq_gaps additionally moved to pin=None) ---
     "q_high_value",  # global_rank
     "op_win_ntile",  # global_ntile
     "op_seq_gaps",  # global_lead
     "op_pack_sequences",  # global_cumsum
-    # --- round-5 block 3: the 45 never-driver-sampled names (registration
-    # order) — with blocks 1-2 exactly the driver's ~50 sample, converging
-    # driver evidence to all 226 catalog queries ---
-    "events_ohlc",
-    "op_chi_square",
-    "op_ab_test_welch",
-    "op_rfm_segmentation",
-    "op_word_pmi",
-    "events_time_to_convert",
-    "events_ewma",
-    "op_gini_concentration",
-    "events_top_paths",
-    "op_basket_lift",
-    "op_abc_analysis",
-    "op_benford",
-    "events_inter_arrival",
-    "op_seasonality",
-    "op_mad_outliers",
-    "op_xcorr_lagged",
-    "text_zipf_fit",
-    "events_dau_wau_mau",
-    "op_embedding_norm_stats",
-    "events_bot_detection",
-    "events_window_funnel",
-    "events_error_budget",
-    "op_mann_whitney",
-    "op_ks_test",
-    "op_survival_km",
-    "events_heavy_hitters_cms",
-    "op_pca_power",
-    "op_holt_linear",
-    "op_cohort_ltv",
-    "events_concurrency_peak",
-    "q_dp_release",
-    "op_metric_decomposition",
-    "op_bootstrap_ci",
-    "events_forecast_backtest",
-    "op_neyman_allocation",
-    "op_join_size_estimate",
-    "q_gdpr_erasure",
-    "op_gains_chart",
-    "op_shard_plan",
-    "events_shapley_attribution",
-    "op_diff_in_diff",
-    "op_cuped",
-    "op_kmv_distinct",
-    "op_winsorized_mean",
-    "op_price_elasticity",
+    # --- round-6 block D: fence change (localCheckpoint -> persist pin) ---
+    "op_item_cf_jaccard",
+    # --- round-6 block E: back-rotation of the 40 oldest-evidence rows
+    # (r1, CORRECTNESS_r01 order) — core relational surface refreshed on
+    # the current engine ---
+    "op_scan",
+    "op_project",
+    "op_filter_eq",
+    "op_filter_ci",
+    "op_filter_date",
+    "op_filter_range",
+    "op_filter_null",
+    "op_filter_regex",
+    "op_filter_in_list",
+    "op_filter_complement",
+    "op_join_inner",
+    "op_join_inner_expr",
+    "op_join_left",
+    "op_join_multi",
+    "op_join_semi",
+    "q_no_orders",
+    "op_corr_scalar_subquery",
+    "op_agg_counts",
+    "q1_pricing_summary",
+    "op_agg_having",
+    "op_agg_sum_coalesce",
+    "q_prime_cities",
+    "op_agg_scalars_report",
+    "op_win_rownum_dedup",
+    "op_topk",
+    "op_topk_ties",
+    "op_sort_nulls",
+    "op_set_union",
+    "op_set_intersect_except",
+    "q_order_revenue",
+    "q_supplier_stock",
+    "q_top3_products",
+    "q_top_categories",
+    "op_win_lead_lag",
+    "op_win_running_total",
+    "op_win_moving_avg",
+    "op_rollup",
+    "op_cube",
+    "op_pivot",
+    "op_agg_stats",
 ]
 
 

@@ -34,9 +34,10 @@ pass over the data:
    are *entirely* free of ``Exchange SinglePartition`` (asserted in
    tests/test_plans.py). ``global = local + rows in earlier pids``.
 
-``global_ntile`` additionally needs the total row count; that scalar is
-aggregated from the per-pid counts, so the one single-partition exchange
-it contains sees at most P rows — metadata, not data.
+``global_ntile`` additionally needs the total row count; it arrives as a
+pid-keyed column built by crossing the <= P-row counts frame with its own
+broadcast and re-aggregating on pid — so even the global scalar costs no
+single-partition exchange (the plan gate bans the node form outright).
 
 The offsets side is at most P rows, so the triangular join is O(P^2) on
 P <= a few thousand — noise — and every join of a tiny side is explicitly
@@ -120,6 +121,10 @@ _SAMPLE_SEED = 0x5EED
 # below this many rows per pid, a partition-parallel global window buys
 # nothing — the adaptive pid count in _prepare floors on it
 _MIN_ROWS_PER_PID = 65_536
+# probe-first cutoff: up to this many key rows are collected exhaustively
+# in ONE job (replacing the count+sample job pair); a few MB of driver
+# traffic at worst, and any input this small gets the 2-pid shallow tree
+_PROBE_CAP = 65_536
 
 
 @dataclass(frozen=True)
@@ -457,12 +462,32 @@ def _pid_expr_sql(keys: list[_Key], boundaries: list[tuple]) -> str | None:
     return tree(0, len(boundaries))
 
 
+def _sel_keys(df: DataFrame, keys: list[_Key]) -> DataFrame:
+    return df.select(*[k.col.alias(f"__k_{i}") for i, k in enumerate(keys)])
+
+
+def _pick_boundaries(rows, keys: list[_Key], num_pids: int) -> list[tuple]:
+    """Sort collected key rows with Spark's exact sort semantics and pick
+    <= num_pids-1 strictly increasing, prefix-truncated split tuples."""
+    if num_pids <= 1 or not rows:
+        return []
+    cmp = _make_cmp(keys)
+    tuples = sorted((tuple(r) for r in rows), key=functools.cmp_to_key(cmp))
+    step = len(tuples) / num_pids
+    out: list[tuple] = []
+    for i in range(1, num_pids):
+        t = tuples[min(len(tuples) - 1, int(i * step))]
+        if not out or cmp(out[-1], t) < 0:  # strictly increasing: no empty-pid dups
+            out.append(t)
+    return _truncate_prefix(out, keys)
+
+
 def _boundaries(df: DataFrame, keys: list[_Key], num_pids: int, n: int) -> list[tuple]:
     """Collect a bounded deterministic key sample and pick <= num_pids-1
     strictly increasing split tuples (metadata-sized driver traffic)."""
     if num_pids <= 1 or n == 0:
         return []
-    sel = df.select(*[k.col.alias(f"__k_{i}") for i, k in enumerate(keys)])
+    sel = _sel_keys(df, keys)
     target = min(max(num_pids * _SAMPLE_PER_PID, 1024), _SAMPLE_CAP)
     if n <= target:
         rows = sel.collect()
@@ -476,15 +501,7 @@ def _boundaries(df: DataFrame, keys: list[_Key], num_pids: int, n: int) -> list[
         rows = sel.sample(False, frac, seed=_SAMPLE_SEED).collect()
         if not rows:  # pathological under-sample on tiny n
             rows = sel.limit(target).collect()
-    cmp = _make_cmp(keys)
-    tuples = sorted((tuple(r) for r in rows), key=functools.cmp_to_key(cmp))
-    step = len(tuples) / num_pids
-    out: list[tuple] = []
-    for i in range(1, num_pids):
-        t = tuples[min(len(tuples) - 1, int(i * step))]
-        if not out or cmp(out[-1], t) < 0:  # strictly increasing: no empty-pid dups
-            out.append(t)
-    return _truncate_prefix(out, keys)
+    return _pick_boundaries(rows, keys, num_pids)
 
 
 def _truncate_prefix(bnds: list[tuple], keys: list[_Key]) -> list[tuple]:
@@ -545,8 +562,11 @@ def _prepare(
     At cluster scale ``n / _MIN_ROWS_PER_PID`` dwarfs the configured
     parallelism, so the cap is the shuffle-partition count, exactly as
     before. An explicit ``num_partitions`` is honored verbatim (tests use
-    it to force many boundaries over small data). The count job doubles as
-    the eager materialization of the ``pin='persist'`` cache.
+    it to force many boundaries over small data). Inputs at or under
+    ``_PROBE_CAP`` rows pay ONE probe job total (exhaustive key collect =
+    exact n + exact boundaries); larger inputs pay the probe overflow plus
+    the classic count + sample pair, where the count also eagerly
+    materializes the ``pin='persist'`` cache.
     """
     if pin == "persist":
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -554,15 +574,30 @@ def _prepare(
         df = df.localCheckpoint(eager=True)
     elif pin is not None:
         raise ValueError(f"ranking: pin must be 'persist', 'checkpoint' or None, got {pin!r}")
-    n = df.count()
-    if num_partitions:
-        num_pids = num_partitions
-    else:
+    ckeys = _comparison_keys(df, keys)
+
+    def adaptive(n: int) -> int:
         # floor of 2: a constant pid would fold and re-plan the window
         # exchange as SinglePartition — the exact node these operators ban
-        num_pids = min(_target_pids(df, None), max(2, -(-n // _MIN_ROWS_PER_PID)))
-    ckeys = _comparison_keys(df, keys)
-    bnds = _boundaries(df, ckeys, num_pids, n)
+        return min(_target_pids(df, None), max(2, -(-n // _MIN_ROWS_PER_PID)))
+
+    # Probe-first: ONE limit-collect job answers both questions for small
+    # inputs — the exact row count AND the exhaustive key set — replacing
+    # the count job + sample job pair (2x the input-scan constant on every
+    # small two-phase call; the r5 op_seq_gaps flag was exactly this).
+    # len(probe) <= cap means the collect was exhaustive, so boundary picks
+    # are exact and the limit's earliest-partitions bias is irrelevant.
+    # Overflow costs one short-circuited probe job (CollectLimit stops
+    # early) before the classic count+sample path — noise at the scale
+    # where that path is needed.
+    probe = _sel_keys(df, ckeys).limit(_PROBE_CAP + 1).collect()
+    if len(probe) <= _PROBE_CAP:
+        num_pids = num_partitions or adaptive(len(probe))
+        bnds = _pick_boundaries(probe, ckeys, num_pids)
+    else:
+        n = df.count()
+        num_pids = num_partitions or adaptive(n)
+        bnds = _boundaries(df, ckeys, num_pids, n)
     return df.withColumn(_PID, _pid_expr(ckeys, bnds))
 
 
@@ -768,18 +803,34 @@ def global_ntile(
 
     SQL NTILE semantics: with N rows the first ``N % n`` tiles get
     ``N // n + 1`` rows, the rest get ``N // n``. Computed from the
-    two-phase global row_number plus the total count (a scalar aggregated
-    from the per-pid counts — the only single-partition exchange in the
-    plan runs over <= P rows). Ordering should be total for deterministic
-    tile assignment.
+    two-phase global row_number plus the total count, which arrives as a
+    pid-keyed broadcast column (counts x broadcast(counts) re-agg on pid)
+    so the plan — like the rest of the family — contains no
+    single-partition exchange at all. Ordering should be total for
+    deterministic tile assignment.
     """
     keys = _parse_spec(order_cols, descending)
     spec = [k.sort_col() for k in keys]
     pid_df, counts, offsets = _two_phase(df, keys, num_partitions, pin)
-    rn = _offset_window(df, pid_df, offsets, spec, F.row_number, _LOCAL + "_rn")
-    total = counts.agg(F.sum(_CNT).alias(_TOT))
-    rn = rn.join(F.broadcast(total))  # 1-row cross: BroadcastNestedLoop, no shuffle
     g, t = _LOCAL + "_rn", _TOT
+    w = Window.partitionBy(_PID).orderBy(*spec)
+    rn = (
+        pid_df.withColumn(_LOCAL, F.row_number().over(w))
+        .join(F.broadcast(offsets), _PID)
+        .withColumn(g, (F.col(_LOCAL) + F.col(_OFF)).cast("bigint"))
+    )
+    # per-pid total via the same broadcast idiom as the offsets (cross of
+    # the <= P-row counts with itself, re-agg on pid): the global scalar
+    # arrives as a pid-keyed column with ZERO single-partition exchange —
+    # a plain .agg() would plan Exchange SinglePartition over the P count
+    # rows (metadata-sized, but the family's plan gate bans the node form)
+    all_cnt = counts.select(F.col(_CNT).alias("__gr_cnt_all"))
+    totals = (
+        counts.crossJoin(F.broadcast(all_cnt))
+        .groupBy(_PID)
+        .agg(F.sum("__gr_cnt_all").alias(_TOT))
+    )
+    rn = rn.join(F.broadcast(totals), _PID)
     # integer `div` throughout: double division could mis-round at huge N
     tile = F.expr(
         f"CASE WHEN {g} <= ({t} % {n}) * ({t} div {n} + 1)"

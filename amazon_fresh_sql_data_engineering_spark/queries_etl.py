@@ -1253,3 +1253,56 @@ def q_ctas_roundtrip(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "op_mv_incremental",
+    oracle="""
+        WITH eff AS (
+            SELECT * FROM orders
+            WHERE o_orderkey % 8 <> 5 AND o_orderkey % 16 <> 2
+            UNION ALL
+            SELECT * FROM orders WHERE o_orderkey % 8 = 5
+        )
+        SELECT date_trunc('month', o_orderdate) AS order_month,
+               o_orderstatus,
+               count(*) AS order_cnt,
+               round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue
+        FROM eff
+        GROUP BY 1, 2
+    """,
+    doc="Incremental materialized-view maintenance (operators/mv.py): a "
+    "monthly revenue summary is built from the base orders (o_orderkey%8<>5),"
+    " then a change batch — inserts (%8=5) and deletes (%16=2) as signed "
+    "multiset deltas — is applied with ONE shuffle sized |MV|+|delta "
+    "partials|, never a base rescan (the Gupta-Mumick delta rule over "
+    "distributive SUM/COUNT state; AVG-style readouts derive from the "
+    "carried COUNT+SUM at query time, outside the hashed surface). The oracle is "
+    "the full recompute over the post-change table — delta-apply must be "
+    "indistinguishable from rebuild. The inverse-delta round-trip and "
+    "empty-group drop are pytest-asserted (test_dml).",
+)
+def op_mv_incremental(spark, sf_dir):
+    from .operators import mv
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_month", F.trunc("o_orderdate", "month")
+    ).withColumn("price", dec("o_totalprice"))
+    keys = ["order_month", "o_orderstatus"]
+    sums = {"rev": "price"}
+    base = o.filter(F.col("o_orderkey") % 8 != 5)
+    mv0 = mv.mv_build(base, keys, sums)
+    delta = (
+        o.filter(F.col("o_orderkey") % 8 == 5)
+        .withColumn("__op", F.lit(1))
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 16 == 2).withColumn("__op", F.lit(-1))
+        )
+    )
+    mv1 = mv.mv_apply_delta(mv0, delta, keys, sums)
+    return mv1.select(
+        "order_month",
+        "o_orderstatus",
+        F.col("__mv_cnt").alias("order_cnt"),
+        fin(F.col("rev"), 2).alias("revenue"),
+    )

@@ -650,14 +650,20 @@ def op_item_cf_jaccard(spark, sf_dir, max_items_per_user: int = 64):
     # evictable, recomputable after executor loss (recompute is safe — the
     # basket arrays are array_sort-normalized, so collect_list order can't
     # leak), and both consumers (sizes, pair stream) share this exact
-    # DataFrame object so the cache lookup hits by plan identity. The
-    # explicit repartition(N) below is immune to AQE coalescing — user-
-    # specified partition counts are preserved — so the explode keeps full
-    # parallelism without any lineage-truncating barrier.
+    # DataFrame object so the cache lookup hits by plan identity. The pin
+    # sits ABOVE the repartition so each consumer reads the cache directly
+    # (A/B at sf0.1 warm: persist-after-repartition 6.3-7.5 s == the old
+    # localCheckpoint's 6.3 s; persist-below-repartition 8-9.5 s pays an
+    # extra exchange read per branch; NO fence is 25 s — column pruning
+    # makes the two branches' exchange subplans non-identical, so reuse
+    # never fires and the basket agg runs per branch). The explicit
+    # repartition(N) is immune to AQE coalescing — user-specified partition
+    # counts are preserved — so the explode keeps full parallelism without
+    # any lineage-truncating barrier.
     from pyspark.storagelevel import StorageLevel
 
-    baskets = baskets.persist(StorageLevel.MEMORY_AND_DISK).repartition(
-        spark.sparkContext.defaultParallelism
+    baskets = baskets.repartition(spark.sparkContext.defaultParallelism).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     sizes = baskets.select(F.explode("items").alias("item")).groupBy(
         "item"

@@ -1,0 +1,149 @@
+"""Scale-ladder measurement for the heavy query tier (VERDICT r5 item 4).
+
+Measures wall-clock of the pair-generation / two-phase / corpus-pipeline
+queries at 1x, 2x and 4x the sf0.1 row counts and fits the log-log scaling
+exponent — the claim "work is sub-quadratic (bounded by Σ basket², inverted-
+index co-occurrences, banded buckets)" gets a measured number instead of an
+argument.
+
+Scaled inputs are DERIVED from the driver testdata (never hand-synthesized
+fixtures): replica k shifts every id key by k*OFFSET and, for documents,
+applies a per-replica letter rotation to the text so replicas are
+content-disjoint — each replica carries the original's internal duplicate
+structure, but no cross-replica near-dups exist. Without the rotation every
+doc would match its K-1 clones and pair counts would grow quadratically BY
+CONSTRUCTION of the fixture, drowning the algorithmic signal this script
+exists to measure. Orders/lineitem replicas shift order/customer keys but
+keep part keys shared: K replicas model K-times more customers buying from
+the same catalog, which is the realistic growth axis (and the one the
+Σ basket² bound speaks to).
+
+Usage:
+    python scripts_scale_ladder.py prep     # build _scale_tmp/r{2,4}
+    python scripts_scale_ladder.py run      # time the ladder, print JSON
+                                            # (quiet CPU required — do not
+                                            # overlap with sweeps/bench)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_scale_tmp")
+REPLICAS = (2, 4)
+ID_OFFSET = 100_000_000
+
+#: query name -> tables its plan reads (only these are replicated)
+QUERIES = {
+    "op_item_cf_jaccard": ("orders", "lineitem"),
+    "dedup_ngram_jaccard": ("documents",),
+    "dedup_ngram_jaccard_maxdf": ("documents",),
+    "dedup_minhash": ("documents",),
+    "dedup_incremental": ("documents",),
+    "pipe_training_corpus": ("documents",),
+    "op_histogram_equidepth": ("orders",),
+    "op_pack_sequences": ("documents",),
+}
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _session():
+    from amazon_fresh_sql_data_engineering_spark.session import build_session
+
+    return build_session(app_name="scale_ladder")
+
+
+def prep() -> None:
+    from pyspark.sql import functions as F
+
+    spark = _session()
+    tables = sorted({t for ts in QUERIES.values() for t in ts})
+    for r in REPLICAS:
+        out_dir = os.path.join(ROOT, f"r{r}")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
+        for tbl in tables:
+            src = spark.read.parquet(f"{SF_DIR}/{tbl}.parquet")
+            parts = []
+            for k in range(r):
+                d = src
+                if tbl == "documents":
+                    d = d.withColumn("doc_id", F.col("doc_id") + F.lit(k * ID_OFFSET))
+                    if k:
+                        rot = ALPHA[k:] + ALPHA[:k]
+                        d = d.withColumn(
+                            "text",
+                            F.translate(
+                                "text", ALPHA + ALPHA.upper(), rot + rot.upper()
+                            ),
+                        )
+                elif tbl == "orders":
+                    d = d.withColumn(
+                        "o_orderkey", F.col("o_orderkey") + F.lit(k * ID_OFFSET)
+                    ).withColumn(
+                        "o_custkey", F.col("o_custkey") + F.lit(k * ID_OFFSET)
+                    )
+                elif tbl == "lineitem":
+                    d = d.withColumn(
+                        "l_orderkey", F.col("l_orderkey") + F.lit(k * ID_OFFSET)
+                    )
+                parts.append(d)
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.unionByName(p)
+            merged.write.mode("overwrite").parquet(f"{out_dir}/{tbl}.parquet")
+            print(f"r{r}/{tbl}: {spark.read.parquet(f'{out_dir}/{tbl}.parquet').count()} rows")
+    spark.stop()
+
+
+def run() -> None:
+    from amazon_fresh_sql_data_engineering_spark.catalog import CATALOG
+
+    spark = _session()
+    # JVM / Arrow warm-up, as bench.py does
+    CATALOG["dedup_minhash"].fn(spark, SF_DIR).count()
+    spark.catalog.clearCache()
+
+    def timed(name: str, sf_dir: str) -> float:
+        best = math.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            CATALOG[name].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in list(jmap.keySet().toArray()):
+                jmap.get(rid).unpersist()
+        return round(best, 3)
+
+    ladder = [("1x", SF_DIR)] + [
+        (f"{r}x", os.path.join(ROOT, f"r{r}")) for r in REPLICAS
+    ]
+    out: dict[str, dict] = {}
+    for name in QUERIES:
+        scales = {}
+        for label, d in ladder:
+            scales[label] = timed(name, d)
+        hi, lo = scales[f"{REPLICAS[-1]}x"], scales["1x"]
+        out[name] = {
+            **scales,
+            # exponent over the full 1x->4x span; >1.6 would flag the
+            # quadratic blow-ups this tier is engineered to avoid
+            "exponent": round(math.log(hi / lo) / math.log(REPLICAS[-1]), 3),
+        }
+        print(name, json.dumps(out[name]), flush=True)
+    print("LADDER " + json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    {"prep": prep, "run": run}[sys.argv[1]]()

@@ -108,3 +108,77 @@ def test_scd2_apply_semantics(spark):
     assert rows[("k3", "c", True)] == (eff, None)
     assert rows[("k4", "d", True)] == (d(2022, 1, 1), None)              # untouched key
     assert rows[("k5", "new", True)] == (eff, None)                      # brand new
+
+
+def _mv_rows(df):
+    return {
+        tuple(r[k] for k in ("g", "s")): (r["__mv_cnt"], float(r["rev"]))
+        for r in df.collect()
+    }
+
+
+def test_mv_apply_delta_equals_rebuild(spark):
+    """Delta-apply must be indistinguishable from a full rebuild of the
+    post-change table, including groups created by the delta and groups it
+    fully empties (dropped, never tombstoned)."""
+    from amazon_fresh_sql_data_engineering_spark.operators import mv
+
+    base = spark.createDataFrame(
+        [(1, "a", "x", 10.0), (2, "a", "x", 20.0), (3, "b", "y", 5.0), (4, "c", "y", 7.0)],
+        "id int, g string, s string, rev double",
+    )
+    keys, sums = ["g", "s"], {"rev": "rev"}
+    mv0 = mv.mv_build(base, keys, sums)
+    delta = spark.createDataFrame(
+        [
+            (5, "d", "z", 100.0, 1),   # brand-new group
+            (6, "a", "x", 30.0, 1),    # grow an existing group
+            (4, "c", "y", 7.0, -1),    # empty group c/y entirely
+            (3, "b", "y", 5.0, -1),    # shrink b/y to zero rows too
+        ],
+        "id int, g string, s string, rev double, __op int",
+    )
+    got = mv.mv_apply_delta(mv0, delta, keys, sums)
+    eff = base.filter(~F.col("id").isin(3, 4)).unionByName(
+        delta.filter(F.col("__op") == 1).drop("__op")
+    )
+    exp = mv.mv_build(eff, keys, sums)
+    assert _mv_rows(got) == _mv_rows(exp)
+    assert ("c", "y") not in _mv_rows(got) and ("b", "y") not in _mv_rows(got)
+
+
+def test_mv_inverse_delta_round_trips(spark):
+    """Applying a delta then its signed inverse returns the original state —
+    the algebraic property that makes replay/undo safe."""
+    from amazon_fresh_sql_data_engineering_spark.operators import mv
+
+    base = spark.range(200).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.col("id") % 3).cast("string").alias("s"),
+        (F.col("id") * 1.5).alias("rev"),
+    )
+    keys, sums = ["g", "s"], {"rev": "rev"}
+    mv0 = mv.mv_build(base, keys, sums)
+    delta = base.filter(F.col("id") % 5 == 0).withColumn("__op", F.lit(-1))
+    inv = delta.withColumn("__op", -F.col("__op"))
+    mv1 = mv.mv_apply_delta(mv0, delta, keys, sums)
+    mv2 = mv.mv_apply_delta(mv1, inv, keys, sums)
+    assert _mv_rows(mv2) == _mv_rows(mv0)
+    assert _mv_rows(mv1) != _mv_rows(mv0)
+
+
+def test_mv_op_column_collision_raises(spark):
+    from amazon_fresh_sql_data_engineering_spark.operators import mv
+
+    import pytest
+
+    base = spark.createDataFrame([(1, "a", 1.0)], "id int, g string, rev double")
+    with pytest.raises(ValueError, match="collides"):
+        mv.mv_apply_delta(
+            mv.mv_build(base, ["g"], {"rev": "rev"}),
+            base.withColumn("__op", F.lit(1)),
+            ["g"],
+            {"rev": "rev"},
+            op_col="g",
+        )
