@@ -121,7 +121,7 @@ def main() -> None:
         out["queries_warm"] = warm
     if "--compare" in sys.argv:
         prior_path = sys.argv[sys.argv.index("--compare") + 1]
-        out.update(compare_to_prior(timings, prior_path))
+        out.update(compare_to_prior(timings, prior_path, warm))
 
     full_path = os.environ.get(
         "SPARK_GRAFT_BENCH_FULL",
@@ -154,9 +154,19 @@ def summarize(out: dict, full_path: str, limit: int = 1900) -> dict:
             for k in ("prior", "common", "drift_median_ratio", "normalized_total_ratio")
             if k in c
         }
-        # regression names + normalized ratios only (details in the full file)
+        # regression names + cold/warm normalized ratios (details in the
+        # full file); warm is the steady-state arbiter — cold is order-
+        # dependent (see compare_to_prior)
         summary["compare"]["regressions"] = {
-            n: d["normalized_ratio"] for n, d in c.get("regressions", {}).items()
+            n: {
+                "cold": d["normalized_ratio"],
+                **(
+                    {"warm": d["warm_normalized_ratio"]}
+                    if "warm_normalized_ratio" in d
+                    else {}
+                ),
+            }
+            for n, d in c.get("regressions", {}).items()
         }
         summary["compare"]["n_new_queries"] = len(c.get("new_queries", []))
     slowest = sorted(out["queries"].items(), key=lambda kv: -kv[1])
@@ -172,8 +182,16 @@ def summarize(out: dict, full_path: str, limit: int = 1900) -> dict:
     return summary
 
 
-def compare_to_prior(timings: dict[str, float], prior_path: str) -> dict:
-    """Drift-normalized comparison vs a prior bench JSON (cold tier)."""
+def compare_to_prior(
+    timings: dict[str, float], prior_path: str, warm: dict[str, float] | None = None
+) -> dict:
+    """Drift-normalized comparison vs a prior bench JSON (cold tier).
+
+    Each flagged regression also carries ``warm_normalized_ratio`` when both
+    runs have a warm tier: the cold tier is CATALOG-ORDER-DEPENDENT (a query
+    moved earlier in the rotation meets colder codegen — measured 7x on a
+    0.13 s filter), so the steady-state warm ratio is the arbiter of
+    whether an engine change actually regressed."""
     with open(prior_path) as fh:
         prior = json.load(fh)
     prev = prior.get("queries", {})
@@ -185,8 +203,26 @@ def compare_to_prior(timings: dict[str, float], prior_path: str) -> dict:
     rs = sorted(ratios.values())
     drift = rs[len(rs) // 2]  # median ratio over common queries = host drift
     normalized = {n: round(r / drift, 3) for n, r in ratios.items()}
+    prev_warm = prior.get("queries_warm", {})
+    warm_ratios = {
+        n: (warm or {})[n] / prev_warm[n]
+        for n in (warm or {})
+        if n in prev_warm and prev_warm[n] > 0
+    }
+    wdrift = (
+        sorted(warm_ratios.values())[len(warm_ratios) // 2] if warm_ratios else None
+    )
     regressions = {
-        n: {"prior_sec": prev[n], "now_sec": timings[n], "normalized_ratio": v}
+        n: {
+            "prior_sec": prev[n],
+            "now_sec": timings[n],
+            "normalized_ratio": v,
+            **(
+                {"warm_normalized_ratio": round(warm_ratios[n] / wdrift, 3)}
+                if n in warm_ratios
+                else {}
+            ),
+        }
         for n, v in sorted(normalized.items(), key=lambda kv: -kv[1])
         if v > 2.0
     }

@@ -44,7 +44,9 @@ def test_summary_fits_driver_tail_and_parses():
     parsed = json.loads(line)
     assert parsed["value"] == 206.2
     assert parsed["compare"]["normalized_total_ratio"] == 0.98
-    assert parsed["compare"]["regressions"] == {f"reg{i:03d}": 3.0 for i in range(5)}
+    assert parsed["compare"]["regressions"] == {
+        f"reg{i:03d}": {"cold": 3.0} for i in range(5)
+    }
     assert parsed["compare"]["n_new_queries"] == 2
     assert len(parsed["slowest"]) == 10
     assert parsed["full"] == "/tmp/full.json"
@@ -82,3 +84,21 @@ def test_compare_to_prior_round_trip(tmp_path):
     assert abs(c["drift_median_ratio"] - 1.1) < 1e-9
     assert list(c["regressions"]) == ["c"]
     assert abs(c["regressions"]["c"]["normalized_ratio"] - 3.0) < 1e-6
+    assert "warm_normalized_ratio" not in c["regressions"]["c"]  # no warm tier
+
+
+def test_compare_annotates_cold_regressions_with_warm_ratio(tmp_path):
+    """A query whose cold time exploded from catalog-position change but
+    whose steady-state is unchanged must carry warm_normalized_ratio ~1 —
+    the artifact distinguishes ordering artifacts from real regressions."""
+    prior = {
+        "queries": {"a": 1.0, "b": 2.0, "c": 0.13},
+        "queries_warm": {"a": 0.9, "b": 1.8, "c": 0.12},
+    }
+    p = tmp_path / "prior.json"
+    p.write_text(json.dumps(prior))
+    now = {"a": 1.0, "b": 2.0, "c": 1.0}  # c cold-regressed ~7.7x
+    warm = {"a": 0.9, "b": 1.8, "c": 0.12}  # …but warm is identical
+    c = compare_to_prior(now, str(p), warm)["compare"]
+    assert list(c["regressions"]) == ["c"]
+    assert abs(c["regressions"]["c"]["warm_normalized_ratio"] - 1.0) < 1e-6
