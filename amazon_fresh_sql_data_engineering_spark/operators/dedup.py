@@ -374,6 +374,24 @@ def minhash_incremental_pairs(
     new_sig = new_feats.select("__id", "__sig")
     new_bands = _bands_from_sig(new_sig, num_hashes, bands)
     store_bands = _bands_from_sig(store_features.select("__id", "__sig"), num_hashes, bands)
+    return _incremental_verify(
+        store_features, new_feats, new_bands, store_bands, num_hashes, bands, threshold
+    )
+
+
+def _incremental_verify(
+    store_features: DataFrame,
+    new_feats: DataFrame,
+    new_bands: DataFrame,
+    store_bands: DataFrame,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+) -> DataFrame:
+    """Candidate generation + exact-Jaccard verify shared by the in-memory
+    (`minhash_incremental_pairs`) and on-disk (`minhash_store_probe`)
+    incremental paths."""
+    new_sig = new_feats.select("__id", "__sig")
     cross = (
         new_bands.select("band", "bucket", F.col("__id").alias("id_new"))
         .join(
@@ -907,4 +925,79 @@ def embedding_dedup_pairs(
             cosine_pairs(F.col("__va"), F.col("__vb")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def write_minhash_store(
+    features: DataFrame,
+    path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    num_prefixes: int = 64,
+) -> None:
+    """Persist a ``minhash_features`` frame as an on-disk incremental-dedup
+    feature store laid out for PRUNED probes (the 100 TB lever the
+    streaming sink notes as "partition the index by bucket prefix"):
+
+    - ``{path}/features`` — ``(__id, __sig, __h)``: the verify tier
+      (shingle sets ride with the store, history is never re-shingled);
+    - ``{path}/index`` — the banded LSH rows ``(__id, bucket)``
+      PARTITIONED BY ``(band, __pfx = xxhash64(bucket) mod num_prefixes)``,
+      so a batch probe reads only the (band, prefix) directories its own
+      buckets hash into — bands*num_prefixes directories total, each
+      ~1/(bands*num_prefixes) of the index — instead of scanning it all.
+
+    Append new batches with mode='append' writes of the same two frames;
+    the layout is stable because __pfx is a pure function of the bucket.
+    """
+    features.write.mode("overwrite").parquet(f"{path}/features")
+    idx = _bands_from_sig(features.select("__id", "__sig"), num_hashes, bands)
+    idx = idx.withColumn(
+        "__pfx", F.pmod(F.xxhash64("bucket"), F.lit(num_prefixes))
+    )
+    idx.write.mode("overwrite").partitionBy("band", "__pfx").parquet(f"{path}/index")
+
+
+def minhash_store_probe(
+    batch_docs: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+    num_prefixes: int = 64,
+    max_pruned_terms: int = 4096,
+) -> DataFrame:
+    """``minhash_incremental_pairs`` against a ``write_minhash_store``
+    directory, with STATIC partition pruning: the batch's distinct
+    (band, prefix) pairs — a metadata-bounded driver collect of at most
+    ``bands * num_prefixes`` tuples — become partition filters on the index
+    scan, so only matching directories are read (asserted via inputFiles in
+    tests). Falls back to a full index scan if the batch somehow touches
+    more than ``max_pruned_terms`` partitions (then pruning buys nothing).
+    """
+    import functools as _ft
+
+    spark = batch_docs.sparkSession
+    new_feats = minhash_features(batch_docs, id_col, text_col, num_hashes, k, seed).persist()
+    new_bands = _bands_from_sig(
+        new_feats.select("__id", "__sig"), num_hashes, bands
+    ).withColumn("__pfx", F.pmod(F.xxhash64("bucket"), F.lit(num_prefixes))).persist()
+    touched = [
+        (r["band"], r["__pfx"])
+        for r in new_bands.select("band", "__pfx").distinct().collect()
+    ]
+    idx = spark.read.parquet(f"{path}/index")
+    if 0 < len(touched) <= max_pruned_terms:
+        cond = _ft.reduce(
+            lambda a, b: a | b,
+            [(F.col("band") == b) & (F.col("__pfx") == p) for b, p in touched],
+        )
+        idx = idx.filter(cond)
+    store_features = spark.read.parquet(f"{path}/features")
+    return _incremental_verify(
+        store_features, new_feats, new_bands, idx, num_hashes, bands, threshold
     )

@@ -234,13 +234,33 @@ def _comparison_keys(df: DataFrame, keys: list[_Key]) -> list[_Key]:
     columns. Only comparison semantics move to long/string — types whose
     driver-side ``_cmp_one`` and executor-side comparisons trivially agree.
     """
-    from pyspark.sql.types import TimestampNTZType, TimestampType
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
     fields = df.select(
         *[k.col.alias(f"__k_{i}") for i, k in enumerate(keys)]
     ).schema.fields
     out: list[_Key] = []
     for k, f in zip(keys, fields):
+        if isinstance(f.dataType, (ArrayType, StructType, MapType)):
+            # pid monotonicity — and therefore rank/offset composition —
+            # requires the DRIVER-side boundary sort to agree with Spark's
+            # ordering. _cmp_one mirrors Spark exactly for atomic types
+            # (NULL placement, NaN-largest, unsigned bytes: unit-tested),
+            # but Python's list/Row comparison diverges on composites
+            # (None elements raise TypeError; map ordering is undefined) —
+            # a silent disagreement here would compose WRONG ranks, so the
+            # contract rejects it loudly instead.
+            raise ValueError(
+                f"ranking: composite ordering key {f.name!r} ({f.dataType.simpleString()}) "
+                "is not supported — project the array/struct to atomic "
+                "column(s) and order by those"
+            )
         if isinstance(f.dataType, TimestampType):
             out.append(_Key(F.unix_micros(k.col), k.desc, k.nulls_first))
         elif isinstance(f.dataType, TimestampNTZType):

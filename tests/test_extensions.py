@@ -84,6 +84,82 @@ def test_minhash_incremental_replays_batch_union(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_minhash_store_probe_prunes_and_matches_inmemory(spark, sf_dir, tmp_path):
+    """On-disk feature store: probing a batch against write_minhash_store's
+    partitioned layout returns exactly the in-memory incremental result,
+    and the partition filters actually prune the index scan (fewer files
+    read than a full scan)."""
+    import functools
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    store_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 1).unionByName(
+        store_docs.filter(F.col("doc_id") % 20 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 5_000_000
+        )
+    )
+    store_feats = D.minhash_features(store_docs, "doc_id", "text", 64, 3, 42).persist()
+    path = str(tmp_path / "mh_store")
+    D.write_minhash_store(store_feats, path, num_prefixes=8)
+
+    got = {
+        (r.id_a, r.id_b): (round(r.jaccard_sim, 6), r.vs)
+        for r in D.minhash_store_probe(
+            batch, path, "doc_id", "text", threshold=0.5, num_prefixes=8
+        ).collect()
+    }
+    exp = {
+        (r.id_a, r.id_b): (round(r.jaccard_sim, 6), r.vs)
+        for r in D.minhash_incremental_pairs(
+            store_feats, batch, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert got == exp and got  # non-trivial: the planted copies must hit
+
+    # pruning evidence with a realistically small probe batch (a 500-doc
+    # batch x 16 bands touches all 128 partitions of this toy store; real
+    # stores use num_prefixes >> batch band-rows): 3 docs -> <= 48 of 128
+    # (band, pfx) combos -> the partition filter must read fewer index
+    # files than a full scan (replicates minhash_store_probe's filter)
+    tiny = batch.orderBy("doc_id").limit(3)
+    nb = D._bands_from_sig(
+        D.minhash_features(tiny, "doc_id", "text", 64, 3, 42).select("__id", "__sig"),
+        64, 16,
+    ).withColumn("__pfx", F.pmod(F.xxhash64("bucket"), F.lit(8)))
+    touched = [(r["band"], r["__pfx"]) for r in nb.select("band", "__pfx").distinct().collect()]
+    full_idx = spark.read.parquet(f"{path}/index")
+    assert 0 < len(touched) <= 48  # 3 docs x 16 bands
+    cond = functools.reduce(
+        lambda a, b: a | b,
+        [(F.col("band") == b) & (F.col("__pfx") == p) for b, p in touched],
+    )
+    # the predicate must land in the scan's PartitionFilters (directory
+    # pruning), not the post-scan data filter — inputFiles() can't show
+    # this (it reports the unfiltered relation), the plan does
+    from amazon_fresh_sql_data_engineering_spark.plans import explain as X
+
+    plan = X.physical_plan(full_idx.filter(cond))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "band" in pf[0] and "PartitionFilters: []" not in pf[0], plan[:1500]
+    # and the pruned probe still returns exactly the tiny batch's pairs
+    tiny_got = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_store_probe(
+            tiny, path, "doc_id", "text", threshold=0.5, num_prefixes=8
+        ).collect()
+    }
+    tiny_exp = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_incremental_pairs(
+            store_feats, tiny, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert tiny_got == tiny_exp
+    spark.catalog.clearCache()
+
+
 def test_minhash_finds_known_dups_and_matches_bruteforce(spark, docs):
     pairs = {
         (r.id_a, r.id_b): r.jaccard_sim

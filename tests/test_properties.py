@@ -229,3 +229,54 @@ def test_global_cumsum_matches_window_on_random_data(spark, values):
         ).collect()
     }
     assert got == exp
+
+
+# ---- incremental-MV delta rule (operators/mv.py): delta-apply must be
+# indistinguishable from rebuild for ARBITRARY base tables, delete subsets
+# and insert batches — the algebraic law the oracle spot-checks on orders,
+# proven here over adversarial shapes (negative/zero revenues, all-deleted
+# groups, inserts creating brand-new groups, duplicate rows).
+
+_MV_ROW = st.tuples(
+    st.integers(min_value=0, max_value=3),   # group key g (few groups -> collisions)
+    st.integers(min_value=0, max_value=1),   # subkey s
+    st.integers(min_value=-100, max_value=100),  # integer revenue (exact)
+)
+
+
+@given(
+    base=st.lists(_MV_ROW, min_size=0, max_size=12),
+    inserts=st.lists(_MV_ROW, min_size=0, max_size=6),
+    del_mask=st.lists(st.booleans(), min_size=12, max_size=12),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mv_delta_apply_equals_rebuild_property(spark, base, inserts, del_mask):
+    from amazon_fresh_sql_data_engineering_spark.operators import mv
+
+    schema = "g int, s int, rev long"
+    base_df = spark.createDataFrame([(g, s, r) for g, s, r in base] or [], schema)
+    deletes = [row for row, d in zip(base, del_mask) if d]
+    keys, sums = ["g", "s"], {"rev": "rev"}
+    mv0 = mv.mv_build(base_df, keys, sums)
+    delta_rows = [(g, s, r, 1) for g, s, r in inserts] + [
+        (g, s, r, -1) for g, s, r in deletes
+    ]
+    delta = spark.createDataFrame(delta_rows or [], schema + ", __op int")
+    got = {
+        (r.g, r.s): (r["__mv_cnt"], r.rev)
+        for r in mv.mv_apply_delta(mv0, delta, keys, sums).collect()
+    }
+    # independent Python reference: multiset semantics
+    from collections import Counter
+
+    eff = Counter()
+    tot = Counter()
+    for g, s, r in base + inserts:
+        eff[(g, s)] += 1
+        tot[(g, s)] += r
+    for g, s, r in deletes:
+        eff[(g, s)] -= 1
+        tot[(g, s)] -= r
+    exp = {k: (n, tot[k]) for k, n in eff.items() if n > 0}
+    assert got == exp

@@ -567,6 +567,22 @@ def test_timestamp_keys_survive_hostile_session_timezone(spark):
         spark.catalog.clearCache()
 
 
+def test_composite_ordering_keys_rejected(spark):
+    """Array/struct/map ordering keys are rejected at build time: the
+    driver-side boundary sort can't be proven to match Spark's composite
+    ordering (None elements even raise TypeError in Python list compare),
+    and a silent disagreement would compose wrong ranks."""
+    df = spark.range(100).select(
+        F.col("id"),
+        F.array(F.col("id"), F.col("id") % 3).alias("arr"),
+        F.struct(F.col("id").alias("a")).alias("st"),
+    )
+    for col in ("arr", "st"):
+        with pytest.raises(ValueError, match="composite ordering key"):
+            global_rank(df, [col, "id"], "r")
+    spark.catalog.clearCache()
+
+
 def test_boundary_sample_covers_clustered_keys(spark):
     """ADVICE r5: the sample path must not truncate to the earliest
     partitions (the old sample().limit() did) — for key-clustered input the
