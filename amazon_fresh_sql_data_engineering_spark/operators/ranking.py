@@ -406,6 +406,11 @@ def _sql_lit(v) -> str | None:
         scale = len(s.split(".")[1]) if "." in s else 0
         return f"CAST('{s}' AS DECIMAL({max(digits, scale, 1)},{scale}))"
     if isinstance(v, datetime.datetime):
+        # unreachable via the operators — _comparison_keys rewrites
+        # timestamp keys to epoch micros / date_format strings precisely
+        # because a naive-datetime literal is timezone-ambiguous (ADVICE
+        # r5); kept for direct _pid_expr_sql callers and the cross-type
+        # equivalence test
         return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
     if isinstance(v, datetime.date):
         return f"DATE '{v.isoformat()}'"
@@ -607,9 +612,11 @@ def _prepare(
     # small two-phase call; the r5 op_seq_gaps flag was exactly this).
     # len(probe) <= cap means the collect was exhaustive, so boundary picks
     # are exact and the limit's earliest-partitions bias is irrelevant.
-    # Overflow costs one short-circuited probe job (CollectLimit stops
-    # early) before the classic count+sample path — noise at the scale
-    # where that path is needed.
+    # Overflow costs one probe job before the classic count+sample path —
+    # cheap even when the input ends in a shuffle: probe/count/sample all
+    # derive from the SAME DataFrame object, so its shuffle map stages are
+    # computed once and reused across the three jobs (RDD shuffle reuse);
+    # the probe's own work is one short-circuited reduce side.
     probe = _sel_keys(df, ckeys).limit(_PROBE_CAP + 1).collect()
     if len(probe) <= _PROBE_CAP:
         num_pids = num_partitions or adaptive(len(probe))
