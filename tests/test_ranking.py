@@ -602,6 +602,44 @@ def test_boundary_sample_covers_clustered_keys(spark):
     spark.catalog.clearCache()
 
 
+def test_sql_tree_engages_for_wrapped_timestamp_keys(spark):
+    """The timestamp rewrites (unix_micros / date_format) must not silently
+    disable the large-P SQL-string fast path: the renderer whitelists the
+    two wrapped forms (_WRAPPED_RE), backtick-quotes the inner identifier,
+    and must agree with the Column tree row-for-row."""
+    import datetime
+    import functools
+
+    from amazon_fresh_sql_data_engineering_spark.operators import ranking as R
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base + datetime.timedelta(seconds=i * 977)) for i in range(400)]
+    for dtype in ("timestamp", "timestamp_ntz"):
+        df = spark.createDataFrame(rows, f"id int, ts {dtype}")
+        keys = R._comparison_keys(df, R._parse_spec(["ts", "id"], False))
+        sample = [tuple(r) for r in R._sel_keys(df, keys).collect()]
+        cmp = R._make_cmp(keys)
+        ordered = sorted(sample, key=functools.cmp_to_key(cmp))
+        picks = [ordered[i] for i in range(20, len(ordered) - 1, 40)]
+        clean = R._truncate_prefix(picks, keys)
+        sql = R._pid_expr_sql(keys, clean)
+        assert sql is not None, dtype  # whitelist engaged, no silent fallback
+        assert "`ts`" in sql, sql[:200]
+
+        def col_tree(lo, hi, _keys=keys, _clean=clean):
+            if lo == hi:
+                return F.lit(lo)
+            mid = (lo + hi) // 2
+            return F.when(
+                R._after(_keys, _clean[mid]), col_tree(mid + 1, hi)
+            ).otherwise(col_tree(lo, mid))
+
+        got = df.select(
+            F.expr(sql).alias("p_sql"), col_tree(0, len(clean)).alias("p_col")
+        )
+        assert got.filter(~F.col("p_sql").eqNullSafe(F.col("p_col"))).count() == 0, dtype
+
+
 def test_large_partition_count_uses_sql_tree(spark):
     """Cluster-like pid counts (512 boundaries) exercise the SQL-string
     tree rendering end-to-end: parity vs the single-window form and the
