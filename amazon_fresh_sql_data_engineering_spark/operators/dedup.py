@@ -375,7 +375,7 @@ def minhash_incremental_pairs(
     new_bands = _bands_from_sig(new_sig, num_hashes, bands)
     store_bands = _bands_from_sig(store_features.select("__id", "__sig"), num_hashes, bands)
     return _incremental_verify(
-        store_features, new_feats, new_bands, store_bands, num_hashes, bands, threshold
+        store_features, new_feats, new_bands, store_bands, threshold
     )
 
 
@@ -384,16 +384,14 @@ def _incremental_verify(
     new_feats: DataFrame,
     new_bands: DataFrame,
     store_bands: DataFrame,
-    num_hashes: int,
-    bands: int,
     threshold: float,
 ) -> DataFrame:
     """Candidate generation + exact-Jaccard verify shared by the in-memory
     (`minhash_incremental_pairs`) and on-disk (`minhash_store_probe`)
     incremental paths."""
-    new_sig = new_feats.select("__id", "__sig")
+    nb = new_bands.select("__id", "band", "bucket")
     cross = (
-        new_bands.select("band", "bucket", F.col("__id").alias("id_new"))
+        nb.select("band", "bucket", F.col("__id").alias("id_new"))
         .join(
             store_bands.select("band", "bucket", F.col("__id").alias("id_old")),
             on=["band", "bucket"],
@@ -401,7 +399,15 @@ def _incremental_verify(
         .select("id_new", "id_old")
         .distinct()
     )
-    within = _candidates_from_sig(new_sig, num_hashes, bands)
+    # within-batch candidates from the SAME banded frame (no second
+    # explode/concat_ws banding pass over the batch signatures)
+    within = (
+        nb.select("band", "bucket", F.col("__id").alias("id_a"))
+        .join(nb.select("band", "bucket", F.col("__id").alias("id_b")), on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     sh_new = new_feats.select("__id", "__h")
     sh_old = store_features.select("__id", "__h")
     cross_v = (
@@ -934,6 +940,8 @@ def write_minhash_store(
     num_hashes: int = 64,
     bands: int = 16,
     num_prefixes: int = 64,
+    k: int = 3,
+    seed: int = 42,
 ) -> None:
     """Persist a ``minhash_features`` frame as an on-disk incremental-dedup
     feature store laid out for PRUNED probes (the 100 TB lever the
@@ -949,13 +957,25 @@ def write_minhash_store(
 
     Append new batches with mode='append' writes of the same two frames;
     the layout is stable because __pfx is a pure function of the bucket.
+
+    A one-row ``{path}/manifest`` records (num_hashes, bands, num_prefixes,
+    k, seed): every algorithm parameter changes the bucket strings or the
+    partition layout, so a probe under different values would silently
+    MISS true pairs — the probe therefore takes its parameters from the
+    manifest, never from its caller. ``k``/``seed`` ride along because the
+    batch features must be computed under the store's hashing.
     """
+    spark = features.sparkSession
     features.write.mode("overwrite").parquet(f"{path}/features")
     idx = _bands_from_sig(features.select("__id", "__sig"), num_hashes, bands)
     idx = idx.withColumn(
         "__pfx", F.pmod(F.xxhash64("bucket"), F.lit(num_prefixes))
     )
     idx.write.mode("overwrite").partitionBy("band", "__pfx").parquet(f"{path}/index")
+    spark.createDataFrame(
+        [(num_hashes, bands, num_prefixes, k, seed)],
+        "num_hashes int, bands int, num_prefixes int, k int, seed int",
+    ).write.mode("overwrite").parquet(f"{path}/manifest")
 
 
 def minhash_store_probe(
@@ -964,24 +984,35 @@ def minhash_store_probe(
     id_col: str,
     text_col: str,
     threshold: float = 0.7,
-    num_hashes: int = 64,
-    bands: int = 16,
-    k: int = 3,
-    seed: int = 42,
-    num_prefixes: int = 64,
     max_pruned_terms: int = 4096,
 ) -> DataFrame:
     """``minhash_incremental_pairs`` against a ``write_minhash_store``
     directory, with STATIC partition pruning: the batch's distinct
     (band, prefix) pairs — a metadata-bounded driver collect of at most
     ``bands * num_prefixes`` tuples — become partition filters on the index
-    scan, so only matching directories are read (asserted via inputFiles in
-    tests). Falls back to a full index scan if the batch somehow touches
-    more than ``max_pruned_terms`` partitions (then pruning buys nothing).
+    scan, so only matching directories are read (PartitionFilters
+    plan-asserted in tests). Falls back to a full index scan if the batch
+    somehow touches more than ``max_pruned_terms`` partitions (then
+    pruning buys nothing).
+
+    Algorithm parameters come from the store's MANIFEST, never from the
+    caller: any mismatch (different num_hashes/bands/k/seed changes the
+    bucket strings, different num_prefixes changes the partition layout)
+    would silently MISS true pairs rather than fail.
+
+    The batch features/bands are persisted for the duration of the plan;
+    long-lived callers probing many batches should ``unpersist`` between
+    batches (``spark.catalog.clearCache()`` or the returned plan's
+    lineage pins) — the pins are evictable, so a leak degrades to
+    recompute, never to wrong results.
     """
     import functools as _ft
 
     spark = batch_docs.sparkSession
+    m = spark.read.parquet(f"{path}/manifest").collect()[0]
+    num_hashes, bands, num_prefixes, k, seed = (
+        m["num_hashes"], m["bands"], m["num_prefixes"], m["k"], m["seed"]
+    )
     new_feats = minhash_features(batch_docs, id_col, text_col, num_hashes, k, seed).persist()
     new_bands = _bands_from_sig(
         new_feats.select("__id", "__sig"), num_hashes, bands
@@ -998,6 +1029,4 @@ def minhash_store_probe(
         )
         idx = idx.filter(cond)
     store_features = spark.read.parquet(f"{path}/features")
-    return _incremental_verify(
-        store_features, new_feats, new_bands, idx, num_hashes, bands, threshold
-    )
+    return _incremental_verify(store_features, new_feats, new_bands, idx, threshold)

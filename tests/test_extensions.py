@@ -107,7 +107,7 @@ def test_minhash_store_probe_prunes_and_matches_inmemory(spark, sf_dir, tmp_path
     got = {
         (r.id_a, r.id_b): (round(r.jaccard_sim, 6), r.vs)
         for r in D.minhash_store_probe(
-            batch, path, "doc_id", "text", threshold=0.5, num_prefixes=8
+            batch, path, "doc_id", "text", threshold=0.5
         ).collect()
     }
     exp = {
@@ -147,7 +147,7 @@ def test_minhash_store_probe_prunes_and_matches_inmemory(spark, sf_dir, tmp_path
     tiny_got = {
         (r.id_a, r.id_b)
         for r in D.minhash_store_probe(
-            tiny, path, "doc_id", "text", threshold=0.5, num_prefixes=8
+            tiny, path, "doc_id", "text", threshold=0.5
         ).collect()
     }
     tiny_exp = {
