@@ -3,19 +3,18 @@ family into ``registry.CATALOG``.
 
 The external driver samples the FIRST ~50 catalog entries (registration
 order) for its per-round correctness gate, so ``_PRIORITY`` front-loads the
-queries that most need driver-side evidence this round. CORRECTNESS_r05 was
-50/50 green, converging cumulative driver evidence to all 226 catalog
-queries (r01 ∪ … ∪ r05); every query's latest driver row is green. Round 6
-front-loads (a) the two NEW entries (dedup_incremental — VERDICT r5 item 5;
-op_mv_incremental — the incremental-MV shape from the r5 queue), (b) the
-three two-phase consumers whose green rows predate the r5 ranking rewrite
-(VERDICT r5 item 1: q_product_sales_rank, q_top_customers_period,
-op_histogram_equidepth), (c) one re-evidence query per two-phase family
-member because round 6's probe-first boundary build (ranking.py _prepare)
-again touched every consumer, (d) op_item_cf_jaccard, whose basket fence
-moved from localCheckpoint to a persist pin, then (e) a back-rotation of
-the 40 oldest-evidence (r1) core-operator rows — scans/filters/joins/aggs/
-windows whose evidence is five rounds stale. 2+3+4+1+40 = 50.
+queries that most need driver-side evidence this round. CORRECTNESS_r06 was
+50/50 green; cumulatively all 228 catalog queries have green driver rows
+(r01 ∪ … ∪ r06) and no query's latest row is red. Round 7 front-loads
+(a) the two NEW entries (dedup_store_probe — the on-disk minhash store,
+VERDICT r6 item 2; op_mv_minmax — MIN/MAX view maintenance under deletes,
+VERDICT r6 item 6), then (b) the VERDICT r6 item-1 rotation: the oldest
+remaining evidence, by latest-driver-row round ascending — the 4 rows last
+sampled in r1 (op_distinct_projection, op_asof_join, op_range_join,
+op_percentiles), all 36 rows last sampled in r2 (CORRECTNESS_r02 order:
+the q_pipe_clean_* family, DML queries, the dedup/similarity/multimodal/
+text-extension cores), and the 8 oldest r3 rows. 2+4+36+8 = 50; after this
+round no driver row anywhere in the union is older than r3.
 
 STANDING RULE (VERDICT r4 item 7): when the catalog grows after
 convergence, new entries go to the FRONT of _PRIORITY in the same round
@@ -56,66 +55,61 @@ except ImportError:
     pass
 
 _PRIORITY = [
-    # --- round-6 block A: NEW entries (standing rule: new goes FRONT) ---
-    "dedup_incremental",  # incremental near-dedup vs a feature store
-    "op_mv_incremental",  # incremental materialized-view maintenance
-    # --- round-6 block B: two-phase consumers whose green rows predate the
-    # r5 ranking rewrite (VERDICT r5 item 1) ---
-    "q_product_sales_rank",
-    "q_top_customers_period",
-    "op_histogram_equidepth",
-    # --- round-6 block C: re-evidence per two-phase family member after
-    # the probe-first boundary build (one limit-collect replaces the
-    # count+sample job pair; op_seq_gaps additionally moved to pin=None) ---
-    "q_high_value",  # global_rank
-    "op_win_ntile",  # global_ntile
-    "op_seq_gaps",  # global_lead
-    "op_pack_sequences",  # global_cumsum
-    # --- round-6 block D: fence change (localCheckpoint -> persist pin) ---
-    "op_item_cf_jaccard",
-    # --- round-6 block E: back-rotation of the 40 oldest-evidence rows
-    # (r1, CORRECTNESS_r01 order) — core relational surface refreshed on
-    # the current engine ---
-    "op_scan",
-    "op_project",
-    "op_filter_eq",
-    "op_filter_ci",
-    "op_filter_date",
-    "op_filter_range",
-    "op_filter_null",
-    "op_filter_regex",
-    "op_filter_in_list",
-    "op_filter_complement",
-    "op_join_inner",
-    "op_join_inner_expr",
-    "op_join_left",
-    "op_join_multi",
-    "op_join_semi",
-    "q_no_orders",
-    "op_corr_scalar_subquery",
-    "op_agg_counts",
-    "q1_pricing_summary",
-    "op_agg_having",
-    "op_agg_sum_coalesce",
-    "q_prime_cities",
-    "op_agg_scalars_report",
-    "op_win_rownum_dedup",
-    "op_topk",
-    "op_topk_ties",
-    "op_sort_nulls",
-    "op_set_union",
-    "op_set_intersect_except",
-    "q_order_revenue",
-    "q_supplier_stock",
-    "q_top3_products",
-    "q_top_categories",
-    "op_win_lead_lag",
-    "op_win_running_total",
-    "op_win_moving_avg",
-    "op_rollup",
-    "op_cube",
-    "op_pivot",
-    "op_agg_stats",
+    # --- round-7 block A: NEW entries (standing rule: new goes FRONT) ---
+    "dedup_store_probe",  # on-disk pruned minhash feature store probe
+    "op_mv_minmax",  # MIN/MAX MV maintenance via targeted recompute
+    # --- round-7 block B: the 4 rows whose latest driver evidence is r1 ---
+    "op_distinct_projection",
+    "op_asof_join",
+    "op_range_join",
+    "op_percentiles",
+    # --- round-7 block C: all 36 rows whose latest driver evidence is r2
+    # (CORRECTNESS_r02 order) ---
+    "op_win_share_of_total",
+    "op_approx_count_distinct",
+    "op_approx_percentile",
+    "op_zscore_outliers",
+    "q_clean_scalars",
+    "q_pipe_clean_customers",
+    "q_pipe_clean_orders",
+    "q_pipe_clean_products",
+    "q_pipe_clean_order_details",
+    "q_pipe_clean_reviews",
+    "q_pipe_placeholder_parents",
+    "q_normalize_3nf",
+    "q_audit_report",
+    "q_update_set",
+    "q_update_from",
+    "q_delete",
+    "q_upsert",
+    "q_cascade_delete",
+    "q_insert_values",
+    "q_scd2_merge",
+    "pipe_training_corpus",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "dedup_cluster_corpus",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "text_stats",
+    "text_quality_langid",
+    "text_tfidf_top_terms",
+    "mm_decode",
+    "mm_frame_sample",
+    "mm_embed_ann",
+    # --- round-7 block D: the 8 oldest r3 rows (CORRECTNESS_r03 order) ---
+    "q_pipe_clean_suppliers",
+    "mm_decode_quarantine",
+    "dedup_ngram_jaccard_maxdf",
+    "q_constraint_catalog",
+    "events_hourly",
+    "events_sessionize",
+    "events_dedup",
+    "events_funnel",
 ]
 
 

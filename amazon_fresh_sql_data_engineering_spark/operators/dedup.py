@@ -338,6 +338,7 @@ def minhash_incremental_pairs(
     bands: int = 16,
     k: int = 3,
     seed: int = 42,
+    pins: list | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: new-batch documents vs an EXISTING MinHash
     feature store, without recomputing (or even reading the text of) the
@@ -369,8 +370,17 @@ def minhash_incremental_pairs(
     the probe prunes to matching buckets instead of scanning the index.
     Nothing rescans corpus text; the verify joins shingle arrays already
     sitting in the two feature frames.
+
+    The batch features are persisted for the duration of the plan (the
+    band join and the verify both read them). Long-lived callers probing
+    many batches should release the pin per batch: pass ``pins`` (a list;
+    every frame this call persists is appended) and ``unpersist()`` each
+    after consuming the result (ADVICE r6 — the pin is evictable, so a
+    leak degrades to recompute, never to wrong results, but it is a leak).
     """
     new_feats = minhash_features(batch_docs, id_col, text_col, num_hashes, k, seed).persist()
+    if pins is not None:
+        pins.append(new_feats)
     new_sig = new_feats.select("__id", "__sig")
     new_bands = _bands_from_sig(new_sig, num_hashes, bands)
     store_bands = _bands_from_sig(store_features.select("__id", "__sig"), num_hashes, bands)
@@ -385,13 +395,25 @@ def _incremental_verify(
     new_bands: DataFrame,
     store_bands: DataFrame,
     threshold: float,
+    broadcast_new: bool = False,
 ) -> DataFrame:
     """Candidate generation + exact-Jaccard verify shared by the in-memory
     (`minhash_incremental_pairs`) and on-disk (`minhash_store_probe`)
-    incremental paths."""
+    incremental paths.
+
+    ``broadcast_new=True`` pins every batch-derived frame (bands,
+    candidate pairs, shingle sets) to the build side of its join, so the
+    STORE side — index scan and feature scan, the 100 TB frames — streams
+    through broadcast hash joins with ZERO store-side Exchange (the only
+    shuffles left are candidate-pair-sized: the dedup `distinct`). Only
+    safe under the incremental contract that the batch is store-fraction-
+    sized; the in-memory path defaults to shuffled joins because its
+    callers pass arbitrarily large batches.
+    """
+    maybe_b = F.broadcast if broadcast_new else (lambda df: df)
     nb = new_bands.select("__id", "band", "bucket")
     cross = (
-        nb.select("band", "bucket", F.col("__id").alias("id_new"))
+        maybe_b(nb.select("band", "bucket", F.col("__id").alias("id_new")))
         .join(
             store_bands.select("band", "bucket", F.col("__id").alias("id_old")),
             on=["band", "bucket"],
@@ -402,7 +424,7 @@ def _incremental_verify(
     # within-batch candidates from the SAME banded frame (no second
     # explode/concat_ws banding pass over the batch signatures)
     within = (
-        nb.select("band", "bucket", F.col("__id").alias("id_a"))
+        maybe_b(nb.select("band", "bucket", F.col("__id").alias("id_a")))
         .join(nb.select("band", "bucket", F.col("__id").alias("id_b")), on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
@@ -411,9 +433,11 @@ def _incremental_verify(
     sh_new = new_feats.select("__id", "__h")
     sh_old = store_features.select("__id", "__h")
     cross_v = (
-        cross.join(
-            sh_new.select(F.col("__id").alias("id_new"), F.col("__h").alias("__sh_n")),
-            on="id_new",
+        maybe_b(
+            cross.join(
+                sh_new.select(F.col("__id").alias("id_new"), F.col("__h").alias("__sh_n")),
+                on="id_new",
+            )
         )
         .join(
             sh_old.select(F.col("__id").alias("id_old"), F.col("__h").alias("__sh_o")),
@@ -966,6 +990,22 @@ def write_minhash_store(
     batch features must be computed under the store's hashing.
     """
     spark = features.sparkSession
+    # the manifest exists to prevent silent probe misses, so it must not
+    # itself record a lie: assert the features frame really was built under
+    # num_hashes before stamping it (ADVICE r6 — a frame built with other
+    # parameters would yield an index/manifest that disagrees with the
+    # stored signatures). One limit-1 job, metadata-bounded at any scale.
+    head = features.select(F.size("__sig").alias("n")).first()
+    if head is not None and head["n"] != num_hashes:
+        raise ValueError(
+            f"write_minhash_store: features carry {head['n']}-hash signatures "
+            f"but num_hashes={num_hashes} was declared — the manifest would "
+            "silently mis-describe the store"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"write_minhash_store: bands={bands} must divide num_hashes={num_hashes}"
+        )
     features.write.mode("overwrite").parquet(f"{path}/features")
     idx = _bands_from_sig(features.select("__id", "__sig"), num_hashes, bands)
     idx = idx.withColumn(
@@ -985,6 +1025,8 @@ def minhash_store_probe(
     text_col: str,
     threshold: float = 0.7,
     max_pruned_terms: int = 4096,
+    broadcast_batch: bool = True,
+    pins: list | None = None,
 ) -> DataFrame:
     """``minhash_incremental_pairs`` against a ``write_minhash_store``
     directory, with STATIC partition pruning: the batch's distinct
@@ -1000,11 +1042,23 @@ def minhash_store_probe(
     bucket strings, different num_prefixes changes the partition layout)
     would silently MISS true pairs rather than fail.
 
+    ``broadcast_batch`` (default True — the incremental contract: a probe
+    batch is minutes/hours of new docs vs an accreted store, so it is
+    store-fraction-sized by construction) pins every batch-derived frame
+    to the broadcast side, making the store side EXCHANGE-FREE: the pruned
+    index scan and the feature scan stream straight into broadcast hash
+    joins (plan-asserted in tests — no SortMergeJoin/ShuffledHashJoin
+    anywhere in the probe). Pass False for backfill-scale batches; the
+    joins fall back to shuffles. (A metastore deployment can get the same
+    store-side locality with ``bucketBy(bucket).saveAsTable`` instead, but
+    broadcast needs no catalog and also removes the verify-side exchange.)
+
     The batch features/bands are persisted for the duration of the plan;
-    long-lived callers probing many batches should ``unpersist`` between
-    batches (``spark.catalog.clearCache()`` or the returned plan's
-    lineage pins) — the pins are evictable, so a leak degrades to
-    recompute, never to wrong results.
+    long-lived callers probing many batches should release the pins per
+    batch: pass ``pins`` (a list; every frame this call persists is
+    appended) and ``unpersist()`` each after consuming the result
+    (ADVICE r6). The pins are evictable, so a leak degrades to recompute,
+    never to wrong results.
     """
     import functools as _ft
 
@@ -1017,6 +1071,8 @@ def minhash_store_probe(
     new_bands = _bands_from_sig(
         new_feats.select("__id", "__sig"), num_hashes, bands
     ).withColumn("__pfx", F.pmod(F.xxhash64("bucket"), F.lit(num_prefixes))).persist()
+    if pins is not None:
+        pins.extend([new_feats, new_bands])
     touched = [
         (r["band"], r["__pfx"])
         for r in new_bands.select("band", "__pfx").distinct().collect()
@@ -1029,4 +1085,7 @@ def minhash_store_probe(
         )
         idx = idx.filter(cond)
     store_features = spark.read.parquet(f"{path}/features")
-    return _incremental_verify(store_features, new_feats, new_bands, idx, threshold)
+    return _incremental_verify(
+        store_features, new_feats, new_bands, idx, threshold,
+        broadcast_new=broadcast_batch,
+    )

@@ -31,6 +31,8 @@ aggregate algebra instead of row-at-a-time conflict handlers.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -89,7 +91,161 @@ def mv_apply_delta(
         .groupBy(*keys)
         .agg(
             F.sum(_CNT).cast("long").alias(_CNT),
-            *[F.sum(dst).alias(dst) for dst in sums],
+            # cast the re-aggregated sums back to the MV dtypes too (ADVICE
+            # r6): SUM over decimal widens p -> p+10 per apply, so without
+            # this each apply drifts the schema until DECIMAL(38) — a
+            # persisted MV table would hit write-time schema drift. The
+            # narrow cast is safe for the same reason as the delta-side
+            # cast: MV' values are aggregates of post-change base rows.
+            *[F.sum(dst).cast(mv_types[dst]).alias(dst) for dst in sums],
         )
     )
     return merged.filter(F.col(_CNT) > 0)
+
+
+def mv_build_minmax(
+    base: DataFrame,
+    keys: list[str],
+    mins: dict[str, str],
+    maxs: dict[str, str],
+) -> DataFrame:
+    """Materialize a MIN/MAX view state: keys, ``__mv_cnt``, then one
+    MIN(source) per ``mins`` entry and one MAX(source) per ``maxs`` entry
+    (both map output column name -> source column)."""
+    return base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias(_CNT),
+        *[F.min(src).alias(dst) for dst, src in mins.items()],
+        *[F.max(src).alias(dst) for dst, src in maxs.items()],
+    )
+
+
+def mv_apply_delta_minmax(
+    mv: DataFrame,
+    delta: DataFrame,
+    base_after: DataFrame,
+    keys: list[str],
+    mins: dict[str, str],
+    maxs: dict[str, str],
+    op_col: str = "__op",
+    max_pruned_groups: int = 1000,
+) -> DataFrame:
+    """Apply a signed change batch to a ``mv_build_minmax`` state table.
+
+    MIN/MAX are NOT invertible under deletes (``mv_apply_delta`` rejects
+    them), but they ARE maintainable with the standard warehouse answer:
+    re-aggregate ONLY the groups a delete might have invalidated, against
+    the post-change base, and merge every other group algebraically
+    (Gupta & Mumick's "self-maintainability" boundary — when it fails,
+    fall back to a TARGETED base recompute, never a full rebuild):
+
+    - inserts are always algebraic: min' = LEAST(min, min(inserted)),
+      max' = GREATEST(max, max(inserted)), cnt' = cnt + n_inserted;
+    - a delete only threatens a group's MIN if the deleted value ties the
+      current MIN (<= used for safety), symmetrically for MAX; such
+      "affected" groups are recomputed from ``base_after`` — the base
+      AFTER the batch is applied, which production maintains anyway —
+      restricted to exactly those groups;
+    - groups whose count reaches zero drop (no tombstones).
+
+    Scale shape: the algebraic arm is one shuffle sized |MV| + |delta
+    partials| (same as ``mv_apply_delta``); the recompute arm scans the
+    base pruned to the affected groups — when the affected key set is
+    metadata-sized (<= ``max_pruned_groups``, the common case: only ties
+    with the current extreme qualify) it is collected and inlined as a
+    literal key filter, so a base table partitioned/bucketed/z-ordered by
+    the view grain prunes at the scan (the same static-pruning lever as
+    dedup's ``minhash_store_probe``); past the cap it degrades to a
+    broadcast LEFT SEMI join — correct, just without static pruning.
+
+    ``delta`` rows follow the ``mv_apply_delta`` CDC contract: base-table
+    rows plus ``op_col`` = +1 / -1, deletes matching rows present in the
+    pre-batch base. Result == ``mv_build_minmax(base_after)`` exactly
+    (the oracle and pytest assert it).
+    """
+    if op_col in (set(keys) | set(mins) | set(maxs)):
+        raise ValueError(f"mv: op column {op_col!r} collides with a view column")
+    overlap = set(mins) & set(maxs)
+    if overlap:
+        raise ValueError(f"mv: min/max output names collide: {sorted(overlap)}")
+    mv_types = dict(mv.dtypes)
+    op = F.col(op_col)
+    partials = delta.groupBy(*keys).agg(
+        F.sum(op).cast("long").alias("__d_cnt"),
+        *[
+            F.min(F.when(op == 1, F.col(src))).alias(f"__ins_{dst}")
+            for dst, src in mins.items()
+        ],
+        *[
+            F.min(F.when(op == -1, F.col(src))).alias(f"__del_{dst}")
+            for dst, src in mins.items()
+        ],
+        *[
+            F.max(F.when(op == 1, F.col(src))).alias(f"__ins_{dst}")
+            for dst, src in maxs.items()
+        ],
+        *[
+            F.max(F.when(op == -1, F.col(src))).alias(f"__del_{dst}")
+            for dst, src in maxs.items()
+        ],
+    )
+    m = mv.alias("m")
+    d = partials.alias("d")
+    cond = functools.reduce(
+        lambda a, b: a & b, [F.col(f"m.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys]
+    )
+    joined = m.join(d, cond, "full_outer")
+    # a delete threatens MIN iff it can reach the current minimum (ties
+    # included); NULL-safe: no deletes / no MV row -> not affected
+    threat = [
+        F.coalesce(F.col(f"__del_{dst}") <= F.col(f"m.{dst}"), F.lit(False))
+        for dst in mins
+    ] + [
+        F.coalesce(F.col(f"__del_{dst}") >= F.col(f"m.{dst}"), F.lit(False))
+        for dst in maxs
+    ]
+    affected_col = functools.reduce(lambda a, b: a | b, threat, F.lit(False))
+    keyed = joined.select(
+        *[F.coalesce(F.col(f"d.{k}"), F.col(f"m.{k}")).alias(k) for k in keys],
+        (F.coalesce(F.col(f"m.{_CNT}"), F.lit(0)) + F.coalesce(F.col("__d_cnt"), F.lit(0)))
+        .cast("long")
+        .alias(_CNT),
+        *[
+            F.least(F.col(f"m.{dst}"), F.col(f"__ins_{dst}"))
+            .cast(mv_types[dst])
+            .alias(dst)
+            for dst in mins
+        ],
+        *[
+            F.greatest(F.col(f"m.{dst}"), F.col(f"__ins_{dst}"))
+            .cast(mv_types[dst])
+            .alias(dst)
+            for dst in maxs
+        ],
+        affected_col.alias("__affected"),
+    )
+    algebraic = keyed.filter(~F.col("__affected") & (F.col(_CNT) > 0)).drop("__affected")
+
+    affected_keys = keyed.filter(F.col("__affected")).select(*keys)
+    # metadata-sized affected set -> literal key filter (static pruning on a
+    # grain-partitioned base); past the cap -> broadcast semi join
+    rows = affected_keys.limit(max_pruned_groups + 1).collect()
+    if not rows:
+        return algebraic
+    pruned = base_after
+    if len(rows) <= max_pruned_groups:
+        terms = [
+            functools.reduce(
+                lambda a, b: a & b,
+                [F.col(k).eqNullSafe(F.lit(r[k])) for k in keys],
+            )
+            for r in rows
+        ]
+        pruned = base_after.filter(functools.reduce(lambda a, b: a | b, terms))
+    else:
+        pruned = base_after.join(F.broadcast(affected_keys), on=keys, how="left_semi")
+    recomputed = pruned.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias(_CNT),
+        *[F.min(src).cast(mv_types[dst]).alias(dst) for dst, src in mins.items()],
+        *[F.max(src).cast(mv_types[dst]).alias(dst) for dst, src in maxs.items()],
+    )
+    return algebraic.unionByName(recomputed)

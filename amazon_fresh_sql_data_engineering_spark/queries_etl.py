@@ -33,6 +33,38 @@ def _fence(df):
     return df.localCheckpoint(eager=False)
 
 
+#: per-process parquet cache for synthesized dirty staging (VERDICT r6
+#: item 4): the heaviest PIPE-CLEAN fixture is written to a temp parquet
+#: directory ONCE per process and re-read thereafter, so repeated
+#: executions (bench cold+warm tiers, driver runs) time the CLEANING
+#: pipeline — the thing the query is about — not the fixture synthesis
+#: scaffolding both engines pay. Values are all strings: the parquet
+#: round-trip is exact, so oracle parity is unchanged. Keyed on
+#: (entity, sf_dir); directories are removed at process exit.
+_STAGED_DIRS: dict[str, str] = {}
+
+
+def _staged_parquet(spark, key: str, build):
+    import atexit
+    import shutil
+    import tempfile
+
+    path = _STAGED_DIRS.get(key)
+    if path is None:
+        tmp = tempfile.mkdtemp(prefix="sparkgraft_staged_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        build().write.mode("overwrite").parquet(f"{tmp}/data")
+        path = f"{tmp}/data"
+        _STAGED_DIRS[key] = path
+    return spark.read.parquet(path)
+
+
+def prestage_fixtures(spark, sf_dir: str) -> None:
+    """Materialize the parquet-cached staging fixtures for ``sf_dir`` ahead
+    of timing (bench.py calls this in its untimed warm-up)."""
+    _od_staged(spark, sf_dir)
+
+
 @register(
     "q_clean_scalars",
     oracle="""
@@ -615,6 +647,55 @@ _OD_STAGED_SQL = f"""
 """
 
 
+def _od_staged(spark, sf_dir):
+    """Synthesized dirty order_details staging, parquet-cached per process
+    (``_STAGED_DIRS``): the heaviest PIPE-CLEAN fixture, so repeated
+    executions time the cleaning, not the synthesis."""
+
+    def build():
+        l = _t(spark, sf_dir, "lineitem")
+        odk = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+        # PK seed spans every column the staged row derives from: rows that
+        # are identical on (orderkey, linenumber, partkey, quantity) — the
+        # synthetic lineitem DOES contain full duplicates — collapse to one
+        # PK on both engines; rows differing anywhere get distinct PKs
+        seed = F.concat(
+            F.lit("od_"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("_"),
+            F.col("l_linenumber").cast("string"),
+            F.lit("_"),
+            F.col("l_partkey").cast("string"),
+            F.lit("_"),
+            F.col("l_quantity").cast("bigint").cast("string"),
+        )
+        od_uuid = _uuidify_col(F.md5(seed))
+        ord_uuid = _uuidify_col(F.md5(F.concat(F.lit("ord"), F.col("l_orderkey").cast("string"))))
+        prod_uuid = _uuidify_col(F.md5(F.concat(F.lit("prod"), F.col("l_partkey").cast("string"))))
+        ln = F.col("l_linenumber")
+        return l.select(
+            F.when(odk % 20 == 0, "")
+            .when(odk % 20 == 1, F.concat(F.lit("OD&"), odk.cast("string")))
+            .otherwise(od_uuid)
+            .alias("orderdetailid"),
+            F.when(F.col("l_orderkey") % 11 == 0, F.concat(F.lit("ORD?"), F.col("l_orderkey").cast("string")))
+            .otherwise(ord_uuid)
+            .alias("orderid"),
+            F.when(F.col("l_partkey") % 13 == 0, F.concat(F.lit("PRD*"), F.col("l_partkey").cast("string")))
+            .when(F.col("l_partkey") % 13 == 1, "")
+            .otherwise(prod_uuid)
+            .alias("productid"),
+            F.when(ln % 3 == 0, F.col("l_quantity").cast("bigint").cast("string"))
+            .when(ln % 3 == 1, "")
+            .otherwise("x")
+            .alias("quantity"),
+            F.when(ln % 2 == 0, "19.95").otherwise("").alias("unitprice"),
+            F.when(ln % 4 == 0, "0.05").when(ln % 4 == 1, "").otherwise("0").alias("discount"),
+        )
+
+    return _staged_parquet(spark, f"order_details:{sf_dir}", build)
+
+
 @register(
     "q_pipe_clean_order_details",
     oracle=f"""
@@ -642,52 +723,15 @@ _OD_STAGED_SQL = f"""
     """,
     doc="PIPE-CLEAN-order_details: DUAL-FK quarantine (a row with either "
     "malformed FK is quarantined once — the multi-edge predicate, ref "
-    "T:698-995).",
+    "T:698-995). Staging is parquet-cached per process (_od_staged), so "
+    "repeated executions time the cleaning pipeline, not the synthesis "
+    "scaffolding (VERDICT r6 item 4).",
 )
 def q_pipe_clean_order_details(spark, sf_dir):
     from .pipelines.cleaning import clean_entity
     from .pipelines.entities import spec_order_details
 
-    l = _t(spark, sf_dir, "lineitem")
-    odk = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
-    # PK seed spans every column the staged row derives from: rows that are
-    # identical on (orderkey, linenumber, partkey, quantity) — the synthetic
-    # lineitem DOES contain full duplicates — collapse to one PK on both
-    # engines; rows differing anywhere get distinct PKs
-    seed = F.concat(
-        F.lit("od_"),
-        F.col("l_orderkey").cast("string"),
-        F.lit("_"),
-        F.col("l_linenumber").cast("string"),
-        F.lit("_"),
-        F.col("l_partkey").cast("string"),
-        F.lit("_"),
-        F.col("l_quantity").cast("bigint").cast("string"),
-    )
-    od_uuid = _uuidify_col(F.md5(seed))
-    ord_uuid = _uuidify_col(F.md5(F.concat(F.lit("ord"), F.col("l_orderkey").cast("string"))))
-    prod_uuid = _uuidify_col(F.md5(F.concat(F.lit("prod"), F.col("l_partkey").cast("string"))))
-    ln = F.col("l_linenumber")
-    staging = l.select(
-        F.when(odk % 20 == 0, "")
-        .when(odk % 20 == 1, F.concat(F.lit("OD&"), odk.cast("string")))
-        .otherwise(od_uuid)
-        .alias("orderdetailid"),
-        F.when(F.col("l_orderkey") % 11 == 0, F.concat(F.lit("ORD?"), F.col("l_orderkey").cast("string")))
-        .otherwise(ord_uuid)
-        .alias("orderid"),
-        F.when(F.col("l_partkey") % 13 == 0, F.concat(F.lit("PRD*"), F.col("l_partkey").cast("string")))
-        .when(F.col("l_partkey") % 13 == 1, "")
-        .otherwise(prod_uuid)
-        .alias("productid"),
-        F.when(ln % 3 == 0, F.col("l_quantity").cast("bigint").cast("string"))
-        .when(ln % 3 == 1, "")
-        .otherwise("x")
-        .alias("quantity"),
-        F.when(ln % 2 == 0, "19.95").otherwise("").alias("unitprice"),
-        F.when(ln % 4 == 0, "0.05").when(ln % 4 == 1, "").otherwise("0").alias("discount"),
-    )
-    out = clean_entity(_fence(staging), spec_order_details()).final
+    out = clean_entity(_od_staged(spark, sf_dir), spec_order_details()).final
     return out.withColumn("unitprice", fin("unitprice")).withColumn(
         "discount", fin("discount")
     )
@@ -1305,4 +1349,66 @@ def op_mv_incremental(spark, sf_dir):
         "o_orderstatus",
         F.col("__mv_cnt").alias("order_cnt"),
         fin(F.col("rev"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "op_mv_minmax",
+    oracle="""
+        WITH eff AS (
+            SELECT * FROM orders
+            WHERE o_orderkey % 8 <> 5 AND o_orderkey % 16 <> 2
+            UNION ALL
+            SELECT * FROM orders WHERE o_orderkey % 8 = 5
+        )
+        SELECT date_trunc('month', o_orderdate) AS order_month,
+               o_orderstatus,
+               count(*) AS order_cnt,
+               round(CAST(min(o_totalprice) AS DOUBLE), 2) AS min_price,
+               round(CAST(max(o_totalprice) AS DOUBLE), 2) AS max_price
+        FROM eff
+        GROUP BY 1, 2
+    """,
+    doc="MIN/MAX materialized-view maintenance under deletes (VERDICT r6 "
+    "item 6, operators/mv.py mv_apply_delta_minmax): MIN/MAX are not "
+    "invertible, so deletes that can reach a group's current extreme "
+    "(ties) mark the group 'affected' and ONLY those groups are "
+    "re-aggregated from the post-change base — collected as a literal "
+    "key filter when metadata-sized, so a grain-partitioned base prunes "
+    "at the scan — while every other group merges algebraically "
+    "(LEAST/GREATEST with the inserted extremes, one |MV|+|delta| "
+    "shuffle). Same CDC fixture as op_mv_incremental (inserts %8=5, "
+    "deletes %16=2); the oracle is the full recompute over the "
+    "post-change table — targeted maintenance must be indistinguishable "
+    "from rebuild. Both arms (algebraic + recompute) are exercised and "
+    "pytest-asserted non-empty (test_dml).",
+)
+def op_mv_minmax(spark, sf_dir):
+    from .operators import mv
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_month", F.trunc("o_orderdate", "month")
+    ).withColumn("price", dec("o_totalprice"))
+    keys = ["order_month", "o_orderstatus"]
+    mins = {"min_price": "price"}
+    maxs = {"max_price": "price"}
+    base = o.filter(F.col("o_orderkey") % 8 != 5)
+    mv0 = mv.mv_build_minmax(base, keys, mins, maxs)
+    delta = (
+        o.filter(F.col("o_orderkey") % 8 == 5)
+        .withColumn("__op", F.lit(1))
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 16 == 2).withColumn("__op", F.lit(-1))
+        )
+    )
+    base_after = base.filter(F.col("o_orderkey") % 16 != 2).unionByName(
+        o.filter(F.col("o_orderkey") % 8 == 5)
+    )
+    mv1 = mv.mv_apply_delta_minmax(mv0, delta, base_after, keys, mins, maxs)
+    return mv1.select(
+        "order_month",
+        "o_orderstatus",
+        F.col("__mv_cnt").alias("order_cnt"),
+        fin(F.col("min_price"), 2).alias("min_price"),
+        fin(F.col("max_price"), 2).alias("max_price"),
     )

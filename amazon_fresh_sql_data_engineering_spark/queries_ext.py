@@ -323,6 +323,85 @@ def dedup_incremental(spark, sf_dir):
     ).withColumn("jaccard_sim", F.round("jaccard_sim", 6))
 
 
+@register(
+    "dedup_store_probe",
+    oracle=f"""
+        WITH all_docs AS ({_DOCS_DUPS_SQL}),
+        {_minhash_replica_sql(0.6)}
+        SELECT id_a, id_b, jaccard_sim,
+               CASE WHEN id_a >= 1000000 THEN 'batch' ELSE 'store' END AS vs
+        FROM pairs
+        WHERE id_b >= 1000000
+    """,
+    doc="On-disk incremental near-dedup (VERDICT r6 item 2): the base "
+    "corpus's MinHash feature store is WRITTEN to disk with "
+    "write_minhash_store — features + a banded LSH index PARTITIONED BY "
+    "(band, xxhash64(bucket) mod 8) with a parameter manifest — and the "
+    "new batch (same fixture as dedup_incremental) is screened with "
+    "minhash_store_probe: the batch's distinct (band, prefix) pairs "
+    "become STATIC PartitionFilters on the index scan (plan-asserted in "
+    "test_extensions), algorithm parameters come from the manifest, and "
+    "with broadcast_batch=True every store-side frame streams exchange-"
+    "free through broadcast hash joins. This is the engine's concrete "
+    "100 TB dedup artifact: probe cost scales with the BATCH, the store "
+    "is touched only under the pruned directories. Result provably == "
+    "the in-memory incremental run (same per-doc band functions), which "
+    "the oracle replays in SQL; the store build itself rides inside the "
+    "query (a stand-in for the directory a production pipeline accretes).",
+)
+def dedup_store_probe(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_mhstore_")
+    try:
+        pins = []
+        out = _store_probe_build(spark, sf_dir, tmp, pins)
+        # eager checkpoint: the result must outlive the store directory
+        res = out.localCheckpoint(eager=True)
+        for p in pins:
+            p.unpersist()
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _store_probe_build(spark, sf_dir, tmp, pins):
+    """Write the corpus feature store under ``tmp`` and return the raw
+    (un-checkpointed) probe DataFrame — shared by the catalog query and
+    the PLANS.md capture (which needs the probe's physical plan, not the
+    checkpointed RDD scan the catalog entry returns)."""
+    d = _t(spark, sf_dir, "documents")
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .unionByName(
+            d.filter(F.col("doc_id") % 20 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 2000000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(_DUP_SUFFIX)))
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    feats = D.minhash_features(d, "doc_id", "text", 64, 3, 42)
+    D.write_minhash_store(feats, tmp, num_prefixes=8)
+    return D.minhash_store_probe(
+        batch, tmp, "doc_id", "text", threshold=0.6, pins=pins
+    ).withColumn("jaccard_sim", F.round("jaccard_sim", 6))
+
+
+def dedup_store_probe_plan(spark, sf_dir):
+    """PLANS.md capture variant: returns the live probe plan (store dir
+    cleaned up at process exit instead of eagerly)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_mhstore_plan_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return _store_probe_build(spark, sf_dir, tmp, pins=[])
+
+
+
 # DuckDB replica of the SimHash signature itself: token hash = low 8 bytes of
 # md5 (little-endian) — chosen portable precisely so an independent engine
 # can recompute it — then the per-bit weighted vote and the 64-bit pack.

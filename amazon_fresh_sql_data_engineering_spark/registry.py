@@ -30,6 +30,15 @@ CATALOG: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
     def deco(fn):
+        # every catalog entry is defined as `def <name>(spark, sf_dir)`;
+        # a mismatch means the decorator landed on the wrong function
+        # (e.g. a helper inserted between @register and the query during a
+        # refactor — twice nearly shipped in round 7, caught by sweeps)
+        if fn.__name__ != name:
+            raise ValueError(
+                f"register({name!r}) decorates function {fn.__name__!r} — "
+                "decorator misplaced?"
+            )
         CATALOG[name] = QuerySpec(fn, oracle, doc)
         return fn
 

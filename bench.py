@@ -78,6 +78,32 @@ def main() -> None:
     df.select(_warm(F.col("id").cast("double"))).count()
     df.select(F.explode(_warm_arr(F.col("id")))).count()
 
+    # Codegen/JIT shape warm-up for the two measured cold-order artifacts
+    # (VERDICT r6 item 3): the session's FIRST lower()-filter and FIRST
+    # non-equi broadcast (nested-loop) join pay one-time operator-class
+    # JIT + codegen costs that landed on whichever catalog query ran them
+    # first (op_filter_ci 10x cold, op_range_join 2.7x cold — both warm-
+    # normalized ~1.0). Warm those operator shapes on synthetic frames
+    # that share no plan, table, or cache with any catalog query.
+    s = spark.range(2048).select(
+        F.concat(F.lit("WaRm"), F.col("id").cast("string")).alias("t"), "id"
+    )
+    s.filter(F.lower(F.col("t")) == "warm7").count()
+    s.filter(F.lower(F.col("t")).contains("arm1")).count()
+    spans = spark.range(64).select(
+        F.col("id").alias("lo"), (F.col("id") + 3).alias("hi")
+    )
+    s.join(
+        F.broadcast(spans),
+        (F.col("id") >= F.col("lo")) & (F.col("id") <= F.col("hi")),
+    ).count()
+
+    # Parquet-cached staging fixtures (VERDICT r6 item 4): synthesize and
+    # write them untimed so the PIPE-CLEAN timings measure cleaning work.
+    from amazon_fresh_sql_data_engineering_spark.queries_etl import prestage_fixtures
+
+    prestage_fixtures(spark, sf_dir)
+
     warm_runs = 3 if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0" else 0
 
     def timed(fn) -> float:
@@ -179,6 +205,14 @@ def summarize(out: dict, full_path: str, limit: int = 1900) -> dict:
             summary["slowest"].popitem()
         else:
             summary["compare"]["regressions"].popitem()
+    # hard bound (ADVICE r6): if the fixed base alone still overflows —
+    # e.g. a pathologically long SPARK_GRAFT_BENCH_FULL path — shorten the
+    # path to its basename, then drop optional sections outright
+    if len(json.dumps(summary)) > limit:
+        summary["full"] = os.path.basename(summary["full"])
+    for k in ("slowest", "compare"):
+        if len(json.dumps(summary)) > limit:
+            summary.pop(k, None)
     return summary
 
 

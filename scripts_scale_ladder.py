@@ -38,7 +38,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_scale_tmp")
-REPLICAS = (2, 4)
+# round-7 (VERDICT r6 item 7): one more doubling — the 4x rung still had
+# idle cores masking exponents; 8x makes the linear claims sharper
+REPLICAS = (2, 4, 8)
 ID_OFFSET = 100_000_000
 
 #: query name -> tables its plan reads (only these are replicated)
@@ -51,6 +53,15 @@ QUERIES = {
     "pipe_training_corpus": ("documents",),
     "op_histogram_equidepth": ("orders",),
     "op_pack_sequences": ("documents",),
+    # round-7: the ANN family (VERDICT r6 item 7). All three use a FIXED
+    # query set (vec_id < 10 — only replica 0 qualifies after the id
+    # shift), so the ladder measures corpus-side scaling: bucket/cluster/
+    # codebook scan cost, not a quadratically-growing query matrix.
+    # (mm_embed_ann stays out by design: it is the documented brute-force
+    # |Q|x|C| BASELINE tier whose scale path IS sim_ann_*.)
+    "sim_ann_lsh": ("embeddings",),
+    "sim_ann_ivf": ("embeddings",),
+    "sim_ann_pq": ("embeddings",),
 }
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
@@ -96,6 +107,24 @@ def prep() -> None:
                     d = d.withColumn(
                         "l_orderkey", F.col("l_orderkey") + F.lit(k * ID_OFFSET)
                     )
+                elif tbl == "embeddings":
+                    # content-disjoint replicas: shift ids; rotate the vector
+                    # by k positions (norm-preserving, so bucket/cluster
+                    # population stats stay realistic while cross-replica
+                    # cosines decorrelate — replicas must not be trivial
+                    # nearest neighbors of their sources)
+                    d = d.withColumn(
+                        "vec_id", F.col("vec_id") + F.lit(k * ID_OFFSET)
+                    )
+                    if k:
+                        d = d.withColumn(
+                            "embedding",
+                            F.expr(
+                                f"concat(slice(embedding, {k + 1}, "
+                                f"size(embedding) - {k}), "
+                                f"slice(embedding, 1, {k}))"
+                            ),
+                        )
                 parts.append(d)
             merged = parts[0]
             for p in parts[1:]:

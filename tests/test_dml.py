@@ -182,3 +182,89 @@ def test_mv_op_column_collision_raises(spark):
             {"rev": "rev"},
             op_col="g",
         )
+
+
+def _mvx_rows(df):
+    return {
+        tuple(r[k] for k in ("g", "s")): (r["__mv_cnt"], float(r["lo"]), float(r["hi"]))
+        for r in df.collect()
+    }
+
+
+def test_mv_minmax_delta_equals_rebuild(spark):
+    """MIN/MAX delta-apply (targeted recompute of affected groups) must be
+    indistinguishable from a full rebuild, with BOTH arms exercised: a
+    delete that removes a group extreme (affected -> recompute) and
+    insert-only / non-threatening-delete groups (algebraic)."""
+    from amazon_fresh_sql_data_engineering_spark.operators import mv
+
+    base = spark.createDataFrame(
+        [
+            (1, "a", "x", 10.0),
+            (2, "a", "x", 20.0),   # a/x max, deleted -> affected
+            (3, "b", "y", 5.0),
+            (4, "b", "y", 9.0),    # delete non-extreme 5.0? no: 5.0 IS min
+            (5, "c", "y", 7.0),
+            (6, "c", "y", 3.0),    # c/y untouched by deletes -> algebraic
+        ],
+        "id int, g string, s string, rev double",
+    )
+    keys, mins, maxs = ["g", "s"], {"lo": "rev"}, {"hi": "rev"}
+    mv0 = mv.mv_build_minmax(base, keys, mins, maxs)
+    delta = spark.createDataFrame(
+        [
+            (2, "a", "x", 20.0, -1),   # removes a/x's max -> recompute arm
+            (7, "c", "y", 1.0, 1),     # insert below c/y's min -> algebraic
+            (8, "d", "z", 50.0, 1),    # brand-new group -> algebraic
+            (3, "b", "y", 5.0, -1),    # removes b/y's min -> recompute arm
+            (9, "b", "y", 4.0, 1),     # plus an insert into the same group
+        ],
+        "id int, g string, s string, rev double, __op int",
+    )
+    eff = base.filter(~F.col("id").isin(2, 3)).unionByName(
+        delta.filter(F.col("__op") == 1).drop("__op")
+    )
+    got = mv.mv_apply_delta_minmax(mv0, delta, eff, keys, mins, maxs)
+    exp = mv.mv_build_minmax(eff, keys, mins, maxs)
+    assert _mvx_rows(got) == _mvx_rows(exp)
+    # arm evidence: a/x and b/y were recomputed (extreme removed), c/y and
+    # d/z merged algebraically; values spot-checked
+    rows = _mvx_rows(got)
+    assert rows[("a", "x")] == (1, 10.0, 10.0)
+    assert rows[("b", "y")] == (2, 4.0, 9.0)
+    assert rows[("c", "y")] == (3, 1.0, 7.0)
+    assert rows[("d", "z")] == (1, 50.0, 50.0)
+
+
+def test_mv_minmax_group_emptied_and_semi_join_arm(spark):
+    """A group whose rows are all deleted disappears; the > max_pruned_groups
+    fallback (broadcast semi join instead of literal filter) returns the
+    identical result."""
+    from amazon_fresh_sql_data_engineering_spark.operators import mv
+
+    base = spark.range(100).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 10).cast("string").alias("g"),
+        F.lit("s").alias("s"),
+        (F.col("id") % 17 * 1.0).alias("rev"),
+    )
+    keys, mins, maxs = ["g", "s"], {"lo": "rev"}, {"hi": "rev"}
+    mv0 = mv.mv_build_minmax(base, keys, mins, maxs)
+    # delete every row of group 0 and each group's current min row
+    doomed = base.filter(F.col("g") == "0")
+    w_min = base.groupBy("g", "s").agg(F.min("rev").alias("lo"))
+    min_rows = base.join(w_min, on=["g", "s"]).filter(F.col("rev") == F.col("lo")).drop("lo")
+    delta = (
+        doomed.unionByName(min_rows).distinct().withColumn("__op", F.lit(-1))
+    )
+    eff = base.join(
+        delta.select("id").distinct(), on="id", how="left_anti"
+    )
+    exp = mv.mv_build_minmax(eff, keys, mins, maxs)
+    got_lit = mv.mv_apply_delta_minmax(mv0, delta, eff, keys, mins, maxs)
+    got_semi = mv.mv_apply_delta_minmax(
+        mv0, delta, eff, keys, mins, maxs, max_pruned_groups=2
+    )
+    assert _mvx_rows(got_lit) == _mvx_rows(exp)
+    assert _mvx_rows(got_semi) == _mvx_rows(exp)
+    assert ("0", "s") not in _mvx_rows(got_lit)

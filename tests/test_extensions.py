@@ -104,11 +104,10 @@ def test_minhash_store_probe_prunes_and_matches_inmemory(spark, sf_dir, tmp_path
     path = str(tmp_path / "mh_store")
     D.write_minhash_store(store_feats, path, num_prefixes=8)
 
+    pins = []
+    probe = D.minhash_store_probe(batch, path, "doc_id", "text", threshold=0.5, pins=pins)
     got = {
-        (r.id_a, r.id_b): (round(r.jaccard_sim, 6), r.vs)
-        for r in D.minhash_store_probe(
-            batch, path, "doc_id", "text", threshold=0.5
-        ).collect()
+        (r.id_a, r.id_b): (round(r.jaccard_sim, 6), r.vs) for r in probe.collect()
     }
     exp = {
         (r.id_a, r.id_b): (round(r.jaccard_sim, 6), r.vs)
@@ -117,6 +116,20 @@ def test_minhash_store_probe_prunes_and_matches_inmemory(spark, sf_dir, tmp_path
         ).collect()
     }
     assert got == exp and got  # non-trivial: the planted copies must hit
+
+    # exchange-free store side (VERDICT r6 item 8): with broadcast_batch
+    # (the default) every join in the probe is a broadcast hash join — the
+    # index and feature scans stream with no store-side shuffle
+    from amazon_fresh_sql_data_engineering_spark.plans import explain as X
+
+    probe_plan = X.physical_plan(probe)
+    assert "SortMergeJoin" not in probe_plan and "ShuffledHashJoin" not in probe_plan, (
+        probe_plan[:1500]
+    )
+    # the pins out-param surfaced the two batch-side caches (ADVICE r6)
+    assert len(pins) == 2
+    for p in pins:
+        p.unpersist()
 
     # pruning evidence with a realistically small probe batch (a 500-doc
     # batch x 16 bands touches all 128 partitions of this toy store; real

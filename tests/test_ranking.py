@@ -662,3 +662,64 @@ def test_large_partition_count_uses_sql_tree(spark):
     ).count()
     assert bad == 0
     spark.catalog.clearCache()
+
+
+def test_probe_cache_one_probe_per_distinct_input(spark):
+    """Session boundary cache (VERDICT r6 item 5): composing several ranking
+    ops over the same input + ordering pays the build-time probe job once;
+    a different ordering or input is a separate entry; results unchanged."""
+    from amazon_fresh_sql_data_engineering_spark.operators import ranking as R
+
+    R.clear_probe_cache()
+    df = spark.range(5000).select(
+        F.col("id"), (F.pmod(F.hash("id"), F.lit(97)) * 1.0).alias("v")
+    )
+    got_rank = global_rank(
+        df, [F.col("v").asc(), F.col("id").asc()], "rk", descending=False, pin=None
+    )
+    assert (R._PROBE_CACHE_MISSES, R._PROBE_CACHE_HITS) == (1, 0)
+    got_rn = R.global_row_number(
+        df, [F.col("v").asc(), F.col("id").asc()], "rn", pin=None
+    )
+    # same input, same ordering -> cache hit, no second probe job
+    assert (R._PROBE_CACHE_MISSES, R._PROBE_CACHE_HITS) == (1, 1)
+    # different ordering -> distinct entry
+    R.global_rank(df, [F.col("id").desc()], "rk2", pin=None)
+    assert R._PROBE_CACHE_MISSES == 2
+    # cached boundaries still produce exact global results
+    exp = df.withColumn("rk_exp", F.rank().over(Window.orderBy("v", "id"))).withColumn(
+        "rn_exp", F.row_number().over(Window.orderBy("v", "id"))
+    )
+    j = (
+        exp.join(got_rank.select("id", "rk"), "id")
+        .join(got_rn.select("id", "rn"), "id")
+    )
+    assert j.filter((F.col("rk") != F.col("rk_exp")) | (F.col("rn") != F.col("rn_exp"))).count() == 0
+    R.clear_probe_cache()
+    spark.catalog.clearCache()
+
+
+def test_probe_cache_stale_boundaries_still_correct(spark):
+    """The safety property the cache leans on: a pid expression is correct
+    for ANY boundary literal set. Seed the cache from one distribution,
+    then rank a DIFFERENT distribution through a plan with the same
+    fingerprint shape — results must still be exact (balance, not
+    correctness, is what staleness costs)."""
+    from amazon_fresh_sql_data_engineering_spark.operators import ranking as R
+
+    R.clear_probe_cache()
+    a = spark.range(2000).select((F.col("id") % 13).alias("v"), F.col("id"))
+    R.global_rank(a, [F.col("v").asc(), F.col("id").asc()], "rk",
+                  descending=False, pin=None).count()
+    misses0 = R._PROBE_CACHE_MISSES
+    # same logical shape, same source: a re-build must hit and stay exact
+    a2 = spark.range(2000).select((F.col("id") % 13).alias("v"), F.col("id"))
+    got = R.global_rank(a2, [F.col("v").asc(), F.col("id").asc()], "rk",
+                        descending=False, pin=None)
+    assert R._PROBE_CACHE_MISSES == misses0  # no new probe
+    exp = a2.withColumn("rk_exp", F.rank().over(Window.orderBy("v", "id")))
+    assert exp.join(got.select("id", "rk"), "id").filter(
+        F.col("rk") != F.col("rk_exp")
+    ).count() == 0
+    R.clear_probe_cache()
+    spark.catalog.clearCache()
