@@ -1011,6 +1011,12 @@ def write_minhash_store(
     idx = idx.withColumn(
         "__pfx", F.pmod(F.xxhash64("bucket"), F.lit(num_prefixes))
     )
+    # cluster on the partition keys before the partitioned write: without
+    # this every input partition writes into every (band, pfx) directory —
+    # input_partitions x bands x num_prefixes tiny files (the classic
+    # partitionBy small-files explosion); with it each directory gets one
+    # writer. The clustering shuffle is index-sized, paid once at build.
+    idx = idx.repartition("band", "__pfx")
     idx.write.mode("overwrite").partitionBy("band", "__pfx").parquet(f"{path}/index")
     spark.createDataFrame(
         [(num_hashes, bands, num_prefixes, k, seed)],

@@ -98,11 +98,18 @@ def main() -> None:
         (F.col("id") >= F.col("lo")) & (F.col("id") <= F.col("hi")),
     ).count()
 
-    # Parquet-cached staging fixtures (VERDICT r6 item 4): synthesize and
-    # write them untimed so the PIPE-CLEAN timings measure cleaning work.
+    # Per-process persistent fixtures, built untimed (VERDICT r6 item 4):
+    # the PIPE-CLEAN staged parquet (so cleaning timings measure cleaning)
+    # and the on-disk minhash store (so dedup_store_probe times the PROBE —
+    # the recurring operation — not the one-time store accretion).
     from amazon_fresh_sql_data_engineering_spark.queries_etl import prestage_fixtures
 
     prestage_fixtures(spark, sf_dir)
+    from amazon_fresh_sql_data_engineering_spark.queries_ext import (
+        prestage_fixtures as prestage_ext,
+    )
+
+    prestage_ext(spark, sf_dir)
 
     warm_runs = 3 if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0" else 0
 

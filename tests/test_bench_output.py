@@ -102,3 +102,17 @@ def test_compare_annotates_cold_regressions_with_warm_ratio(tmp_path):
     c = compare_to_prior(now, str(p), warm)["compare"]
     assert list(c["regressions"]) == ["c"]
     assert abs(c["regressions"]["c"]["warm_normalized_ratio"] - 1.0) < 1e-6
+
+
+def test_summary_hard_bound_with_pathological_full_path():
+    """ADVICE r6: even when the fixed base (the full-file path) alone
+    overflows the limit, the printed line must still fit — basename
+    fallback first, then optional sections dropped."""
+    out = _fake_out(20, 2)
+    long_path = "/tmp/" + ("x" * 3000) + "/full.json"
+    s = summarize(out, long_path)
+    line = json.dumps(s)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["full"] == "full.json"  # basename fallback engaged
+    assert parsed["value"] == out["value"]  # totals always survive
