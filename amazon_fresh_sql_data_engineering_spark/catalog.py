@@ -58,6 +58,7 @@ _PRIORITY = [
     # --- round-7 block A: NEW entries (standing rule: new goes FRONT) ---
     "dedup_store_probe",  # on-disk pruned minhash feature store probe
     "op_mv_minmax",  # MIN/MAX MV maintenance via targeted recompute
+    "op_mv_join_agg",  # JOIN-view maintenance (fact delta x broadcast dim)
     # --- round-7 block B: the 4 rows whose latest driver evidence is r1 ---
     "op_distinct_projection",
     "op_asof_join",
@@ -101,7 +102,9 @@ _PRIORITY = [
     "mm_decode",
     "mm_frame_sample",
     "mm_embed_ann",
-    # --- round-7 block D: the 8 oldest r3 rows (CORRECTNESS_r03 order) ---
+    # --- round-7 block D: the oldest r3 rows (CORRECTNESS_r03 order;
+    # events_funnel yields its slot to the third new entry — it stays
+    # green-r3 and rotates next round) ---
     "q_pipe_clean_suppliers",
     "mm_decode_quarantine",
     "dedup_ngram_jaccard_maxdf",
@@ -109,7 +112,6 @@ _PRIORITY = [
     "events_hourly",
     "events_sessionize",
     "events_dedup",
-    "events_funnel",
 ]
 
 

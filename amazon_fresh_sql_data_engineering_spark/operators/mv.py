@@ -20,8 +20,15 @@ and the union re-agg co-partitions with zero extra exchange on the MV
 side; the delta side map-side pre-aggregates to one partial row per
 touched group. Groups whose count reaches zero are dropped (the view
 never carries tombstones). MIN/MAX are NOT maintainable this way under
-deletes (not invertible) — reject them at the API instead of silently
-recomputing.
+deletes (not invertible) — ``mv_apply_delta`` rejects them;
+``mv_apply_delta_minmax`` maintains them via targeted re-aggregation of
+only the affected groups instead. JOIN views over a static dimension
+compose for free: delta(A JOIN B) = deltaA JOIN B, so join the change
+batch to the broadcast dim and fold with ``mv_apply_delta``
+(op_mv_join_agg in queries_etl); dim-side changes are the symmetric
+A JOIN deltaB term plus an affected-group re-aggregation, the
+``mv_apply_delta_minmax`` pattern. A streaming twin folds signed-delta
+micro-batches into a published state sink (streaming/mv.py).
 
 Reference semantics twin: the reference keeps summary tables current with
 INSERT ... ON CONFLICT DO UPDATE accumulation (TablesCreated-Imported.sql

@@ -1412,3 +1412,64 @@ def op_mv_minmax(spark, sf_dir):
         fin(F.col("min_price"), 2).alias("min_price"),
         fin(F.col("max_price"), 2).alias("max_price"),
     )
+
+
+@register(
+    "op_mv_join_agg",
+    oracle="""
+        WITH eff AS (
+            SELECT * FROM orders
+            WHERE o_orderkey % 8 <> 5 AND o_orderkey % 16 <> 2
+            UNION ALL
+            SELECT * FROM orders WHERE o_orderkey % 8 = 5
+        )
+        SELECT c.c_nationkey,
+               date_trunc('month', o.o_orderdate) AS order_month,
+               count(*) AS order_cnt,
+               round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS revenue
+        FROM eff o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    """,
+    doc="JOIN-view maintenance: a revenue-by-(nation, month) view over "
+    "orders JOIN customer is kept current under fact-side inserts+deletes "
+    "by composing the bilinear IVM rule with the existing delta "
+    "machinery — for a static dimension, delta(A JOIN B) = deltaA JOIN B, "
+    "so the change batch is joined to the BROADCAST dim and fed to "
+    "mv_apply_delta (operators/mv.py): one broadcast hash join sized "
+    "|delta|, one shuffle sized |MV|+|delta partials|; the fact table is "
+    "never rescanned. (Dim-side changes are the symmetric A JOIN deltaB "
+    "term plus re-aggregation of affected groups — the op_mv_minmax "
+    "pattern; out of scope for this fixture, noted in mv.py.) Oracle = "
+    "full recompute over the post-change join, same CDC fixture as "
+    "op_mv_incremental.",
+)
+def op_mv_join_agg(spark, sf_dir):
+    from .operators import mv
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_month", F.trunc("o_orderdate", "month")
+    ).withColumn("price", dec("o_totalprice"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    keys = ["c_nationkey", "order_month"]
+    sums = {"rev": "price"}
+    base = o.filter(F.col("o_orderkey") % 8 != 5)
+    mv0 = mv.mv_build(
+        base.join(F.broadcast(c), base["o_custkey"] == c["c_custkey"]),
+        keys,
+        sums,
+    )
+    delta = (
+        o.filter(F.col("o_orderkey") % 8 == 5)
+        .withColumn("__op", F.lit(1))
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 16 == 2).withColumn("__op", F.lit(-1))
+        )
+    )
+    delta_joined = delta.join(F.broadcast(c), delta["o_custkey"] == c["c_custkey"])
+    mv1 = mv.mv_apply_delta(mv0, delta_joined, keys, sums)
+    return mv1.select(
+        "c_nationkey",
+        "order_month",
+        F.col("__mv_cnt").alias("order_cnt"),
+        fin(F.col("rev"), 2).alias("revenue"),
+    )
