@@ -1066,8 +1066,6 @@ def minhash_store_probe(
     (ADVICE r6). The pins are evictable, so a leak degrades to recompute,
     never to wrong results.
     """
-    import functools as _ft
-
     spark = batch_docs.sparkSession
     m = spark.read.parquet(f"{path}/manifest").collect()[0]
     num_hashes, bands, num_prefixes, k, seed = (
@@ -1084,12 +1082,23 @@ def minhash_store_probe(
         for r in new_bands.select("band", "__pfx").distinct().collect()
     ]
     idx = spark.read.parquet(f"{path}/index")
-    if 0 < len(touched) <= max_pruned_terms:
-        cond = _ft.reduce(
-            lambda a, b: a | b,
-            [(F.col("band") == b) & (F.col("__pfx") == p) for b, p in touched],
-        )
-        idx = idx.filter(cond)
+    # prune only when it can pay: past half the directory space the scan
+    # reads most of the index anyway and the per-partition filter
+    # evaluation is pure overhead (measured: a batch touching 64% of a
+    # 1024-dir store probed SLOWER pruned than full-scan); the pruning
+    # regime is small-batch-vs-big-store, which is the incremental
+    # contract's steady state
+    prune_cap = min(max_pruned_terms, (bands * num_prefixes) // 2)
+    if 0 < len(touched) <= prune_cap:
+        # ONE flat In node, not an OR chain: a reduce-built Or tree is
+        # max_pruned_terms deep and overflows the JVM analyzer stack past
+        # a few hundred terms (hit at 656 in testing). Encoding the pair
+        # as band*P + pfx keeps the predicate a pure function of the two
+        # partition columns, so it still lands in PartitionFilters
+        # (plan-asserted in tests), and Catalyst turns the large In into
+        # an O(1)-lookup InSet.
+        enc = F.col("band") * F.lit(num_prefixes) + F.col("__pfx")
+        idx = idx.filter(enc.isin([b * num_prefixes + p for b, p in touched]))
     store_features = spark.read.parquet(f"{path}/features")
     return _incremental_verify(
         store_features, new_feats, new_bands, idx, threshold,

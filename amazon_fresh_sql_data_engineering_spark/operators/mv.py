@@ -48,6 +48,19 @@ from pyspark.sql import functions as F
 _CNT = "__mv_cnt"
 
 
+def _balanced_or(terms: list) -> "F.Column":
+    """OR of ``terms`` as a BALANCED tree (log depth): a reduce-built
+    left-deep Or chain overflows the JVM analyzer stack past a few
+    hundred terms (the dedup store probe hit it at 656), and the literal
+    key filter here can carry up to ``max_pruned_groups`` terms."""
+    while len(terms) > 1:
+        it = iter(terms)
+        terms = [a | b for a, b in zip(it, it)] + (
+            [terms[-1]] if len(terms) % 2 else []
+        )
+    return terms[0]
+
+
 def mv_build(base: DataFrame, keys: list[str], sums: dict[str, str]) -> DataFrame:
     """Materialize the partial-aggregate state of a SUM/COUNT view.
 
@@ -247,7 +260,7 @@ def mv_apply_delta_minmax(
             )
             for r in rows
         ]
-        pruned = base_after.filter(functools.reduce(lambda a, b: a | b, terms))
+        pruned = base_after.filter(_balanced_or(terms))
     else:
         pruned = base_after.join(F.broadcast(affected_keys), on=keys, how="left_semi")
     recomputed = pruned.groupBy(*keys).agg(

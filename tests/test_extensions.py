@@ -87,10 +87,7 @@ def test_minhash_incremental_replays_batch_union(spark, sf_dir):
 def test_minhash_store_probe_prunes_and_matches_inmemory(spark, sf_dir, tmp_path):
     """On-disk feature store: probing a batch against write_minhash_store's
     partitioned layout returns exactly the in-memory incremental result,
-    and the partition filters actually prune the index scan (fewer files
-    read than a full scan)."""
-    import functools
-
+    and the partition filters actually prune the index scan."""
     from pyspark.sql import functions as F  # noqa: F811
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
@@ -134,28 +131,24 @@ def test_minhash_store_probe_prunes_and_matches_inmemory(spark, sf_dir, tmp_path
     # pruning evidence with a realistically small probe batch (a 500-doc
     # batch x 16 bands touches all 128 partitions of this toy store; real
     # stores use num_prefixes >> batch band-rows): 3 docs -> <= 48 of 128
-    # (band, pfx) combos -> the partition filter must read fewer index
-    # files than a full scan (replicates minhash_store_probe's filter)
+    # (band, pfx) combos. The predicate must land in the index scan's
+    # PartitionFilters (directory pruning), not the post-scan data filter
+    # — inputFiles() can't show this (it reports the unfiltered
+    # relation), the plan does. Asserted on the PROBE's own plan: the
+    # flat In/InSet encoding over (band * P + __pfx) must prune (a
+    # reduce-built Or chain here overflowed the analyzer stack at ~650
+    # terms — the regression this assertion also guards).
     tiny = batch.orderBy("doc_id").limit(3)
-    nb = D._bands_from_sig(
-        D.minhash_features(tiny, "doc_id", "text", 64, 3, 42).select("__id", "__sig"),
-        64, 16,
-    ).withColumn("__pfx", F.pmod(F.xxhash64("bucket"), F.lit(8)))
-    touched = [(r["band"], r["__pfx"]) for r in nb.select("band", "__pfx").distinct().collect()]
-    full_idx = spark.read.parquet(f"{path}/index")
-    assert 0 < len(touched) <= 48  # 3 docs x 16 bands
-    cond = functools.reduce(
-        lambda a, b: a | b,
-        [(F.col("band") == b) & (F.col("__pfx") == p) for b, p in touched],
-    )
-    # the predicate must land in the scan's PartitionFilters (directory
-    # pruning), not the post-scan data filter — inputFiles() can't show
-    # this (it reports the unfiltered relation), the plan does
     from amazon_fresh_sql_data_engineering_spark.plans import explain as X
 
-    plan = X.physical_plan(full_idx.filter(cond))
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert pf and "band" in pf[0] and "PartitionFilters: []" not in pf[0], plan[:1500]
+    tiny_probe = D.minhash_store_probe(tiny, path, "doc_id", "text", threshold=0.5)
+    plan = X.physical_plan(tiny_probe)
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "PartitionFilters: []" not in ln
+    ]
+    assert pf and any("band" in ln for ln in pf), plan[:1500]
     # and the pruned probe still returns exactly the tiny batch's pairs
     tiny_got = {
         (r.id_a, r.id_b)
