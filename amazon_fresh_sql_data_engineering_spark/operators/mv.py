@@ -26,9 +26,13 @@ only the affected groups instead. JOIN views over a static dimension
 compose for free: delta(A JOIN B) = deltaA JOIN B, so join the change
 batch to the broadcast dim and fold with ``mv_apply_delta``
 (op_mv_join_agg in queries_etl); dim-side changes are the symmetric
-A JOIN deltaB term plus an affected-group re-aggregation, the
-``mv_apply_delta_minmax`` pattern. A streaming twin folds signed-delta
-micro-batches into a published state sink (streaming/mv.py).
+A JOIN deltaB term — ``mv_dim_delta`` builds that signed fact-level
+delta with the fact scan pruned to the changed dim keys, and for
+distributive aggregates it folds through ``mv_apply_delta`` with no
+re-aggregation at all (MIN/MAX views would still need the
+``mv_apply_delta_minmax`` affected-group recompute). A streaming twin
+folds signed-delta micro-batches into a published state sink
+(streaming/mv.py).
 
 Reference semantics twin: the reference keeps summary tables current with
 INSERT ... ON CONFLICT DO UPDATE accumulation (TablesCreated-Imported.sql
@@ -269,3 +273,44 @@ def mv_apply_delta_minmax(
         *[F.max(src).cast(mv_types[dst]).alias(dst) for dst, src in maxs.items()],
     )
     return algebraic.unionByName(recomputed)
+
+
+def mv_dim_delta(
+    fact: DataFrame,
+    dim_delta: DataFrame,
+    on: str,
+    op_col: str = "__op",
+    max_pruned_keys: int = 1000,
+) -> DataFrame:
+    """The dim-side term of JOIN-view maintenance: turn a DIMENSION change
+    batch into a signed FACT-level delta ready for ``mv_apply_delta``.
+
+    For a view agg(A JOIN B) the bilinear rule's second term is
+    A JOIN deltaB: a deleted dim row removes its matching facts from the
+    view (op -1), an inserted one adds them (+1), and an UPDATE is the
+    delete+insert pair — which is exactly how it moves fact rows between
+    groups keyed on dim attributes. ``dim_delta`` rows are B-table rows
+    plus ``op_col`` (+1/-1, the ``mv_apply_delta`` CDC contract);
+    ``fact`` must be the fact table AS OF before fact-side changes in
+    the same batch are applied (apply fact deltas separately with the
+    first term).
+
+    Scale shape: the fact scan is PRUNED to the changed dim keys — a
+    metadata-sized change set (<= ``max_pruned_keys``) inlines as one
+    flat ``isin`` (static pruning / row-group skipping on a fact table
+    partitioned or z-ordered by the key); larger sets degrade to a
+    broadcast semi join. The join itself broadcasts the change batch.
+    The fact table is never fully rescanned, and the folded result is
+    |touched facts| before ``mv_apply_delta`` collapses it to partials.
+    """
+    if op_col not in dim_delta.columns:
+        raise ValueError(f"mv: dim_delta lacks op column {op_col!r}")
+    keys = [r[0] for r in dim_delta.select(on).distinct().limit(max_pruned_keys + 1).collect()]
+    pruned = fact
+    if 0 < len(keys) <= max_pruned_keys:
+        pruned = fact.filter(F.col(on).isin(keys))
+    else:
+        pruned = fact.join(
+            F.broadcast(dim_delta.select(on).distinct()), on=on, how="left_semi"
+        )
+    return pruned.join(F.broadcast(dim_delta), on=on)

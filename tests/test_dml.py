@@ -268,3 +268,56 @@ def test_mv_minmax_group_emptied_and_semi_join_arm(spark):
     assert _mvx_rows(got_lit) == _mvx_rows(exp)
     assert _mvx_rows(got_semi) == _mvx_rows(exp)
     assert ("0", "s") not in _mvx_rows(got_lit)
+
+
+def test_mv_dim_delta_update_moves_groups(spark):
+    """Dim-side JOIN-view maintenance: a dimension UPDATE (delete+insert
+    pair) re-homes the matching facts between groups keyed on the dim
+    attribute; folding mv_dim_delta's signed fact delta must equal a
+    rebuild of the post-change join. Both pruning arms return the same."""
+    from amazon_fresh_sql_data_engineering_spark.operators import mv
+
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 7.0), (3, 20, 11.0), (4, 30, 2.0)],
+        "id int, ck int, rev double",
+    )
+    dim = spark.createDataFrame(
+        [(10, "red"), (20, "blue"), (30, "red")], "ck int, color string"
+    )
+    keys, sums = ["color"], {"rev": "rev"}
+    mv0 = mv.mv_build(fact.join(dim, "ck"), keys, sums)
+    # UPDATE dim 10: red -> blue, as the CDC delete+insert pair
+    dim_delta = spark.createDataFrame(
+        [(10, "red", -1), (10, "blue", 1)], "ck int, color string, __op int"
+    )
+    folded = mv.mv_apply_delta(
+        mv0, mv.mv_dim_delta(fact, dim_delta, on="ck"), keys, sums
+    )
+    dim_after = spark.createDataFrame(
+        [(10, "blue"), (20, "blue"), (30, "red")], "ck int, color string"
+    )
+    exp = mv.mv_build(fact.join(dim_after, "ck"), keys, sums)
+    rows = lambda df: {  # noqa: E731
+        r["color"]: (r["__mv_cnt"], float(r["rev"])) for r in df.collect()
+    }
+    assert rows(folded) == rows(exp)
+    assert rows(folded)["blue"] == (3, 23.0) and rows(folded)["red"] == (1, 2.0)
+    # semi-join fallback arm (max_pruned_keys below the change-set size)
+    folded2 = mv.mv_apply_delta(
+        mv0,
+        mv.mv_dim_delta(fact, dim_delta, on="ck", max_pruned_keys=0),
+        keys,
+        sums,
+    )
+    assert rows(folded2) == rows(exp)
+
+
+def test_mv_dim_delta_requires_op_column(spark):
+    from amazon_fresh_sql_data_engineering_spark.operators import mv
+
+    import pytest
+
+    fact = spark.createDataFrame([(1, 10, 5.0)], "id int, ck int, rev double")
+    bad = spark.createDataFrame([(10, "x")], "ck int, color string")
+    with pytest.raises(ValueError, match="op column"):
+        mv.mv_dim_delta(fact, bad, on="ck")
