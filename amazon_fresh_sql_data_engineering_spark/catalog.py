@@ -6,15 +6,17 @@ order) for its per-round correctness gate, so ``_PRIORITY`` front-loads the
 queries that most need driver-side evidence this round. CORRECTNESS_r06 was
 50/50 green; cumulatively all 228 catalog queries have green driver rows
 (r01 ∪ … ∪ r06) and no query's latest row is red. Round 7 front-loads
-(a) the two NEW entries (dedup_store_probe — the on-disk minhash store,
+(a) the three NEW entries (dedup_store_probe — the on-disk minhash store,
 VERDICT r6 item 2; op_mv_minmax — MIN/MAX view maintenance under deletes,
-VERDICT r6 item 6), then (b) the VERDICT r6 item-1 rotation: the oldest
-remaining evidence, by latest-driver-row round ascending — the 4 rows last
-sampled in r1 (op_distinct_projection, op_asof_join, op_range_join,
+VERDICT r6 item 6; op_mv_join_agg — JOIN-view maintenance, session
+addition), then (b) the VERDICT r6 item-1 rotation: the oldest remaining
+evidence, by latest-driver-row round ascending — the 4 rows last sampled
+in r1 (op_distinct_projection, op_asof_join, op_range_join,
 op_percentiles), all 36 rows last sampled in r2 (CORRECTNESS_r02 order:
 the q_pipe_clean_* family, DML queries, the dedup/similarity/multimodal/
-text-extension cores), and the 8 oldest r3 rows. 2+4+36+8 = 50; after this
-round no driver row anywhere in the union is older than r3.
+text-extension cores), and the 7 oldest r3 rows (events_funnel yielded
+its slot to the third new entry). 3+4+36+7 = 50; after this round no
+driver row anywhere in the union is older than r3.
 
 STANDING RULE (VERDICT r4 item 7): when the catalog grows after
 convergence, new entries go to the FRONT of _PRIORITY in the same round

@@ -435,7 +435,15 @@ def _incremental_verify(
     cross_v = (
         maybe_b(
             cross.join(
-                sh_new.select(F.col("__id").alias("id_new"), F.col("__h").alias("__sh_n")),
+                # hint the inner batch-side join too: without it a batch
+                # shingle frame past autoBroadcastJoinThreshold would plan
+                # as a SortMergeJoin, adding batch-side exchanges the
+                # docstring promises away
+                maybe_b(
+                    sh_new.select(
+                        F.col("__id").alias("id_new"), F.col("__h").alias("__sh_n")
+                    )
+                ),
                 on="id_new",
             )
         )
@@ -453,11 +461,15 @@ def _incremental_verify(
     )
     within_v = (
         within.join(
-            sh_new.select(F.col("__id").alias("id_a"), F.col("__h").alias("__sh_a")),
+            maybe_b(
+                sh_new.select(F.col("__id").alias("id_a"), F.col("__h").alias("__sh_a"))
+            ),
             on="id_a",
         )
         .join(
-            sh_new.select(F.col("__id").alias("id_b"), F.col("__h").alias("__sh_b")),
+            maybe_b(
+                sh_new.select(F.col("__id").alias("id_b"), F.col("__h").alias("__sh_b"))
+            ),
             on="id_b",
         )
         .select(

@@ -247,6 +247,11 @@ def mv_apply_delta_minmax(
         ],
         affected_col.alias("__affected"),
     )
+    # group-grain pin: `keyed` (the |MV|+|delta| full-outer join) feeds the
+    # affected-keys collect below AND the algebraic arm of the returned
+    # plan — without it the dominant shuffle join is computed twice (three
+    # times on the semi-arm path). Evictable: loss degrades to recompute.
+    keyed = keyed.persist()
     algebraic = keyed.filter(~F.col("__affected") & (F.col(_CNT) > 0)).drop("__affected")
 
     affected_keys = keyed.filter(F.col("__affected")).select(*keys)
@@ -266,7 +271,15 @@ def mv_apply_delta_minmax(
         ]
         pruned = base_after.filter(_balanced_or(terms))
     else:
-        pruned = base_after.join(F.broadcast(affected_keys), on=keys, how="left_semi")
+        # null-safe semi join: plain `on=keys` equality would silently drop
+        # an affected group whose grouping key contains NULL (the literal
+        # arm above uses eqNullSafe for the same reason)
+        ak = affected_keys.select(*[F.col(k).alias(f"__ak_{k}") for k in keys])
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(k).eqNullSafe(F.col(f"__ak_{k}")) for k in keys],
+        )
+        pruned = base_after.join(F.broadcast(ak), cond, "left_semi")
     recomputed = pruned.groupBy(*keys).agg(
         F.count(F.lit(1)).alias(_CNT),
         *[F.min(src).cast(mv_types[dst]).alias(dst) for dst, src in mins.items()],

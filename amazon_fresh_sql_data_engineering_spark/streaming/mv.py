@@ -26,6 +26,15 @@ big to rewrite per batch, partition the sink by a stable hash of the
 grain keys and rewrite only partitions the batch touches (dynamic
 partition overwrite) — the delta side already collapses to one partial
 row per touched group, so touched partitions are few.
+
+OPERATIONAL CONTRACT: the checkpoint directory and the sink move
+TOGETHER. Micro-batch ids are checkpoint-scoped and restart at 0 under
+a fresh checkpoint, so pairing an existing stamped sink with a new
+checkpoint makes the replay guard skip the first batches (correct when
+re-draining the same files — folding them again would double-count;
+WRONG for a genuinely new delta source, whose batches would be
+swallowed). To re-point a new stream at an existing sink, keep the
+checkpoint, or re-seed the sink stamp below the new stream's ids.
 """
 
 from __future__ import annotations
@@ -58,9 +67,21 @@ def run_mv_maintain_stream(
         spark = batch_df.sparkSession
         try:
             published = spark.read.parquet(out_path)
+        except AnalysisException:
+            published = None  # sink does not exist yet: first-ever batch
+        if published is not None:
+            # a sink that exists but lacks the stamp is NOT an empty
+            # state — treating it as one would silently discard published
+            # aggregates, so fail loudly instead (seeders must stamp; the
+            # narrow try above is only for sink-absent)
+            if _STAMP not in published.columns:
+                raise ValueError(
+                    f"mv stream: sink {out_path} exists without {_STAMP!r} — "
+                    "refusing to fold into what may be unstamped state"
+                )
             last = published.select(F.max(_STAMP)).first()[0]
             cur = published.drop(_STAMP)
-        except AnalysisException:
+        else:
             cur, last = None, None
         if last is not None and batch_id <= last:
             return  # replay of an already-folded batch (see module doc)

@@ -239,21 +239,32 @@ def test_mv_minmax_delta_equals_rebuild(spark):
 def test_mv_minmax_group_emptied_and_semi_join_arm(spark):
     """A group whose rows are all deleted disappears; the > max_pruned_groups
     fallback (broadcast semi join instead of literal filter) returns the
-    identical result."""
+    identical result — including for a NULL grouping key (the semi join
+    must be null-safe, like the literal arm)."""
     from amazon_fresh_sql_data_engineering_spark.operators import mv
 
     base = spark.range(100).select(
         F.col("id").cast("int").alias("id"),
-        (F.col("id") % 10).cast("string").alias("g"),
+        # group '0' becomes a NULL key: an affected NULL-key group must
+        # survive the semi-join fallback arm
+        F.when(F.col("id") % 10 != 0, (F.col("id") % 10).cast("string")).alias("g"),
         F.lit("s").alias("s"),
         (F.col("id") % 17 * 1.0).alias("rev"),
     )
     keys, mins, maxs = ["g", "s"], {"lo": "rev"}, {"hi": "rev"}
     mv0 = mv.mv_build_minmax(base, keys, mins, maxs)
-    # delete every row of group 0 and each group's current min row
-    doomed = base.filter(F.col("g") == "0")
-    w_min = base.groupBy("g", "s").agg(F.min("rev").alias("lo"))
-    min_rows = base.join(w_min, on=["g", "s"]).filter(F.col("rev") == F.col("lo")).drop("lo")
+    # delete every row of group 1 and each group's current min row — the
+    # NULL-key group loses its min (affected, must SURVIVE with a
+    # recomputed extreme), group 1 empties (must disappear)
+    from pyspark.sql import Window
+
+    doomed = base.filter(F.col("g").eqNullSafe(F.lit("1")))
+    w = Window.partitionBy("g", "s")  # window partitions treat NULL as a group
+    min_rows = (
+        base.withColumn("__mn", F.min("rev").over(w))
+        .filter(F.col("rev") == F.col("__mn"))
+        .drop("__mn")
+    )
     delta = (
         doomed.unionByName(min_rows).distinct().withColumn("__op", F.lit(-1))
     )
@@ -267,7 +278,8 @@ def test_mv_minmax_group_emptied_and_semi_join_arm(spark):
     )
     assert _mvx_rows(got_lit) == _mvx_rows(exp)
     assert _mvx_rows(got_semi) == _mvx_rows(exp)
-    assert ("0", "s") not in _mvx_rows(got_lit)
+    assert ("1", "s") not in _mvx_rows(got_lit)
+    assert (None, "s") in _mvx_rows(got_semi)  # null-key group survived
 
 
 def test_mv_dim_delta_update_moves_groups(spark):
