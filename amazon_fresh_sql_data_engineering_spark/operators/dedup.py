@@ -385,7 +385,7 @@ def minhash_incremental_pairs(
     new_bands = _bands_from_sig(new_sig, num_hashes, bands)
     store_bands = _bands_from_sig(store_features.select("__id", "__sig"), num_hashes, bands)
     return _incremental_verify(
-        store_features, new_feats, new_bands, store_bands, threshold
+        store_features, new_feats, new_bands, store_bands, threshold, pins=pins
     )
 
 
@@ -396,6 +396,8 @@ def _incremental_verify(
     store_bands: DataFrame,
     threshold: float,
     broadcast_new: bool = False,
+    max_broadcast_candidates: int = 2_000_000,
+    pins: list | None = None,
 ) -> DataFrame:
     """Candidate generation + exact-Jaccard verify shared by the in-memory
     (`minhash_incremental_pairs`) and on-disk (`minhash_store_probe`)
@@ -409,6 +411,19 @@ def _incremental_verify(
     safe under the incremental contract that the batch is store-fraction-
     sized; the in-memory path defaults to shuffled joins because its
     callers pass arbitrarily large batches.
+
+    The CANDIDATE-PAIR frame is the one batch-derived frame whose size the
+    incremental contract does NOT bound: it is batch bands x store bucket
+    occupancy, so one hot/skewed bucket in a large store can make it
+    arbitrarily large, and an explicit broadcast hint bypasses
+    autoBroadcastJoinThreshold entirely (ADVICE r7). So the pair frame's
+    hint is GUARDED: pairs are persisted and counted (the count reuses the
+    already-pruned, already-broadcast band join — one cheap job over work
+    the verify pays anyway), and past ``max_broadcast_candidates`` the
+    pair-vs-store-features join falls back to a shuffle while the
+    genuinely batch-sized frames (bands, shingle sets) keep their hints.
+    The default cap (~2M pairs x ~24 B = tens of MB) stays well inside
+    executor/driver broadcast comfort.
     """
     maybe_b = F.broadcast if broadcast_new else (lambda df: df)
     nb = new_bands.select("__id", "band", "bucket")
@@ -421,6 +436,17 @@ def _incremental_verify(
         .select("id_new", "id_old")
         .distinct()
     )
+    if broadcast_new:
+        cross = cross.persist()
+        if pins is not None:
+            pins.append(cross)
+        cand_b = (
+            F.broadcast
+            if cross.count() <= max_broadcast_candidates
+            else (lambda df: df)
+        )
+    else:
+        cand_b = lambda df: df  # noqa: E731
     # within-batch candidates from the SAME banded frame (no second
     # explode/concat_ws banding pass over the batch signatures)
     within = (
@@ -433,7 +459,7 @@ def _incremental_verify(
     sh_new = new_feats.select("__id", "__h")
     sh_old = store_features.select("__id", "__h")
     cross_v = (
-        maybe_b(
+        cand_b(
             cross.join(
                 # hint the inner batch-side join too: without it a batch
                 # shingle frame past autoBroadcastJoinThreshold would plan
@@ -1045,6 +1071,7 @@ def minhash_store_probe(
     max_pruned_terms: int = 4096,
     broadcast_batch: bool = True,
     pins: list | None = None,
+    max_broadcast_candidates: int = 2_000_000,
 ) -> DataFrame:
     """``minhash_incremental_pairs`` against a ``write_minhash_store``
     directory, with STATIC partition pruning: the batch's distinct
@@ -1067,7 +1094,11 @@ def minhash_store_probe(
     index scan and the feature scan stream straight into broadcast hash
     joins (plan-asserted in tests — no SortMergeJoin/ShuffledHashJoin
     anywhere in the probe). Pass False for backfill-scale batches; the
-    joins fall back to shuffles. (A metastore deployment can get the same
+    joins fall back to shuffles. The candidate-PAIR frame's hint is
+    additionally guarded by a count (``_incremental_verify``): pair count
+    is store-bucket-occupancy-driven, not batch-bounded, so a hot bucket
+    degrades that one join to a shuffle instead of an oversized broadcast
+    (ADVICE r7). (A metastore deployment can get the same
     store-side locality with ``bucketBy(bucket).saveAsTable`` instead, but
     broadcast needs no catalog and also removes the verify-side exchange.)
 
@@ -1114,5 +1145,6 @@ def minhash_store_probe(
     store_features = spark.read.parquet(f"{path}/features")
     return _incremental_verify(
         store_features, new_feats, new_bands, idx, threshold,
-        broadcast_new=broadcast_batch,
+        broadcast_new=broadcast_batch, pins=pins,
+        max_broadcast_candidates=max_broadcast_candidates,
     )

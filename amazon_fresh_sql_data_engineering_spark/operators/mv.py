@@ -152,6 +152,7 @@ def mv_apply_delta_minmax(
     maxs: dict[str, str],
     op_col: str = "__op",
     max_pruned_groups: int = 1000,
+    pins: list | None = None,
 ) -> DataFrame:
     """Apply a signed change batch to a ``mv_build_minmax`` state table.
 
@@ -185,6 +186,14 @@ def mv_apply_delta_minmax(
     rows plus ``op_col`` = +1 / -1, deletes matching rows present in the
     pre-batch base. Result == ``mv_build_minmax(base_after)`` exactly
     (the oracle and pytest assert it).
+
+    The |MV|+|delta| join frame is persisted for the duration of the
+    returned plan (see the group-grain pin below). Long-lived maintenance
+    loops applying many batches should release the pin per batch: pass
+    ``pins`` (a list; every frame this call persists is appended) and
+    ``unpersist()`` each after consuming the result (ADVICE r7 — same
+    contract as dedup's incremental paths; the pin is evictable, so a
+    leak degrades to recompute, never to wrong results).
     """
     if op_col in (set(keys) | set(mins) | set(maxs)):
         raise ValueError(f"mv: op column {op_col!r} collides with a view column")
@@ -252,6 +261,8 @@ def mv_apply_delta_minmax(
     # plan — without it the dominant shuffle join is computed twice (three
     # times on the semi-arm path). Evictable: loss degrades to recompute.
     keyed = keyed.persist()
+    if pins is not None:
+        pins.append(keyed)
     algebraic = keyed.filter(~F.col("__affected") & (F.col(_CNT) > 0)).drop("__affected")
 
     affected_keys = keyed.filter(F.col("__affected")).select(*keys)
@@ -318,9 +329,26 @@ def mv_dim_delta(
     """
     if op_col not in dim_delta.columns:
         raise ValueError(f"mv: dim_delta lacks op column {op_col!r}")
+    # the final inner join would silently produce ambiguous duplicate
+    # columns for any shared non-join name (audit/ts columns are common),
+    # failing only later in the downstream groupBy — reject it here where
+    # the cause is nameable (ADVICE r7)
+    overlap = (set(fact.columns) & set(dim_delta.columns)) - {on}
+    if overlap:
+        raise ValueError(
+            "mv: fact and dim_delta share non-join columns "
+            f"{sorted(overlap)}; project dim_delta to {on!r}, {op_col!r} "
+            "and the dim attributes the view needs before calling"
+        )
     keys = [r[0] for r in dim_delta.select(on).distinct().limit(max_pruned_keys + 1).collect()]
     pruned = fact
     if 0 < len(keys) <= max_pruned_keys:
+        # plain (non-null-safe) isin is CORRECT here, unlike
+        # mv_apply_delta_minmax's eqNullSafe arms: a NULL dim key can never
+        # match any fact row in the final inner equi-join below either, so
+        # dropping it from the prune loses nothing — the two arms and the
+        # join agree that NULL-keyed dim rows contribute no fact delta.
+        # (minmax prunes by GROUP key, where NULL is a real group.)
         pruned = fact.filter(F.col(on).isin(keys))
     else:
         pruned = fact.join(

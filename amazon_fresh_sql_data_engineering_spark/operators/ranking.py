@@ -593,11 +593,31 @@ _PROBE_CACHE_MISSES = 0
 
 def clear_probe_cache() -> None:
     """Empty the boundary cache (see ``_PROBE_CACHE``) and zero its
-    hit/miss counters."""
+    hit/miss counters.
+
+    Call after a known IN-PLACE data rewrite (same path, same plan, new
+    rows): a stale hit is still CORRECT — the pid expression is monotone
+    for any boundary set — but the partition balance was picked for the
+    old data. This is the public invalidation hook (ADVICE r7); pair with
+    ``probe_cache_stats()`` to observe hit rates instead of reaching for
+    the module globals.
+    """
     global _PROBE_CACHE_HITS, _PROBE_CACHE_MISSES
     _PROBE_CACHE.clear()
     _PROBE_CACHE_HITS = 0
     _PROBE_CACHE_MISSES = 0
+
+
+def probe_cache_stats() -> dict[str, int]:
+    """Boundary-cache observability: ``{"entries", "hits", "misses"}``
+    for the current process (ADVICE r7 — the supported way to see whether
+    chained two-phase ops are re-probing; counters zero on
+    ``clear_probe_cache()``)."""
+    return {
+        "entries": len(_PROBE_CACHE),
+        "hits": _PROBE_CACHE_HITS,
+        "misses": _PROBE_CACHE_MISSES,
+    }
 
 
 def _plan_fingerprint(df: DataFrame):

@@ -333,3 +333,48 @@ def test_mv_dim_delta_requires_op_column(spark):
     bad = spark.createDataFrame([(10, "x")], "ck int, color string")
     with pytest.raises(ValueError, match="op column"):
         mv.mv_dim_delta(fact, bad, on="ck")
+
+
+def test_mv_dim_delta_rejects_shared_nonjoin_columns(spark):
+    """Shared non-join names (audit/ts columns are common) would make the
+    final inner join emit ambiguous duplicates that only fail in the
+    downstream groupBy — rejected up front with a nameable cause
+    (ADVICE r7)."""
+    from amazon_fresh_sql_data_engineering_spark.operators import mv
+
+    import pytest
+
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0, "t0")], "id int, ck int, rev double, updated_at string"
+    )
+    dim_delta = spark.createDataFrame(
+        [(10, "red", "t1", -1)], "ck int, color string, updated_at string, __op int"
+    )
+    with pytest.raises(ValueError, match="updated_at"):
+        mv.mv_dim_delta(fact, dim_delta, on="ck")
+
+
+def test_mv_minmax_pins_out_param_releases_cache(spark):
+    """mv_apply_delta_minmax persists the |MV|+|delta| join frame; the
+    pins out-param lets a maintenance loop release it per batch
+    (ADVICE r7 — same contract as the dedup incremental paths)."""
+    from amazon_fresh_sql_data_engineering_spark.operators import mv
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 9.0), (3, "b", 2.0)], "id int, g string, v double"
+    )
+    mv0 = mv.mv_build_minmax(base, ["g"], {"mn": "v"}, {"mx": "v"})
+    delta = spark.createDataFrame(
+        [(2, "a", 9.0, -1)], "id int, g string, v double, __op int"
+    )
+    base_after = base.filter(F.col("id") != 2)
+    pins = []
+    got = mv.mv_apply_delta_minmax(
+        mv0, delta, base_after, ["g"], {"mn": "v"}, {"mx": "v"}, pins=pins
+    )
+    rows = {r["g"]: (r["__mv_cnt"], r["mn"], r["mx"]) for r in got.collect()}
+    assert rows == {"a": (1, 5.0, 5.0), "b": (1, 2.0, 2.0)}
+    assert len(pins) == 1 and pins[0].storageLevel.useMemory
+    for p in pins:
+        p.unpersist()

@@ -123,10 +123,44 @@ def test_minhash_store_probe_prunes_and_matches_inmemory(spark, sf_dir, tmp_path
     assert "SortMergeJoin" not in probe_plan and "ShuffledHashJoin" not in probe_plan, (
         probe_plan[:1500]
     )
-    # the pins out-param surfaced the two batch-side caches (ADVICE r6)
-    assert len(pins) == 2
+    # the pins out-param surfaced the batch-side caches: features, bands,
+    # and (ADVICE r7) the counted candidate-pair frame behind the guarded
+    # broadcast hint
+    assert len(pins) == 3
     for p in pins:
         p.unpersist()
+
+    # hot-bucket guard (ADVICE r7): the candidate-PAIR frame's broadcast
+    # hint is count-guarded because pair count is store-occupancy-driven,
+    # not batch-bounded. Forcing the cap to 0 must drop ONLY that hint —
+    # the verify join shuffles — while results stay identical.
+    guarded = D.minhash_store_probe(
+        batch, path, "doc_id", "text", threshold=0.5, max_broadcast_candidates=0
+    )
+    got_guarded = {
+        (r.id_a, r.id_b): (round(r.jaccard_sim, 6), r.vs) for r in guarded.collect()
+    }
+    assert got_guarded == exp
+    # the hint (not optimizer smallness) must be what's gone: under
+    # autoBroadcastJoinThreshold=-1 a HINTED join still broadcasts, an
+    # unhinted one cannot — so the guarded probe must show a shuffle join
+    # where the default probe stays hint-broadcast throughout
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        gplan = X.physical_plan(
+            D.minhash_store_probe(
+                batch, path, "doc_id", "text", threshold=0.5,
+                max_broadcast_candidates=0,
+            )
+        )
+        assert "SortMergeJoin" in gplan or "ShuffledHashJoin" in gplan
+        hplan = X.physical_plan(
+            D.minhash_store_probe(batch, path, "doc_id", "text", threshold=0.5)
+        )
+        assert "SortMergeJoin" not in hplan and "ShuffledHashJoin" not in hplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
 
     # pruning evidence with a realistically small probe batch (a 500-doc
     # batch x 16 bands touches all 128 partitions of this toy store; real

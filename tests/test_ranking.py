@@ -723,3 +723,22 @@ def test_probe_cache_stale_boundaries_still_correct(spark):
     ).count() == 0
     R.clear_probe_cache()
     spark.catalog.clearCache()
+
+
+def test_probe_cache_stats_public_surface(spark):
+    """probe_cache_stats() is the supported observability hook (ADVICE r7)
+    — entries/hits/misses track the module counters and zero on
+    clear_probe_cache()."""
+    from amazon_fresh_sql_data_engineering_spark.operators import ranking as R
+
+    R.clear_probe_cache()
+    assert R.probe_cache_stats() == {"entries": 0, "hits": 0, "misses": 0}
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    R.global_rank(df, [F.col("v").asc(), F.col("id").asc()], "rk",
+                  descending=False, pin=None)
+    R.global_rank(df, [F.col("v").asc(), F.col("id").asc()], "rk",
+                  descending=False, pin=None)
+    s = R.probe_cache_stats()
+    assert s["misses"] == 1 and s["hits"] == 1 and s["entries"] == 1
+    R.clear_probe_cache()
+    assert R.probe_cache_stats() == {"entries": 0, "hits": 0, "misses": 0}
