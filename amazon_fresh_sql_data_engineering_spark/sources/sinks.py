@@ -104,12 +104,17 @@ def ctas_zordered(
     out.write.mode(mode).parquet(path)
 
 
-def atomic_swap_write(df: DataFrame, final_path: str) -> None:
+def atomic_swap_write(
+    df: DataFrame, final_path: str, partition_by: list[str] | None = None
+) -> None:
     """Rewrite-and-swap: materialize to a temp sibling, then atomically
     replace ``final_path``. This is how OP-UPDATE/DELETE rewrites persist
     without torn reads (SURVEY §2.3 OP-TXN non-goal note)."""
     tmp = f"{final_path}.__tmp__{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
     old = f"{final_path}.__old__{uuid.uuid4().hex[:8]}"
     if os.path.exists(final_path):
         os.rename(final_path, old)

@@ -20,24 +20,43 @@ algebra: an empty post-state means every group's folded count reached
 <= 0, so replaying that same delta against the empty state drops every
 group again (pytest-asserted).
 
-Scale notes: per micro-batch this rewrites the full view state — fine,
-the state is GROUP-grain (|groups| rows, not base rows). For a view too
-big to rewrite per batch, partition the sink by a stable hash of the
-grain keys and rewrite only partitions the batch touches (dynamic
-partition overwrite) — the delta side already collapses to one partial
-row per touched group, so touched partitions are few.
+OWNERSHIP (ADVICE r7): micro-batch ids are CHECKPOINT-scoped and restart
+at 0 under a fresh checkpoint, so pairing an existing stamped sink with
+a new checkpoint would make the replay guard silently swallow the first
+batches of a genuinely new delta source. The state therefore also
+carries an OWNER stamp — a hash of the checkpoint location — and a fold
+whose checkpoint does not match the sink's owner FAILS LOUDLY instead of
+guessing. To deliberately re-home a sink onto a new checkpoint (e.g.
+after losing the checkpoint directory), call ``adopt_mv_sink`` — it
+re-stamps owner and batch id explicitly, making the double-count /
+swallow decision the operator's, not the replay guard's. A sink that has
+the batch stamp but NO owner column is treated as an operator-seeded
+initial state and adopted on first fold (the documented seeding idiom);
+a sink with neither raises. The owner hash is of the checkpoint string
+as given (trailing slashes stripped): use one stable spelling of the
+checkpoint path across restarts.
 
-OPERATIONAL CONTRACT: the checkpoint directory and the sink move
-TOGETHER. Micro-batch ids are checkpoint-scoped and restart at 0 under
-a fresh checkpoint, so pairing an existing stamped sink with a new
-checkpoint makes the replay guard skip the first batches (correct when
-re-draining the same files — folding them again would double-count;
-WRONG for a genuinely new delta source, whose batches would be
-swallowed). To re-point a new stream at an existing sink, keep the
-checkpoint, or re-seed the sink stamp below the new stream's ids.
+Scale: ``run_mv_maintain_stream`` rewrites the full view state per
+micro-batch — fine while the state is GROUP-grain (|groups| rows, not
+base rows). For a view too big to rewrite per batch,
+``run_mv_maintain_stream_partitioned`` partitions the sink by a stable
+hash-bucket of the grain keys and rewrites ONLY the buckets the batch
+touches (dynamic partition overwrite): the delta collapses to one
+partial row per touched group, so touched buckets are few and untouched
+partitions are not even read, let alone rewritten (byte-identity across
+a fold is pytest-asserted). Tear-proofing moves to PER-PARTITION stamps:
+a torn multi-partition job commit leaves every touched partition either
+fully old (stamp < id — the replay re-folds it from its own old rows) or
+fully new (stamp = id — the replay skips it), so each partition is
+self-describing and replays converge. A fold that empties a bucket
+deletes that bucket's directory AFTER the write; a crash in between
+leaves the bucket old-stamped, so the replay re-folds it to empty and
+retries the delete.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,6 +66,40 @@ from ..sources.sinks import atomic_swap_write
 
 #: stamp column: last folded micro-batch id, riding inside the swapped dir
 _STAMP = "__mv_last_batch"
+#: owner column: hash of the checkpoint location whose batch-id sequence
+#: the stamps belong to (stamps are meaningless under any other checkpoint)
+_OWNER = "__mv_owner"
+#: partition column of the partitioned sink: stable hash-bucket of the keys
+_BUCKET = "__mv_bucket"
+
+_RESERVED = (_STAMP, _OWNER, _BUCKET)
+
+
+def _owner_id(checkpoint_dir: str) -> str:
+    return hashlib.md5(str(checkpoint_dir).rstrip("/").encode()).hexdigest()[:16]
+
+
+def _check_owner(published: DataFrame, owner: str, out_path: str) -> None:
+    """Fail loudly when the sink's stamps belong to a different checkpoint
+    (see OWNERSHIP in the module doc). Owner column absent = seeded state,
+    adopted by the caller's next write."""
+    if _OWNER not in published.columns:
+        return
+    row = published.select(_OWNER).first()
+    if row is not None and row[0] != owner:
+        raise ValueError(
+            f"mv stream: sink {out_path} is owned by checkpoint {row[0]!r}, "
+            f"not this stream's {owner!r} — its batch-id stamps are "
+            "meaningless under this checkpoint (fresh checkpoints restart "
+            "at 0, so folding would silently swallow or double-count "
+            "batches). If the re-home is intentional, call adopt_mv_sink()."
+        )
+
+
+def _check_columns(keys: list[str], sums: dict[str, str], op_col: str) -> None:
+    bad = set(_RESERVED) & (set(keys) | set(sums) | {op_col})
+    if bad:
+        raise ValueError(f"mv stream: {sorted(bad)} collide with view columns")
 
 
 def run_mv_maintain_stream(
@@ -60,8 +113,8 @@ def run_mv_maintain_stream(
     """Drain an availableNow signed-delta stream into a view-state sink."""
     from pyspark.errors import AnalysisException
 
-    if _STAMP in (set(keys) | set(sums) | {op_col}):
-        raise ValueError(f"mv stream: {_STAMP!r} collides with a view column")
+    _check_columns(keys, sums, op_col)
+    owner = _owner_id(checkpoint_dir)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -79,8 +132,9 @@ def run_mv_maintain_stream(
                     f"mv stream: sink {out_path} exists without {_STAMP!r} — "
                     "refusing to fold into what may be unstamped state"
                 )
+            _check_owner(published, owner, out_path)
             last = published.select(F.max(_STAMP)).first()[0]
-            cur = published.drop(_STAMP)
+            cur = published.drop(_STAMP, _OWNER)
         else:
             cur, last = None, None
         if last is not None and batch_id <= last:
@@ -91,7 +145,10 @@ def run_mv_maintain_stream(
             # widened aggregate types every later fold casts back to)
             cur = mv_build(batch_df.filter(F.lit(False)).drop(op_col), keys, sums)
         new = mv_apply_delta(cur, batch_df, keys, sums, op_col)
-        atomic_swap_write(new.withColumn(_STAMP, F.lit(batch_id)), out_path)
+        atomic_swap_write(
+            new.withColumn(_STAMP, F.lit(batch_id)).withColumn(_OWNER, F.lit(owner)),
+            out_path,
+        )
 
     q = (
         delta_stream.writeStream.foreachBatch(_write)
@@ -102,6 +159,158 @@ def run_mv_maintain_stream(
     q.awaitTermination()
 
 
+def _bucket_col(keys: list[str], num_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)).cast(
+        "int"
+    )
+
+
+def run_mv_maintain_stream_partitioned(
+    delta_stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    sums: dict[str, str],
+    op_col: str = "__op",
+    num_buckets: int = 64,
+) -> None:
+    """Drain an availableNow signed-delta stream into a BUCKET-PARTITIONED
+    view-state sink, rewriting only the buckets each micro-batch touches.
+
+    The scale path for views too big to republish wholesale (module doc):
+    the sink is ``PARTITIONED BY (__mv_bucket)`` where the bucket is a
+    stable hash of the grain keys, the per-batch read is pruned to the
+    touched buckets (one flat ``isin`` over the partition column — a
+    metadata-sized driver list, at most ``num_buckets`` long), and the
+    write uses dynamic partition overwrite so untouched partitions keep
+    their exact files. ``num_buckets`` is a layout constant of the sink:
+    changing it re-homes groups, so pick it once per view (like a table's
+    bucketing spec) — it bounds the touched-partition rewrite grain, not
+    parallelism.
+
+    Replay/tear safety is PER PARTITION (module doc): each bucket's rows
+    carry the last batch id folded into that bucket, so a replayed batch
+    skips already-new buckets and re-folds only the old ones; an emptied
+    bucket's directory is deleted after the write (a crash between leaves
+    it old-stamped and the replay re-empties it).
+    """
+    from pyspark.errors import AnalysisException
+
+    _check_columns(keys, sums, op_col)
+    owner = _owner_id(checkpoint_dir)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bd = batch_df.withColumn(_BUCKET, _bucket_col(keys, num_buckets))
+        touched = sorted(
+            r[0] for r in bd.select(_BUCKET).distinct().collect()
+        )  # metadata-sized: <= num_buckets
+        if not touched:
+            return
+        try:
+            published = spark.read.parquet(out_path)
+        except AnalysisException:
+            published = None
+        if published is not None:
+            if _STAMP not in published.columns or _BUCKET not in published.columns:
+                raise ValueError(
+                    f"mv stream: sink {out_path} is not a stamped "
+                    "bucket-partitioned view state — refusing to fold"
+                )
+            _check_owner(published, owner, out_path)
+            state_t = published.filter(F.col(_BUCKET).isin(touched))
+            stamps = {
+                r[_BUCKET]: r["s"]
+                for r in state_t.groupBy(_BUCKET)
+                .agg(F.max(_STAMP).alias("s"))
+                .collect()
+            }
+            fold = [b for b in touched if stamps.get(b) is None or stamps[b] < batch_id]
+            if not fold:
+                return  # full replay: every touched bucket already folded
+            cur = state_t.filter(F.col(_BUCKET).isin(fold)).drop(*_RESERVED)
+        else:
+            fold = touched
+            cur = mv_build(batch_df.filter(F.lit(False)).drop(op_col), keys, sums)
+        delta_f = bd.filter(F.col(_BUCKET).isin(fold)).drop(_BUCKET)
+        new = mv_apply_delta(cur, delta_f, keys, sums, op_col)
+        out = (
+            new.withColumn(_BUCKET, _bucket_col(keys, num_buckets))
+            .withColumn(_STAMP, F.lit(batch_id))
+            .withColumn(_OWNER, F.lit(owner))
+            .persist()  # feeds both the write and the emptied-bucket check
+        )
+        try:
+            present = {r[0] for r in out.select(_BUCKET).distinct().collect()}
+            (
+                # cluster on the partition column: one writer task per
+                # touched bucket directory instead of tasks x buckets tiny
+                # files (the write_minhash_store small-files lesson)
+                out.repartition(F.col(_BUCKET))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(_BUCKET)
+                .parquet(out_path)
+            )
+            # dynamic overwrite never touches a partition absent from the
+            # written frame, so a bucket whose fold ended EMPTY must be
+            # cleared explicitly (else its stale rows survive) — idempotent
+            # under crash-replay per the module doc
+            for b in sorted(set(fold) - present):
+                _delete_dir(spark, f"{out_path}/{_BUCKET}={b}")
+        finally:
+            out.unpersist()
+
+    q = (
+        delta_stream.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _delete_dir(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FS of ``path`` (works for any
+    configured filesystem, not just local)."""
+    jvm = spark._jvm  # noqa: SLF001 — no public FS API on SparkSession
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    fs.delete(jpath, True)
+
+
+def adopt_mv_sink(
+    spark: SparkSession,
+    out_path: str,
+    checkpoint_dir: str,
+    last_batch: int = -1,
+) -> None:
+    """Explicitly re-home an existing view-state sink onto a NEW
+    checkpoint: re-stamps every row with the new owner and ``last_batch``
+    (default -1 = the new stream's batch 0 folds next). The operator is
+    asserting that the sink state is correct AS OF before the new
+    stream's first batch — the guard in ``_check_owner`` exists precisely
+    so this assertion is never made implicitly. Works for both the flat
+    and the bucket-partitioned sink layouts.
+    """
+    published = spark.read.parquet(out_path)
+    if _STAMP not in published.columns:
+        raise ValueError(f"mv stream: {out_path} is not a stamped view state")
+    owner = _owner_id(checkpoint_dir)
+    restamped = (
+        published.drop(_STAMP, _OWNER)
+        .withColumn(_STAMP, F.lit(last_batch))
+        .withColumn(_OWNER, F.lit(owner))
+    )
+    if _BUCKET in published.columns:
+        # full rewrite of all partitions via a swap of the whole tree:
+        # adoption is a rare operator action, not the per-batch hot path
+        atomic_swap_write(restamped, out_path, partition_by=[_BUCKET])
+    else:
+        atomic_swap_write(restamped, out_path)
+
+
 def read_mv_state(spark: SparkSession, out_path: str) -> DataFrame:
-    """The current view state (stamp column stripped)."""
-    return spark.read.parquet(out_path).drop(_STAMP)
+    """The current view state (stamp/owner/bucket columns stripped)."""
+    df = spark.read.parquet(out_path)
+    return df.drop(*[c for c in _RESERVED if c in df.columns])

@@ -742,3 +742,179 @@ def test_streaming_mv_emptied_view_replay_is_idempotent(spark, tmp_path):
         delta, keys, sums,
     )
     assert replay.count() == 0
+
+
+def test_streaming_mv_owner_mismatch_raises_and_adopt_rehomes(spark, tmp_path):
+    """A fresh checkpoint pointed at an existing stamped sink must FAIL
+    LOUDLY (its batch ids restart at 0, so the replay guard would silently
+    swallow the new source's first batches — ADVICE r7); adopt_mv_sink is
+    the explicit re-home that makes folding legal again."""
+    import pytest
+
+    from amazon_fresh_sql_data_engineering_spark.streaming.mv import (
+        adopt_mv_sink,
+        read_mv_state,
+        run_mv_maintain_stream,
+    )
+
+    keys, sums = ["g"], {"rev": "rev"}
+    sch = "id int, g string, rev double, __op int"
+    src1 = str(tmp_path / "d1")
+    spark.createDataFrame([(1, "a", 10.0, 1)], sch).write.parquet(src1)
+    out = str(tmp_path / "mv_state")
+    stream = spark.readStream.schema(sch).parquet(src1)
+    run_mv_maintain_stream(stream, out, str(tmp_path / "ckptA"), keys, sums)
+    assert {r["g"] for r in read_mv_state(spark, out).collect()} == {"a"}
+
+    # a NEW source + NEW checkpoint against the same sink: refused
+    src2 = str(tmp_path / "d2")
+    spark.createDataFrame([(2, "b", 5.0, 1)], sch).write.parquet(src2)
+    with pytest.raises(Exception, match="owned by checkpoint"):
+        run_mv_maintain_stream(
+            spark.readStream.schema(sch).parquet(src2),
+            out,
+            str(tmp_path / "ckptB"),
+            keys,
+            sums,
+        )
+    # state untouched by the refused fold
+    assert {r["g"] for r in read_mv_state(spark, out).collect()} == {"a"}
+
+    # explicit adoption: re-stamp to the new checkpoint, then the fold runs
+    adopt_mv_sink(spark, out, str(tmp_path / "ckptB"))
+    run_mv_maintain_stream(
+        spark.readStream.schema(sch).parquet(src2),
+        out,
+        str(tmp_path / "ckptB"),
+        keys,
+        sums,
+    )
+    got = {r["g"]: (r["__mv_cnt"], float(r["rev"])) for r in read_mv_state(spark, out).collect()}
+    assert got == {"a": (1, 10.0), "b": (1, 5.0)}
+
+
+def _dir_snapshot(path):
+    """{relative file path: bytes} for every data file under ``path``."""
+    import os
+
+    snap = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, f)
+            with open(p, "rb") as fh:
+                snap[os.path.relpath(p, path)] = fh.read()
+    return snap
+
+
+def test_streaming_mv_partitioned_touched_buckets_only(spark, tmp_path):
+    """The dynamic-partition-overwrite sink (VERDICT r7 item 4): streamed
+    folding == batch rebuild, a fold touching one bucket leaves the other
+    bucket's files BYTE-IDENTICAL, and a fold that empties a bucket clears
+    its directory."""
+    import os
+
+    from amazon_fresh_sql_data_engineering_spark.operators import mv
+    from amazon_fresh_sql_data_engineering_spark.streaming.mv import (
+        read_mv_state,
+        run_mv_maintain_stream_partitioned,
+    )
+
+    keys, sums, nb = ["g"], {"rev": "rev"}, 8
+    # pick two group values living in DIFFERENT hash buckets
+    cand = ["a", "b", "c", "d", "e"]
+    bks = {
+        r["g"]: r["bk"]
+        for r in spark.createDataFrame([(g,) for g in cand], "g string")
+        .select("g", F.pmod(F.xxhash64("g"), F.lit(nb)).cast("int").alias("bk"))
+        .collect()
+    }
+    g1 = cand[0]
+    g2 = next(g for g in cand[1:] if bks[g] != bks[g1])
+    sch = "id int, g string, rev double, __op int"
+    src = str(tmp_path / "deltas")
+    out = str(tmp_path / "mv_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        run_mv_maintain_stream_partitioned(
+            spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(src),
+            out, ckpt, keys, sums, num_buckets=nb,
+        )
+
+    # batch 0: both groups -> creates both bucket partitions
+    spark.createDataFrame(
+        [(1, g1, 10.0, 1), (2, g1, 20.0, 1), (3, g2, 5.0, 1)], sch
+    ).write.parquet(src)
+    drain()
+    state0 = {r["g"]: (r["__mv_cnt"], float(r["rev"])) for r in read_mv_state(spark, out).collect()}
+    assert state0 == {g1: (2, 30.0), g2: (1, 5.0)}
+    g2_dir = os.path.join(out, f"__mv_bucket={bks[g2]}")
+    snap_before = _dir_snapshot(g2_dir)
+    assert snap_before, "expected data files in the untouched bucket"
+
+    # batch 1: touches ONLY g1's bucket
+    spark.createDataFrame([(4, g1, 7.0, 1)], sch).write.mode("append").parquet(src)
+    drain()
+    got = {r["g"]: (r["__mv_cnt"], float(r["rev"])) for r in read_mv_state(spark, out).collect()}
+    eff = spark.createDataFrame(
+        [(1, g1, 10.0), (2, g1, 20.0), (3, g2, 5.0), (4, g1, 7.0)],
+        "id int, g string, rev double",
+    )
+    exp = {r["g"]: (r["__mv_cnt"], float(r["rev"])) for r in mv.mv_build(eff, keys, sums).collect()}
+    assert got == exp
+    # untouched bucket: exact same files, byte for byte
+    assert _dir_snapshot(g2_dir) == snap_before
+
+    # batch 2: empties g2 entirely -> its partition directory is cleared
+    spark.createDataFrame([(3, g2, 5.0, -1)], sch).write.mode("append").parquet(src)
+    drain()
+    got2 = {r["g"]: (r["__mv_cnt"], float(r["rev"])) for r in read_mv_state(spark, out).collect()}
+    assert got2 == {g1: (3, 37.0)}
+    assert not os.path.exists(g2_dir) or not _dir_snapshot(g2_dir)
+
+    # re-draining the fully-drained stream is a no-op (per-bucket stamps)
+    drain()
+    got3 = {r["g"]: (r["__mv_cnt"], float(r["rev"])) for r in read_mv_state(spark, out).collect()}
+    assert got3 == got2
+
+
+def test_streaming_mv_partitioned_adopt_rehomes(spark, tmp_path):
+    """adopt_mv_sink also re-homes a BUCKET-PARTITIONED sink: the rewrite
+    keeps the partition layout, and a new checkpoint's batch 0 folds."""
+    import pytest
+
+    from amazon_fresh_sql_data_engineering_spark.streaming.mv import (
+        adopt_mv_sink,
+        read_mv_state,
+        run_mv_maintain_stream_partitioned,
+    )
+
+    keys, sums = ["g"], {"rev": "rev"}
+    sch = "id int, g string, rev double, __op int"
+    src1 = str(tmp_path / "d1")
+    spark.createDataFrame([(1, "a", 10.0, 1)], sch).write.parquet(src1)
+    out = str(tmp_path / "mv_state")
+    run_mv_maintain_stream_partitioned(
+        spark.readStream.schema(sch).parquet(src1),
+        out, str(tmp_path / "ckptA"), keys, sums, num_buckets=4,
+    )
+    src2 = str(tmp_path / "d2")
+    spark.createDataFrame([(2, "b", 5.0, 1)], sch).write.parquet(src2)
+    with pytest.raises(Exception, match="owned by checkpoint"):
+        run_mv_maintain_stream_partitioned(
+            spark.readStream.schema(sch).parquet(src2),
+            out, str(tmp_path / "ckptB"), keys, sums, num_buckets=4,
+        )
+    adopt_mv_sink(spark, out, str(tmp_path / "ckptB"))
+    # layout preserved: still a __mv_bucket=* partitioned tree
+    import os
+
+    assert any(d.startswith("__mv_bucket=") for d in os.listdir(out))
+    run_mv_maintain_stream_partitioned(
+        spark.readStream.schema(sch).parquet(src2),
+        out, str(tmp_path / "ckptB"), keys, sums, num_buckets=4,
+    )
+    got = {r["g"]: (r["__mv_cnt"], float(r["rev"])) for r in read_mv_state(spark, out).collect()}
+    assert got == {"a": (1, 10.0), "b": (1, 5.0)}
