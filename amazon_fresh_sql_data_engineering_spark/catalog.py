@@ -3,20 +3,15 @@ family into ``registry.CATALOG``.
 
 The external driver samples the FIRST ~50 catalog entries (registration
 order) for its per-round correctness gate, so ``_PRIORITY`` front-loads the
-queries that most need driver-side evidence this round. CORRECTNESS_r06 was
-50/50 green; cumulatively all 228 catalog queries have green driver rows
-(r01 ∪ … ∪ r06) and no query's latest row is red. Round 7 front-loads
-(a) the three NEW entries (dedup_store_probe — the on-disk minhash store,
-VERDICT r6 item 2; op_mv_minmax — MIN/MAX view maintenance under deletes,
-VERDICT r6 item 6; op_mv_join_agg — JOIN-view maintenance, session
-addition), then (b) the VERDICT r6 item-1 rotation: the oldest remaining
-evidence, by latest-driver-row round ascending — the 4 rows last sampled
-in r1 (op_distinct_projection, op_asof_join, op_range_join,
-op_percentiles), all 36 rows last sampled in r2 (CORRECTNESS_r02 order:
-the q_pipe_clean_* family, DML queries, the dedup/similarity/multimodal/
-text-extension cores), and the 7 oldest r3 rows (events_funnel yielded
-its slot to the third new entry). 3+4+36+7 = 50; after this round no
-driver row anywhere in the union is older than r3.
+queries that most need driver-side evidence this round. CORRECTNESS_r07 was
+50/50 green; cumulatively all 231 catalog queries have green driver rows
+(r01 ∪ … ∪ r07), no query's latest row is red, and no latest row is older
+than r3. Round 8 front-loads (a) the ONE new entry (op_mv_dim_update —
+dim-side JOIN-view maintenance, VERDICT r7 item 3), then (b) the VERDICT
+r7 item-1 rotation: all 38 rows whose latest driver evidence is r3
+(CORRECTNESS_r03 order — events_funnel and the r3 tail), topped up with
+the 11 oldest r4 rows (CORRECTNESS_r04 order). 1+38+11 = 50; after this
+round no driver row anywhere in the union is older than r4.
 
 STANDING RULE (VERDICT r4 item 7): when the catalog grows after
 convergence, new entries go to the FRONT of _PRIORITY in the same round
@@ -57,63 +52,60 @@ except ImportError:
     pass
 
 _PRIORITY = [
-    # --- round-7 block A: NEW entries (standing rule: new goes FRONT) ---
-    "dedup_store_probe",  # on-disk pruned minhash feature store probe
-    "op_mv_minmax",  # MIN/MAX MV maintenance via targeted recompute
-    "op_mv_join_agg",  # JOIN-view maintenance (fact delta x broadcast dim)
-    # --- round-7 block B: the 4 rows whose latest driver evidence is r1 ---
-    "op_distinct_projection",
-    "op_asof_join",
-    "op_range_join",
-    "op_percentiles",
-    # --- round-7 block C: all 36 rows whose latest driver evidence is r2
-    # (CORRECTNESS_r02 order) ---
-    "op_win_share_of_total",
-    "op_approx_count_distinct",
-    "op_approx_percentile",
-    "op_zscore_outliers",
-    "q_clean_scalars",
-    "q_pipe_clean_customers",
-    "q_pipe_clean_orders",
-    "q_pipe_clean_products",
-    "q_pipe_clean_order_details",
-    "q_pipe_clean_reviews",
-    "q_pipe_placeholder_parents",
-    "q_normalize_3nf",
-    "q_audit_report",
-    "q_update_set",
-    "q_update_from",
-    "q_delete",
-    "q_upsert",
-    "q_cascade_delete",
-    "q_insert_values",
-    "q_scd2_merge",
-    "pipe_training_corpus",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding",
-    "dedup_cluster_corpus",
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "text_stats",
-    "text_quality_langid",
-    "text_tfidf_top_terms",
-    "mm_decode",
-    "mm_frame_sample",
-    "mm_embed_ann",
-    # --- round-7 block D: the oldest r3 rows (CORRECTNESS_r03 order;
-    # events_funnel yields its slot to the third new entry — it stays
-    # green-r3 and rotates next round) ---
-    "q_pipe_clean_suppliers",
-    "mm_decode_quarantine",
-    "dedup_ngram_jaccard_maxdf",
-    "q_constraint_catalog",
-    "events_hourly",
-    "events_sessionize",
-    "events_dedup",
+    # --- round-8 block A: NEW entries (standing rule: new goes FRONT) ---
+    "op_mv_dim_update",  # dim-side JOIN-view maintenance (VERDICT r7 item 3)
+    # --- round-8 block B: all 38 rows whose latest driver evidence is r3
+    # (CORRECTNESS_r03 order) ---
+    "events_funnel",
+    "events_props_json",
+    "events_props_struct",
+    "events_time_rollup",
+    "events_enriched",
+    "text_fingerprint",
+    "text_chunk_sliding",
+    "text_pii_redact",
+    "text_ngram_counts",
+    "text_bpe_tokens",
+    "mm_resize",
+    "op_hash_split",
+    "op_stratified_sample",
+    "op_histogram",
+    "op_skew_two_phase_agg",
+    "op_grouping_sets",
+    "op_win_distinct_count",
+    "op_fuzzy_match",
+    "op_forward_fill",
+    "op_posexplode",
+    "op_join_full",
+    "op_unpivot",
+    "op_datetime_funcs",
+    "op_string_funcs",
+    "op_win_range_frame",
+    "op_mode_per_group",
+    "op_win_navigation",
+    "op_agg_corr",
+    "op_min_by_max_by",
+    "op_string_agg",
+    "op_try_funcs",
+    "op_cross_join_grid",
+    "op_topn_per_group",
+    "op_date_spine",
+    "op_percent_rank",
+    "op_market_basket",
+    "op_bitwise_aggs",
+    "q_sql_interface",
+    # --- round-8 block C: the 11 oldest r4 rows (CORRECTNESS_r04 order) ---
+    "op_vector_centroids",
+    "op_collect_agg",
+    "op_regexp_extract_all",
+    "op_bool_aggs",
+    "op_seasonal_decompose",
+    "op_skew_report",
+    "op_label_propagation",
+    "op_weighted_sample",
+    "q_csv_staging_roundtrip",
+    "q_ctas_roundtrip",
+    "q_profile_columns",
 ]
 
 

@@ -33,30 +33,23 @@ def _fence(df):
     return df.localCheckpoint(eager=False)
 
 
-#: per-process parquet cache for synthesized dirty staging (VERDICT r6
-#: item 4): the heaviest PIPE-CLEAN fixture is written to a temp parquet
-#: directory ONCE per process and re-read thereafter, so repeated
-#: executions (bench cold+warm tiers, driver runs) time the CLEANING
-#: pipeline — the thing the query is about — not the fixture synthesis
-#: scaffolding both engines pay. Values are all strings: the parquet
-#: round-trip is exact, so oracle parity is unchanged. Keyed on
-#: (entity, sf_dir); directories are removed at process exit.
-_STAGED_DIRS: dict[str, str] = {}
-
-
 def _staged_parquet(spark, key: str, build):
-    import atexit
-    import shutil
-    import tempfile
+    """Per-process parquet cache for synthesized dirty staging (VERDICT r6
+    item 4): the heaviest PIPE-CLEAN fixture is written to a temp parquet
+    directory ONCE per process and re-read thereafter, so repeated
+    executions (bench cold+warm tiers, driver runs) time the CLEANING
+    pipeline — the thing the query is about — not the fixture synthesis
+    scaffolding both engines pay. Values are all strings: the parquet
+    round-trip is exact, so oracle parity is unchanged. Cache + exit-time
+    cleanup live in sources/staging.py (one mechanism for all staged
+    fixtures — VERDICT r7 item 5)."""
+    from .sources.staging import process_cache_dir
 
-    path = _STAGED_DIRS.get(key)
-    if path is None:
-        tmp = tempfile.mkdtemp(prefix="sparkgraft_staged_")
-        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-        build().write.mode("overwrite").parquet(f"{tmp}/data")
-        path = f"{tmp}/data"
-        _STAGED_DIRS[key] = path
-    return spark.read.parquet(path)
+    path = process_cache_dir(
+        ("staged", key),
+        lambda d: build().write.mode("overwrite").parquet(f"{d}/data"),
+    )
+    return spark.read.parquet(f"{path}/data")
 
 
 def prestage_fixtures(spark, sf_dir: str) -> None:
@@ -649,7 +642,7 @@ _OD_STAGED_SQL = f"""
 
 def _od_staged(spark, sf_dir):
     """Synthesized dirty order_details staging, parquet-cached per process
-    (``_STAGED_DIRS``): the heaviest PIPE-CLEAN fixture, so repeated
+    (``_staged_parquet``): the heaviest PIPE-CLEAN fixture, so repeated
     executions time the cleaning, not the synthesis."""
 
     def build():
@@ -1467,6 +1460,78 @@ def op_mv_join_agg(spark, sf_dir):
     )
     delta_joined = delta.join(F.broadcast(c), delta["o_custkey"] == c["c_custkey"])
     mv1 = mv.mv_apply_delta(mv0, delta_joined, keys, sums)
+    return mv1.select(
+        "c_nationkey",
+        "order_month",
+        F.col("__mv_cnt").alias("order_cnt"),
+        fin(F.col("rev"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "op_mv_dim_update",
+    oracle="""
+        WITH c2 AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 100 = 3
+                        THEN CAST((c_nationkey + 7) % 25 AS INTEGER)
+                        ELSE c_nationkey END AS c_nationkey
+            FROM customer
+        )
+        SELECT c2.c_nationkey,
+               date_trunc('month', o.o_orderdate) AS order_month,
+               count(*) AS order_cnt,
+               round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS revenue
+        FROM orders o JOIN c2 ON o.o_custkey = c2.c_custkey
+        GROUP BY 1, 2
+    """,
+    doc="DIM-side JOIN-view maintenance (VERDICT r7 item 3): the same "
+    "revenue-by-(nation, month) view as op_mv_join_agg, but the CHANGE is "
+    "a dimension UPDATE — customers re-homed to a new nation (ref "
+    "semantics: the reference's dimension UPDATEs, e.g. A:366-372 "
+    "subcategory backfill, move facts between groups keyed on dim "
+    "attributes). The bilinear rule's second term A JOIN deltaB is built "
+    "by mv_dim_delta (operators/mv.py): each UPDATE becomes the CDC "
+    "delete+insert pair, the FACT scan is pruned to the changed dim keys "
+    "(never fully rescanned), and the signed fact-level delta folds "
+    "through the SAME mv_apply_delta as fact-side changes — no new "
+    "maintenance algebra for distributive views. BOTH pruning arms run "
+    "inside this one query: half the change set goes through the "
+    "literal-isin arm (static pruning on a key-partitioned fact), half is "
+    "forced past the cap onto the broadcast-semi arm. Oracle = full "
+    "recompute of the view over the post-update dimension.",
+)
+def op_mv_dim_update(spark, sf_dir):
+    from .operators import mv
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.trunc("o_orderdate", "month").alias("order_month"),
+        dec("o_totalprice").alias("price"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    keys = ["c_nationkey", "order_month"]
+    sums = {"rev": "price"}
+    mv0 = mv.mv_build(o.join(F.broadcast(c), "c_custkey"), keys, sums)
+
+    def dim_update(pred):
+        old = c.filter(pred)
+        new = old.withColumn(
+            "c_nationkey", ((F.col("c_nationkey") + 7) % 25).cast("int")
+        )
+        return old.withColumn("__op", F.lit(-1)).unionByName(
+            new.withColumn("__op", F.lit(1))
+        )
+
+    # literal-isin arm: a metadata-sized change set inlines as a flat
+    # key filter; semi-join arm: the same path past the cap (forced with
+    # max_pruned_keys=0) — together they cover %100==3
+    fd_lit = mv.mv_dim_delta(o, dim_update(F.col("c_custkey") % 200 == 3), on="c_custkey")
+    fd_semi = mv.mv_dim_delta(
+        o, dim_update(F.col("c_custkey") % 200 == 103), on="c_custkey",
+        max_pruned_keys=0,
+    )
+    mv1 = mv.mv_apply_delta(mv0, fd_lit.unionByName(fd_semi), keys, sums)
     return mv1.select(
         "c_nationkey",
         "order_month",

@@ -370,26 +370,19 @@ def dedup_store_probe(spark, sf_dir):
     ).withColumn("jaccard_sim", F.round("jaccard_sim", 6))
 
 
-#: per-process on-disk minhash store cache, keyed on sf_dir (see
-#: dedup_store_probe doc); directories removed at process exit
-_STORE_DIRS: dict[str, str] = {}
-
-
 def _corpus_store(spark, sf_dir):
-    import atexit
-    import shutil
-    import tempfile
+    """Per-process on-disk minhash store, keyed on sf_dir (see
+    dedup_store_probe doc). Cache + exit-time cleanup live in
+    sources/staging.py (one mechanism for all staged fixtures — VERDICT
+    r7 item 5)."""
+    from .sources.staging import process_cache_dir
 
-    path = _STORE_DIRS.get(sf_dir)
-    if path is None:
-        tmp = tempfile.mkdtemp(prefix="sparkgraft_mhstore_")
-        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    def _build(tmp: str) -> None:
         d = _t(spark, sf_dir, "documents")
         feats = D.minhash_features(d, "doc_id", "text", 64, 3, 42)
         D.write_minhash_store(feats, tmp, num_prefixes=8)
-        _STORE_DIRS[sf_dir] = tmp
-        path = tmp
-    return path
+
+    return process_cache_dir(("mhstore", sf_dir), _build)
 
 
 def prestage_fixtures(spark, sf_dir: str) -> None:
