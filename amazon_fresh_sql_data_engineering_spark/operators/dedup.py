@@ -1062,6 +1062,78 @@ def write_minhash_store(
     ).write.mode("overwrite").parquet(f"{path}/manifest")
 
 
+def bootstrap_minhash_store(
+    spark,
+    path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    num_prefixes: int = 64,
+    k: int = 3,
+    seed: int = 42,
+) -> None:
+    """Create an EMPTY append-layout store: manifest only (index/features
+    appear with the first ``append_minhash_store``). The append layout
+    carries an extra ``__ingest`` partition column on both frames — a
+    monotone batch key — which ``write_minhash_store``'s batch layout does
+    not; the two layouts must not be mixed in one store."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bootstrap_minhash_store: bands={bands} must divide num_hashes={num_hashes}"
+        )
+    spark.createDataFrame(
+        [(num_hashes, bands, num_prefixes, k, seed)],
+        "num_hashes int, bands int, num_prefixes int, k int, seed int",
+    ).write.mode("overwrite").parquet(f"{path}/manifest")
+
+
+def append_minhash_store(features: DataFrame, path: str, ingest_id: int) -> None:
+    """Accrete one batch's ``minhash_features`` into an append-layout store
+    (``bootstrap_minhash_store``), REPLAY-IDEMPOTENTLY: both writes are
+    dynamic partition overwrites of the batch's own ``__ingest`` leaf
+    partitions, so re-running the same (features, ingest_id) replaces the
+    previous attempt's rows instead of duplicating them — the property the
+    streaming ingest loop's at-least-once replay leans on. ``ingest_id``
+    must be monotone across batches (the streaming wrapper derives it from
+    epoch x 1e9 + micro-batch id); probes exclude the in-flight batch with
+    ``max_ingest_exclusive=ingest_id``.
+
+    Layout: ``features`` partitioned by ``__ingest``; ``index`` partitioned
+    by ``(band, __pfx, __ingest)`` — band/pfx stay the LEADING directory
+    levels, so the probe's static (band, pfx) pruning is unchanged and the
+    ingest filter prunes the trailing level.
+    """
+    spark = features.sparkSession
+    m = spark.read.parquet(f"{path}/manifest").collect()[0]
+    num_hashes, bands, num_prefixes = m["num_hashes"], m["bands"], m["num_prefixes"]
+    head = features.select(F.size("__sig").alias("n")).first()
+    if head is None:
+        return  # empty batch: nothing to accrete, probe prunes to nothing
+    if head["n"] != num_hashes:
+        raise ValueError(
+            f"append_minhash_store: features carry {head['n']}-hash signatures "
+            f"but the store manifest says {num_hashes}"
+        )
+    stamped = features.withColumn("__ingest", F.lit(ingest_id).cast("long"))
+    (
+        stamped.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__ingest")
+        .parquet(f"{path}/features")
+    )
+    idx = _bands_from_sig(features.select("__id", "__sig"), num_hashes, bands)
+    idx = idx.withColumn(
+        "__pfx", F.pmod(F.xxhash64("bucket"), F.lit(num_prefixes))
+    ).withColumn("__ingest", F.lit(ingest_id).cast("long"))
+    # same one-writer-per-directory clustering as the batch layout
+    idx = idx.repartition("band", "__pfx")
+    (
+        idx.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("band", "__pfx", "__ingest")
+        .parquet(f"{path}/index")
+    )
+
+
 def minhash_store_probe(
     batch_docs: DataFrame,
     path: str,
@@ -1072,6 +1144,8 @@ def minhash_store_probe(
     broadcast_batch: bool = True,
     pins: list | None = None,
     max_broadcast_candidates: int = 2_000_000,
+    batch_features: DataFrame | None = None,
+    max_ingest_exclusive: int | None = None,
 ) -> DataFrame:
     """``minhash_incremental_pairs`` against a ``write_minhash_store``
     directory, with STATIC partition pruning: the batch's distinct
@@ -1108,13 +1182,34 @@ def minhash_store_probe(
     appended) and ``unpersist()`` each after consuming the result
     (ADVICE r6). The pins are evictable, so a leak degrades to recompute,
     never to wrong results.
+
+    ``batch_features`` lets a caller that ALREADY computed the batch's
+    ``minhash_features`` (the streaming accrete-then-probe loop pays the
+    Arrow shingling pass once for both) hand them in; the frame is
+    sanity-checked against the manifest's num_hashes — the manifest exists
+    to prevent silent misses, so a bypass must not reopen that hole.
+    ``max_ingest_exclusive`` restricts the store side to ingest keys
+    strictly below the given value — only meaningful for APPEND-layout
+    stores (``append_minhash_store``), where it makes probe-after-append
+    replay-idempotent: the probe sees exactly the history older than the
+    batch being folded, even if that batch's own rows already landed.
     """
     spark = batch_docs.sparkSession
     m = spark.read.parquet(f"{path}/manifest").collect()[0]
     num_hashes, bands, num_prefixes, k, seed = (
         m["num_hashes"], m["bands"], m["num_prefixes"], m["k"], m["seed"]
     )
-    new_feats = minhash_features(batch_docs, id_col, text_col, num_hashes, k, seed).persist()
+    if batch_features is not None:
+        head = batch_features.select(F.size("__sig").alias("n")).first()
+        if head is not None and head["n"] != num_hashes:
+            raise ValueError(
+                f"minhash_store_probe: batch_features carry {head['n']}-hash "
+                f"signatures but the store manifest says {num_hashes} — "
+                "a mismatched probe would silently miss pairs"
+            )
+        new_feats = batch_features.persist()
+    else:
+        new_feats = minhash_features(batch_docs, id_col, text_col, num_hashes, k, seed).persist()
     new_bands = _bands_from_sig(
         new_feats.select("__id", "__sig"), num_hashes, bands
     ).withColumn("__pfx", F.pmod(F.xxhash64("bucket"), F.lit(num_prefixes))).persist()
@@ -1143,6 +1238,13 @@ def minhash_store_probe(
         enc = F.col("band") * F.lit(num_prefixes) + F.col("__pfx")
         idx = idx.filter(enc.isin([b * num_prefixes + p for b, p in touched]))
     store_features = spark.read.parquet(f"{path}/features")
+    if max_ingest_exclusive is not None:
+        # __ingest is a partition column in append-layout stores, so both
+        # filters prune directories, composing with the (band, pfx) prune
+        idx = idx.filter(F.col("__ingest") < F.lit(max_ingest_exclusive))
+        store_features = store_features.filter(
+            F.col("__ingest") < F.lit(max_ingest_exclusive)
+        )
     return _incremental_verify(
         store_features, new_feats, new_bands, idx, threshold,
         broadcast_new=broadcast_batch, pins=pins,

@@ -1,0 +1,162 @@
+"""Continuous corpus near-dedup ingest: the production loop the on-disk
+minhash store exists for (operators/dedup.py `write_minhash_store` /
+`minhash_store_probe`), run as a stream — each arriving micro-batch of
+documents is (a) ACCRETED into the persistent feature store and (b) PROBED
+against all PRIOR history, emitting its near-duplicate pairs. Draining a
+corpus through this loop yields exactly `minhash_dedup_pairs(full corpus)`
+(asserted in tests/test_streaming.py) while only ever paying batch-sized
+work per batch: one Arrow shingling pass over the NEW docs (shared by
+accrete and probe), a (band, pfx)-pruned index probe, and pair-sized joins.
+
+Replay safety WITHOUT a ledger: every side effect is a dynamic partition
+overwrite keyed on the batch —
+
+- store accretion writes the batch's own ``__ingest`` leaf partitions
+  (`append_minhash_store`), so a replayed batch REPLACES its previous
+  attempt instead of duplicating it;
+- the probe runs with ``max_ingest_exclusive = this batch's ingest key``,
+  so it sees exactly the history STRICTLY OLDER than the batch even when
+  the batch's own rows already landed in a torn earlier attempt (no
+  self-pairs, no double-counted within pairs);
+- emitted pairs land in a ``__ingest=<key>`` partition of the pairs sink,
+  again dynamic-overwritten on replay.
+
+Any crash point therefore replays to the identical final state: the three
+effects are each idempotent and the probe's read is insensitive to whether
+the accretion already happened.
+
+OWNERSHIP (the streaming/mv.py lesson, ADVICE r7): micro-batch ids are
+checkpoint-scoped, so a fresh checkpoint restarting at 0 would dynamic-
+overwrite ``__ingest=0`` — destroying a prior stream's first batch. The
+store carries a ``stream`` record (owner hash of the checkpoint location +
+an epoch counter); a mismatched owner FAILS LOUDLY, and the explicit
+re-home `adopt_minhash_store_stream` bumps the epoch instead of reusing
+ids: ingest keys are ``epoch * 1e9 + batch_id``, so a new epoch's batches
+sort strictly after all prior history and prior epochs remain probe-visible
+store content. (1e9 bounds batches-per-epoch, not corpus size.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    append_minhash_store,
+    minhash_features,
+    minhash_store_probe,
+)
+
+_EPOCH_SPAN = 1_000_000_000
+
+
+def _owner_id(checkpoint_dir: str) -> str:
+    return hashlib.md5(str(checkpoint_dir).rstrip("/").encode()).hexdigest()[:16]
+
+
+def _read_stream_meta(spark: SparkSession, store_path: str):
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.parquet(f"{store_path}/stream").collect()[0]
+        return row["owner"], row["epoch"]
+    except AnalysisException:
+        return None, None
+
+
+def _write_stream_meta(spark: SparkSession, store_path: str, owner: str, epoch: int) -> None:
+    spark.createDataFrame(
+        [(owner, epoch)], "owner string, epoch long"
+    ).write.mode("overwrite").parquet(f"{store_path}/stream")
+
+
+def adopt_minhash_store_stream(
+    spark: SparkSession, store_path: str, checkpoint_dir: str
+) -> int:
+    """Explicitly re-home an append-layout store onto a NEW checkpoint:
+    bumps the epoch so the new stream's ingest keys cannot collide with —
+    or overwrite — any prior epoch's partitions, and stamps the new owner.
+    Prior epochs stay in the store as probe-visible history. Returns the
+    new epoch."""
+    owner, epoch = _read_stream_meta(spark, store_path)
+    if owner is None:
+        raise ValueError(
+            f"dedup stream: {store_path} has no stream record — nothing to adopt "
+            "(a first run stamps itself)"
+        )
+    new_epoch = epoch + 1
+    _write_stream_meta(spark, store_path, _owner_id(checkpoint_dir), new_epoch)
+    return new_epoch
+
+
+def run_store_dedup_stream(
+    doc_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    pairs_path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+) -> None:
+    """Drain an availableNow document stream through the accrete-then-probe
+    loop. The store must exist (``bootstrap_minhash_store`` or a prior
+    drain); emitted pair rows are ``(id_a, id_b, jaccard_sim, vs)`` plus
+    the ``__ingest`` batch key, partitioned by it in ``pairs_path``."""
+    owner = _owner_id(checkpoint_dir)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur_owner, epoch = _read_stream_meta(spark, store_path)
+        if cur_owner is None:
+            epoch = 0
+            _write_stream_meta(spark, store_path, owner, epoch)
+        elif cur_owner != owner:
+            raise ValueError(
+                f"dedup stream: store {store_path} is owned by checkpoint "
+                f"{cur_owner!r}, not this stream's {owner!r} — its ingest keys "
+                "would collide (fresh checkpoints restart batch ids at 0, "
+                "silently overwriting prior history). If the re-home is "
+                "intentional, call adopt_minhash_store_stream()."
+            )
+        ingest = epoch * _EPOCH_SPAN + batch_id
+        m = spark.read.parquet(f"{store_path}/manifest").collect()[0]
+        feats = minhash_features(
+            batch_df, id_col, text_col, m["num_hashes"], m["k"], m["seed"]
+        ).persist()
+        try:
+            # accrete FIRST (idempotent overwrite of this batch's leaf
+            # partitions), then probe history strictly older than us —
+            # insensitive to whether a torn earlier attempt already landed
+            append_minhash_store(feats, store_path, ingest)
+            pins: list = []
+            pairs = minhash_store_probe(
+                batch_df, store_path, id_col, text_col, threshold=threshold,
+                batch_features=feats, max_ingest_exclusive=ingest, pins=pins,
+            )
+            (
+                pairs.withColumn("__ingest", F.lit(ingest).cast("long"))
+                .repartition("__ingest")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__ingest")
+                .parquet(pairs_path)
+            )
+            for p in pins:
+                p.unpersist()
+        finally:
+            feats.unpersist()
+
+    q = (
+        doc_stream.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_dedup_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
+    """All pairs emitted so far (the ``__ingest`` batch key stripped)."""
+    return spark.read.parquet(pairs_path).drop("__ingest")

@@ -989,3 +989,49 @@ def test_pq_rerank_recall_beats_pure_adc(spark, sf_dir):
     rr = overlaps("sim_ann_pq_rerank")
     assert rr >= adc
     assert rr >= 3.0
+
+
+def test_append_store_probe_prunes_ingest_and_stays_exchange_free(spark, docs, tmp_path):
+    """Append-layout store (bootstrap + per-batch accretion): the probe's
+    ``max_ingest_exclusive`` filter must land in PartitionFilters alongside
+    the (band, pfx) prune — directory pruning, not a post-scan filter —
+    and the store side stays exchange-free with precomputed batch
+    features. Manifest mismatches on the batch_features bypass raise."""
+    import pytest
+
+    from amazon_fresh_sql_data_engineering_spark.plans import explain as X
+
+    path = str(tmp_path / "append_store")
+    D.bootstrap_minhash_store(spark, path, num_prefixes=8)
+    f0 = D.minhash_features(docs.filter(F.col("doc_id") <= 3), "doc_id", "text", 64, 3, 42)
+    D.append_minhash_store(f0, path, 0)
+    batch = docs.filter(F.col("doc_id") > 3).unionByName(
+        docs.filter(F.col("doc_id") == 1).withColumn("doc_id", F.col("doc_id") + 100)
+    )
+    f1 = D.minhash_features(batch, "doc_id", "text", 64, 3, 42)
+    D.append_minhash_store(f1, path, 1)
+    probe = D.minhash_store_probe(
+        batch, path, "doc_id", "text", threshold=0.5,
+        batch_features=f1, max_ingest_exclusive=1,
+    )
+    got = {(r.id_a, r.id_b) for r in probe.collect()}
+    # 101 is a copy of 1; the ingest<1 store holds 1 plus its exact/near
+    # dups 2 and 3, so all three pair with 101; 4/5 match nothing
+    assert got == {(1, 101), (2, 101), (3, 101)}
+    plan = X.physical_plan(probe)
+    pf = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "PartitionFilters: []" not in ln
+    ]
+    assert pf and any("__ingest" in ln for ln in pf), plan[:1500]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    # the batch_features bypass must not reopen the manifest hole
+    f_bad = D.minhash_features(batch, "doc_id", "text", 32, 3, 42)
+    with pytest.raises(ValueError, match="32-hash"):
+        D.minhash_store_probe(
+            batch, path, "doc_id", "text", batch_features=f_bad,
+            max_ingest_exclusive=1,
+        )
+    with pytest.raises(ValueError, match="32-hash"):
+        D.append_minhash_store(f_bad, path, 2)

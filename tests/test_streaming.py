@@ -918,3 +918,109 @@ def test_streaming_mv_partitioned_adopt_rehomes(spark, tmp_path):
     )
     got = {r["g"]: (r["__mv_cnt"], float(r["rev"])) for r in read_mv_state(spark, out).collect()}
     assert got == {"a": (1, 10.0), "b": (1, 5.0)}
+
+
+def test_store_dedup_stream_accretes_and_matches_full_corpus(spark, sf_dir, tmp_path):
+    """Continuous dedup ingest (streaming/dedup.py): draining the corpus
+    batch-by-batch through accrete-then-probe emits exactly the pairs of
+    the one-shot full-corpus run; a torn-batch replay (re-running the same
+    batch's accrete+probe+publish) changes nothing; and a fresh checkpoint
+    is refused until the explicit epoch-bumping adopt."""
+    import pytest
+
+    from amazon_fresh_sql_data_engineering_spark.operators import dedup as D
+    from amazon_fresh_sql_data_engineering_spark.streaming import dedup as SD
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 120)
+    )
+    # plant cross-batch near-dups: copies of early docs arriving later
+    wave1 = docs.filter(F.col("doc_id") < 60)
+    wave2 = docs.filter(F.col("doc_id") >= 60).unionByName(
+        wave1.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
+    src = str(tmp_path / "arrivals")
+    store = str(tmp_path / "mh_store")
+    pairs_out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    wave1.coalesce(1).write.parquet(src)
+    wave2.coalesce(1).write.mode("append").parquet(src)
+
+    D.bootstrap_minhash_store(spark, store, num_prefixes=8)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    SD.run_store_dedup_stream(stream, store, ckpt, pairs_out, "doc_id", "text", 0.6)
+
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard_sim, 6)
+        for r in SD.read_dedup_pairs(spark, pairs_out).collect()
+    }
+    full = wave1.unionByName(wave2)
+    exp = {
+        (r.id_a, r.id_b): round(r.jaccard_sim, 6)
+        for r in D.minhash_dedup_pairs(full, "doc_id", "text", threshold=0.6).collect()
+    }
+    assert got == exp and got  # planted copies guarantee non-trivial
+
+    # torn-batch replay: re-run the LAST batch's three effects by hand
+    # (accrete + probe + publish under the same ingest key) — dynamic
+    # partition overwrite + max_ingest_exclusive make it a no-op
+    _owner, epoch = SD._read_stream_meta(spark, store)
+    last_key = epoch * SD._EPOCH_SPAN + 1  # second micro-batch
+    feats = D.minhash_features(
+        wave2, "doc_id", "text", 64, 3, 42
+    )
+    D.append_minhash_store(feats, store, last_key)
+    replay = D.minhash_store_probe(
+        wave2, store, "doc_id", "text", threshold=0.6,
+        batch_features=feats, max_ingest_exclusive=last_key,
+    )
+    (
+        replay.withColumn("__ingest", F.lit(last_key).cast("long"))
+        .repartition("__ingest")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__ingest")
+        .parquet(pairs_out)
+    )
+    got2 = {
+        (r.id_a, r.id_b): round(r.jaccard_sim, 6)
+        for r in SD.read_dedup_pairs(spark, pairs_out).collect()
+    }
+    assert got2 == exp
+
+    # fresh checkpoint against the same store: refused, then adoptable
+    more = docs.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000
+    )
+    src2 = str(tmp_path / "arrivals2")
+    more.coalesce(1).write.parquet(src2)
+    with pytest.raises(Exception, match="owned by checkpoint"):
+        SD.run_store_dedup_stream(
+            spark.readStream.schema("doc_id long, text string").parquet(src2),
+            store, str(tmp_path / "ckptB"), pairs_out, "doc_id", "text", 0.6,
+        )
+    new_epoch = SD.adopt_minhash_store_stream(spark, store, str(tmp_path / "ckptB"))
+    assert new_epoch == epoch + 1
+    SD.run_store_dedup_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(src2),
+        store, str(tmp_path / "ckptB"), pairs_out, "doc_id", "text", 0.6,
+    )
+    got3 = {
+        (r.id_a, r.id_b): round(r.jaccard_sim, 6)
+        for r in SD.read_dedup_pairs(spark, pairs_out).collect()
+    }
+    # prior epochs stayed probe-visible: the +2M copies pair with history
+    full3 = full.unionByName(more)
+    exp3 = {
+        (r.id_a, r.id_b): round(r.jaccard_sim, 6)
+        for r in D.minhash_dedup_pairs(full3, "doc_id", "text", threshold=0.6).collect()
+    }
+    assert got3 == exp3 and len(got3) > len(exp)
