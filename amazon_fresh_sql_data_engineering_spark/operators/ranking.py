@@ -633,7 +633,11 @@ def _plan_fingerprint(df: DataFrame):
 
 
 def _prepare(
-    df: DataFrame, keys: list[_Key], num_partitions: int | None, pin: str | None
+    df: DataFrame,
+    keys: list[_Key],
+    num_partitions: int | None,
+    pin: str | None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Pin the input per ``pin`` and stamp the deterministic pid column.
 
@@ -655,7 +659,18 @@ def _prepare(
     analyzed plan's semantic hash + the key signature, so re-building the
     same operator over the same input (or composing several ranking ops
     on one frame with the same ordering) pays the probe job once per
-    session. NOTE the pin interaction: on a cache hit (and on the probe
+    session. The semantic hash CANNOT bridge ``localCheckpoint`` fences
+    (every checkpoint is a fresh plan identity), so a pipeline that
+    fences between chained two-phase ops re-probes per execution — at
+    sf0.1 one overflow-path probe measured ~2.6 s (VERDICT r7 item 8).
+    ``cache_key`` is the opt-in bridge: a caller-supplied CONTENT name
+    (e.g. pipeline stage + input path) replaces the plan hash in the key
+    (the key signature, partition params, and app id still apply). This
+    is correctness-safe BY THE SAME ARGUMENT AS ANY STALE HIT — a pid
+    expression is monotone for any boundary literal set, so even a
+    colliding or outdated user key can only cost partition balance —
+    but balance ownership moves to the caller: key on something that
+    changes when the data distribution does. NOTE the pin interaction: on a cache hit (and on the probe
     path for inputs under ``_PROBE_CAP``) no full-scan job runs at build
     time, so ``pin='persist'`` registers the cache lazily — it fills on
     the first consumer action rather than eagerly at build. For
@@ -673,13 +688,13 @@ def _prepare(
     ckeys = _comparison_keys(df, keys)
     target = _target_pids(df, None)
 
-    fp = _plan_fingerprint(df)
-    cache_key = None
+    fp = ("user", cache_key) if cache_key is not None else _plan_fingerprint(df)
+    memo_key = None
     if fp is not None:
         ksig = tuple((str(k.col), k.desc, k.nulls_first) for k in ckeys)
         app_id = df.sparkSession.sparkContext.applicationId
-        cache_key = (app_id, fp, ksig, num_partitions, target)
-        cached = _PROBE_CACHE.get(cache_key)
+        memo_key = (app_id, fp, ksig, num_partitions, target)
+        cached = _PROBE_CACHE.get(memo_key)
         if cached is not None:
             _PROBE_CACHE_HITS += 1
             bnds, num_pids = cached
@@ -710,19 +725,23 @@ def _prepare(
         n = df.count()
         num_pids = num_partitions or adaptive(n)
         bnds = _boundaries(df, ckeys, num_pids, n)
-    if cache_key is not None:
+    if memo_key is not None:
         if len(_PROBE_CACHE) >= _PROBE_CACHE_CAP:
             _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
-        _PROBE_CACHE[cache_key] = (bnds, num_pids)
+        _PROBE_CACHE[memo_key] = (bnds, num_pids)
     return df.withColumn(_PID, _pid_expr(ckeys, bnds))
 
 
 def _two_phase(
-    df: DataFrame, keys: list[_Key], num_partitions: int | None, pin: str | None
+    df: DataFrame,
+    keys: list[_Key],
+    num_partitions: int | None,
+    pin: str | None,
+    cache_key: str | None = None,
 ):
     """Stamp pid and return (pid_df, counts, offsets)."""
     _guard(df, (_PID, _CNT, _OFF, _LOCAL, _TOT))
-    pid_df = _prepare(df, keys, num_partitions, pin)
+    pid_df = _prepare(df, keys, num_partitions, pin, cache_key=cache_key)
     counts = pid_df.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
     earlier = counts.select(
         F.col(_PID).alias("__gr_pid_b"), F.col(_CNT).alias("__gr_cnt_b")
@@ -753,6 +772,7 @@ def global_rank(
     descending: bool = True,
     num_partitions: int | None = None,
     pin: str | None = "persist",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Append ``rank_name`` = RANK() OVER (ORDER BY order_cols [DESC]).
 
@@ -761,7 +781,7 @@ def global_rank(
     """
     keys = _parse_spec(order_cols, descending)
     spec = [k.sort_col() for k in keys]
-    pid_df, _, offsets = _two_phase(df, keys, num_partitions, pin)
+    pid_df, _, offsets = _two_phase(df, keys, num_partitions, pin, cache_key)
     return _offset_window(df, pid_df, offsets, spec, F.rank, rank_name)
 
 
@@ -773,6 +793,7 @@ def global_row_number(
     descending: bool = False,
     num_partitions: int | None = None,
     pin: str | None = "persist",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Append ``name`` = ROW_NUMBER() OVER (ORDER BY order_cols).
 
@@ -781,7 +802,7 @@ def global_row_number(
     """
     keys = _parse_spec(order_cols, descending)
     spec = [k.sort_col() for k in keys]
-    pid_df, _, offsets = _two_phase(df, keys, num_partitions, pin)
+    pid_df, _, offsets = _two_phase(df, keys, num_partitions, pin, cache_key)
     return _offset_window(df, pid_df, offsets, spec, F.row_number, name)
 
 
@@ -793,6 +814,7 @@ def global_lead(
     descending: bool = False,
     num_partitions: int | None = None,
     pin: str | None = "persist",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Append LEAD(col, 1) OVER (ORDER BY order_cols) for each ``leads``
     entry (source column -> output name) with no single-partition stage.
@@ -812,7 +834,7 @@ def global_lead(
     keys = _parse_spec(order_cols, descending)
     spec = [k.sort_col() for k in keys]
     _guard(df, (_PID, _LOCAL, "__gl_rn", "__gl_head", "__gl_patch", "__gl_hpid"))
-    pid_df = _prepare(df, keys, num_partitions, pin)
+    pid_df = _prepare(df, keys, num_partitions, pin, cache_key=cache_key)
     w = Window.partitionBy(_PID).orderBy(*spec)
     payload = F.struct(*[F.col(src) for src in leads])
     stamped = pid_df.withColumn(_LOCAL, F.lead(payload).over(w)).withColumn(
@@ -848,6 +870,7 @@ def global_cumsum(
     rows_frame: bool = True,
     num_partitions: int | None = None,
     pin: str | None = "persist",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Append SUM(value_col) OVER (ORDER BY order_cols <frame>) — the
     global running total — with no single-partition stage.
@@ -875,7 +898,7 @@ def global_cumsum(
     _guard(df, scratch)
     keys = _parse_spec(order_cols, descending)
     spec = [k.sort_col() for k in keys]
-    pid_df, _, _ = _two_phase(df, keys, num_partitions, pin)
+    pid_df, _, _ = _two_phase(df, keys, num_partitions, pin, cache_key)
     sums = pid_df.groupBy(_PID).agg(
         *[F.sum(v).alias(f"__gr_s_{i}") for i, v in enumerate(vals)]
     )
@@ -914,6 +937,7 @@ def global_ntile(
     descending: bool = False,
     num_partitions: int | None = None,
     pin: str | None = "persist",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Append ``name`` = NTILE(n) OVER (ORDER BY order_cols) as INT.
 
@@ -927,7 +951,7 @@ def global_ntile(
     """
     keys = _parse_spec(order_cols, descending)
     spec = [k.sort_col() for k in keys]
-    pid_df, counts, offsets = _two_phase(df, keys, num_partitions, pin)
+    pid_df, counts, offsets = _two_phase(df, keys, num_partitions, pin, cache_key)
     g, t = _LOCAL + "_rn", _TOT
     w = Window.partitionBy(_PID).orderBy(*spec)
     rn = (

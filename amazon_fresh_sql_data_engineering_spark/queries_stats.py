@@ -366,14 +366,23 @@ def op_rfm_segmentation(spark, sf_dir):
         # once per plan branch (9+ times by the third ntile)
         .localCheckpoint(eager=True)
     )
+    # cache_key: the checkpoint fences give every execution fresh plan ids,
+    # so the semantic-hash probe memo can never hit here — an explicit
+    # content key (query + input + axis) bridges it (VERDICT r7 item 8:
+    # measured ~2.6 s per overflow-path probe at sf0.1, 3 probes per run;
+    # correctness is key-independent — monotone pid — and the key changes
+    # with sf_dir, so balance staleness only spans re-runs on one input)
     scored = global_ntile(
-        base, 4, [F.col("recency_days").asc(), F.col("o_custkey").asc()], "r_score"
+        base, 4, [F.col("recency_days").asc(), F.col("o_custkey").asc()], "r_score",
+        cache_key=f"rfm:{sf_dir}:r",
     ).localCheckpoint(eager=True)
     scored = global_ntile(
-        scored, 4, [F.col("frequency").desc(), F.col("o_custkey").asc()], "f_score"
+        scored, 4, [F.col("frequency").desc(), F.col("o_custkey").asc()], "f_score",
+        cache_key=f"rfm:{sf_dir}:f",
     ).localCheckpoint(eager=True)
     scored = global_ntile(
-        scored, 4, [F.col("monetary").desc(), F.col("o_custkey").asc()], "m_score"
+        scored, 4, [F.col("monetary").desc(), F.col("o_custkey").asc()], "m_score",
+        cache_key=f"rfm:{sf_dir}:m",
     )
     seg = (
         F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), "champion")

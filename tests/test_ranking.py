@@ -742,3 +742,50 @@ def test_probe_cache_stats_public_surface(spark):
     assert s["misses"] == 1 and s["hits"] == 1 and s["entries"] == 1
     R.clear_probe_cache()
     assert R.probe_cache_stats() == {"entries": 0, "hits": 0, "misses": 0}
+
+
+def test_probe_cache_user_key_bridges_checkpoint_fences(spark):
+    """cache_key (VERDICT r7 item 8): an explicit content key hits across
+    localCheckpoint fences where the semantic hash cannot (every checkpoint
+    is a fresh plan identity); results stay exact either way, and a STALE
+    user key still yields exact results (balance-only staleness — the
+    monotone-pid argument is key-independent)."""
+    from amazon_fresh_sql_data_engineering_spark.operators import ranking as R
+
+    R.clear_probe_cache()
+    a = spark.range(3000).select(
+        F.col("id"), (F.pmod(F.hash("id"), F.lit(101)) * 1.0).alias("v")
+    ).localCheckpoint(eager=True)
+    g1 = R.global_ntile(a, 4, [F.col("v").asc(), F.col("id").asc()], "q",
+                        pin=None, cache_key="t:x")
+    g1.count()
+    s = R.probe_cache_stats()
+    assert (s["misses"], s["hits"]) == (1, 0)
+    # a DIFFERENT checkpoint of the same data: semantic hash differs, the
+    # user key hits
+    b = spark.range(3000).select(
+        F.col("id"), (F.pmod(F.hash("id"), F.lit(101)) * 1.0).alias("v")
+    ).localCheckpoint(eager=True)
+    g2 = R.global_ntile(b, 4, [F.col("v").asc(), F.col("id").asc()], "q",
+                        pin=None, cache_key="t:x")
+    s = R.probe_cache_stats()
+    assert (s["misses"], s["hits"]) == (1, 1)
+    # stale-key correctness: reuse the key over a DIFFERENT distribution
+    c = spark.range(3000).select(
+        F.col("id"), (F.col("id") % 7 * 1.0).alias("v")
+    ).localCheckpoint(eager=True)
+    g3 = R.global_ntile(c, 4, [F.col("v").asc(), F.col("id").asc()], "q",
+                        pin=None, cache_key="t:x")
+    exp3 = c.withColumn("q_exp", F.ntile(4).over(Window.orderBy("v", "id")))
+    assert exp3.join(g3.select("id", "q"), "id").filter(
+        F.col("q") != F.col("q_exp")
+    ).count() == 0
+    exp2 = b.withColumn("q_exp", F.ntile(4).over(Window.orderBy("v", "id")))
+    assert exp2.join(g2.select("id", "q"), "id").filter(
+        F.col("q") != F.col("q_exp")
+    ).count() == 0
+    # different key signature under the same user key -> separate entry
+    R.global_rank(a, [F.col("id").desc()], "rk", pin=None, cache_key="t:x")
+    assert R.probe_cache_stats()["entries"] >= 2
+    R.clear_probe_cache()
+    spark.catalog.clearCache()
