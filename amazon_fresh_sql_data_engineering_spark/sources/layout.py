@@ -1,0 +1,178 @@
+"""Multi-dimensional clustering for data skipping: Z-ORDER writes.
+
+A 100 TB fact table is usually filtered on more than one column (ship
+date AND part, customer AND month). Sorting the write by one column gives
+perfect file-level min/max locality on it and DESTROYS locality on every
+other; partitioning by both explodes directories. The lakehouse answer
+(Delta/Iceberg OPTIMIZE ZORDER BY — public technique, Morton 1966) is to
+sort by an interleaved-bit space-filling curve over quantile ranks of the
+clustering columns: every file then covers a small hyper-rectangle of the
+value space, so ANY conjunctive range filter prunes most files via
+parquet footer min/max stats — the reader's row-group skipping and an
+external catalog's file skipping both feed on the same stats.
+
+Mechanics here (all write-time; the read path is untouched):
+
+1. Per column, ``approxQuantile`` (driver-side, one pass, bounded error)
+   picks ``2^bits - 1`` boundaries; a balanced literal comparison tree
+   (depth = bits, the ranking module's literal-boundary idea re-applied)
+   maps each value to its quantile rank — equi-POPULATED, so skew cannot
+   collapse the curve the way equi-width bucketing would.
+2. Ranks interleave bit-by-bit into one long (Morton/Z key).
+3. ``repartitionByRange(num_files, z)`` + ``sortWithinPartitions(z)``
+   clusters the write: consecutive z-ranges per file, one writer per
+   range → num_files files, each a tight hyper-rectangle.
+
+Scale shape: one range shuffle of the data (any clustering write pays
+it), driver work bounded by ncols x 2^bits boundary literals (bits=8 →
+255 literals/col, codegen-friendly), no UDFs. NULLs rank 0 (cluster
+together at the curve origin). Evidence: ``file_column_ranges`` reads the
+parquet footers (pyarrow) and tests assert the z-ordered layout bounds
+EVERY clustering column's per-file range where a linear sort bounds only
+its leading column (tests/test_sinks.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_Z = "__z_key"
+
+
+def _rank_expr(col: Column, boundaries: list[float]) -> Column:
+    """Quantile rank of ``col`` against sorted ``boundaries`` as a balanced
+    comparison tree: rank = count of boundaries <= value, NULLs rank 0.
+    Depth log2(len+1), literal-only — whole-stage-codegen friendly."""
+
+    def build(lo: int, hi: int) -> Column:
+        # leaf invariant: exactly the boundaries with index < lo are <= value
+        if lo > hi:
+            return F.lit(lo).cast("int")
+        mid = (lo + hi) // 2
+        return F.when(col < F.lit(boundaries[mid]), build(lo, mid - 1)).otherwise(
+            build(mid + 1, hi)
+        )
+
+    if not boundaries:
+        return F.lit(0).cast("int")
+    return F.when(col.isNull(), F.lit(0)).otherwise(build(0, len(boundaries) - 1))
+
+
+def zorder_key(ranks: list[Column], bits: int) -> Column:
+    """Morton-interleave ``bits``-wide integer ranks into one long:
+    output bit (b * ncols + i) = bit b of ranks[i]."""
+    n = len(ranks)
+    if n * bits > 63:
+        raise ValueError(f"zorder: {n} cols x {bits} bits exceeds a long")
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, r in enumerate(ranks):
+            bit = F.shiftright(r.cast("long"), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return key
+
+
+def zorder_frame(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Return ``df`` clustered on the z-curve of ``cols`` (numeric, date or
+    timestamp), ready to write: range-partitioned into ``num_files`` and
+    sorted within each. The scratch key column is dropped; row content is
+    unchanged (pure reordering — tests assert multiset equality)."""
+    if _Z in df.columns:
+        raise ValueError(f"zorder: scratch column {_Z!r} already present")
+    if not cols:
+        raise ValueError("zorder: at least one clustering column required")
+    n_files = num_files or df.sparkSession.sparkContext.defaultParallelism
+    nq = (1 << bits) - 1
+    # one approxQuantile call handles all columns in a single pass;
+    # date/timestamp go through the epoch (a DATE cannot cast to double)
+    dtypes = dict(df.dtypes)
+
+    def as_double(c: str) -> Column:
+        t = dtypes.get(c, "")
+        if t == "date" or t.startswith("timestamp"):
+            return F.col(c).cast("timestamp").cast("double")
+        return F.col(c).cast("double")
+
+    casted = df.select(
+        *df.columns,
+        *[as_double(c).alias(f"__zq_{i}") for i, c in enumerate(cols)],
+    )
+    qs = [float(j + 1) / (nq + 1) for j in range(nq)]
+    all_bnds = casted.stat.approxQuantile(
+        [f"__zq_{i}" for i in range(len(cols))], qs, relative_error
+    )
+    ranks = [
+        _rank_expr(F.col(f"__zq_{i}"), sorted(set(b)))
+        for i, b in enumerate(all_bnds)
+    ]
+    keyed = casted.withColumn(_Z, zorder_key(ranks, bits))
+    clustered = (
+        keyed.repartitionByRange(n_files, F.col(_Z))
+        .sortWithinPartitions(_Z)
+        .select(*df.columns)  # narrow projection: per-partition order kept
+    )
+    return clustered
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+    relative_error: float = 0.001,
+) -> None:
+    """Cluster ``df`` on the z-curve of ``cols`` and write parquet files
+    whose footer min/max stats bound every clustering column (module doc)."""
+    zorder_frame(df, cols, bits, num_files, relative_error).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def file_column_ranges(path: str, cols: list[str]) -> list[dict]:
+    """Per-data-file footer stats for ``cols``: [{file, col: (min, max)}].
+    The evidence reader for clustering quality — what an external catalog
+    or the parquet reader's row-group skipping would consult."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        rec: dict = {"file": os.path.basename(f)}
+        for c in cols:
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema == c and col.statistics is not None:
+                        s = col.statistics
+                        if s.has_min_max:
+                            lo = s.min if lo is None else min(lo, s.min)
+                            hi = s.max if hi is None else max(hi, s.max)
+            rec[c] = (lo, hi)
+        out.append(rec)
+    return out
+
+
+def avg_normalized_range(path: str, col: str) -> float:
+    """Mean per-file (max-min)/(global max-min) for ``col`` — 1.0 means
+    every file spans the whole domain (no skipping possible), 1/num_files
+    is the linear-sort optimum for the leading column."""
+    stats = [r[col] for r in file_column_ranges(path, [col]) if r[col][0] is not None]
+    if not stats:
+        return float("nan")
+    glo = min(s[0] for s in stats)
+    ghi = max(s[1] for s in stats)
+    span = float(ghi - glo) or 1.0
+    return sum(float(s[1] - s[0]) for s in stats) / len(stats) / span

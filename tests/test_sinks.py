@@ -355,3 +355,78 @@ def test_versioned_snapshots_time_travel_rollback_vacuum(spark, sf_dir, tmp_path
         V.read_snapshot(spark, t, version=2)
     # writes continue from the high-water mark, never reusing a version
     assert V.write_snapshot(nation, t) == 4
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (sources/layout.py)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_rank_and_key_units(spark):
+    """The two pure pieces: quantile-rank comparison tree (count of
+    boundaries <= value, NULL -> 0) and Morton bit interleaving."""
+    from pyspark.sql import functions as F
+
+    from amazon_fresh_sql_data_engineering_spark.sources import layout as L
+
+    df = spark.createDataFrame(
+        [(5.0,), (10.0,), (15.0,), (30.0,), (None,)], "v double"
+    )
+    got = [
+        r["r"]
+        for r in df.select(L._rank_expr(F.col("v"), [10.0, 20.0, 30.0]).alias("r"))
+        .collect()
+    ]
+    assert got == [0, 1, 1, 3, 0]
+    # ranks (0b10, 0b01) with 2 bits -> z = 0b0110 = 6
+    one = spark.createDataFrame([(2, 1)], "a int, b int")
+    z = one.select(L.zorder_key([F.col("a"), F.col("b")], 2).alias("z")).first()["z"]
+    assert z == 6
+    import pytest
+
+    with pytest.raises(ValueError, match="exceeds a long"):
+        L.zorder_key([F.col("a")] * 8, 8)
+
+
+def test_zorder_write_bounds_every_clustering_column(spark, sf_dir, tmp_path):
+    """The data-skipping evidence, read from the parquet footers themselves:
+    a linear sort bounds its leading column and DESTROYS the second
+    (per-file ranges span nearly the whole domain), while the z-order
+    bounds BOTH — the property file-level skipping and row-group skipping
+    consume. Content is preserved exactly (pure reordering)."""
+    from pyspark.sql import functions as F
+
+    from amazon_fresh_sql_data_engineering_spark.sources import layout as L
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    cols = ["l_orderkey", "l_partkey"]
+    unclustered = str(tmp_path / "plain")
+    linear = str(tmp_path / "linear")
+    zordered = str(tmp_path / "zorder")
+    li.repartition(8).write.parquet(unclustered)
+    (
+        li.repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(linear)
+    )
+    L.zorder_write(li, zordered, cols, bits=8, num_files=8)
+
+    # content preserved: same multiset of rows
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in li.columns])
+    h = lambda p: (  # noqa: E731
+        spark.read.parquet(p).select(F.sum(F.crc32(key)).alias("s"),
+                                     F.count(F.lit(1)).alias("n")).first()
+    )
+    assert h(zordered) == h(unclustered)
+
+    rng = lambda p, c: L.avg_normalized_range(p, c)  # noqa: E731
+    # linear nails its leading column, spans the domain on the second
+    assert rng(linear, "l_orderkey") < 0.25
+    assert rng(linear, "l_partkey") > 0.6
+    # z-order bounds BOTH well below the unclustered/linear second column
+    z_ok, z_pk = rng(zordered, "l_orderkey"), rng(zordered, "l_partkey")
+    assert z_ok < 0.6 and z_pk < 0.6, (z_ok, z_pk)
+    assert z_pk < rng(linear, "l_partkey") / 1.5
+    assert rng(unclustered, "l_partkey") > 0.6
