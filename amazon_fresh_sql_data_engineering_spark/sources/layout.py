@@ -108,9 +108,14 @@ def zorder_frame(
     all_bnds = casted.stat.approxQuantile(
         [f"__zq_{i}" for i in range(len(cols))], qs, relative_error
     )
+    # boundaries are kept WITH duplicates: rank(v) = #quantile points <= v
+    # is then mass-proportional (exact equi-depth) even when one heavy
+    # value swallows many quantile points — deduping would compress a
+    # low-cardinality column's ranks into the low bits and the interleave
+    # would under-weight it (its per-file locality collapses; caught by
+    # the read-path skipping test at sf0.001)
     ranks = [
-        _rank_expr(F.col(f"__zq_{i}"), sorted(set(b)))
-        for i, b in enumerate(all_bnds)
+        _rank_expr(F.col(f"__zq_{i}"), sorted(b)) for i, b in enumerate(all_bnds)
     ]
     keyed = casted.withColumn(_Z, zorder_key(ranks, bits))
     clustered = (

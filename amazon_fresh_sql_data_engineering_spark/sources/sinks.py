@@ -71,37 +71,23 @@ def ctas_zordered(
     Delta/Iceberg OPTIMIZE ZORDER — at 100 TB, file skipping is the
     difference between scanning terabytes and gigabytes).
 
-    Mechanics: each column is quantile-bucketed to ``2**bits`` ranks with
-    the two-phase :func:`~..operators.ranking.global_ntile` (equi-depth,
-    so skewed columns still spread; no single-partition pass), the bucket
-    bits are interleaved into one z-key, and the write range-partitions +
-    sorts on that key. Tile assignment among exact ties is
-    order-arbitrary — harmless here, it only nudges file boundaries.
-    Scratch columns are dropped after the sort (a narrow projection, so
-    the clustering survives into the files)."""
-    from pyspark.sql import functions as F
+    Mechanics (r8 rewrite, delegating to :mod:`..sources.layout`): each
+    column's quantile boundaries come from ONE driver-side
+    ``approxQuantile`` pass (equi-depth, so skewed columns still spread)
+    baked into a balanced literal comparison tree; the rank bits
+    interleave into one z-key and the write range-partitions + sorts on
+    it. The r1-r7 implementation quantile-bucketed with k chained
+    two-phase ``global_ntile`` calls — k FULL-DATA SHUFFLES plus k probe
+    jobs before the clustering shuffle even starts; the literal-tree form
+    needs exactly ONE data shuffle (the clustering itself) regardless of
+    k, with identical file-level locality (the same footer-stats and
+    read-path-skipping tests pass unchanged). At 100 TB the difference is
+    k extra full passes over the table per OPTIMIZE."""
+    from .layout import zorder_frame
 
-    from ..operators.ranking import global_ntile
-
-    work = df
-    bcols = []
-    for i, c in enumerate(cols):
-        name = f"__zb_{i}"
-        work = global_ntile(work, 1 << bits, [F.col(c).asc()], name)
-        bcols.append(name)
-    z = F.lit(0).cast("long")
-    for bit in range(bits):
-        for j, bc in enumerate(bcols):
-            piece = F.shiftright(F.col(bc) - 1, bit).bitwiseAND(F.lit(1)).cast("long")
-            z = z + F.shiftleft(piece, bit * len(cols) + j)
-    keyed = work.withColumn("__zkey", z)
-    n = num_files or df.sparkSession.sparkContext.defaultParallelism
-    out = (
-        keyed.repartitionByRange(n, F.col("__zkey"))
-        .sortWithinPartitions("__zkey")
-        .drop("__zkey", *bcols)
+    zorder_frame(df, cols, bits=bits, num_files=num_files).write.mode(mode).parquet(
+        path
     )
-    out.write.mode(mode).parquet(path)
 
 
 def atomic_swap_write(
@@ -146,6 +132,7 @@ def compact_files(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_within_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> tuple[int, int]:
     """Small-file compaction (the OPTIMIZE of a path-based lakehouse).
 
@@ -158,19 +145,28 @@ def compact_files(
     never see a torn table.
 
     ``sort_within_by`` optionally re-sorts rows within output files so
-    min/max stats stay tight after compaction (pair with
-    :func:`ctas_zordered` for the multi-column variant).
+    min/max stats stay tight after compaction; ``zorder_by`` is the
+    multi-column variant (OPTIMIZE ... ZORDER BY): the rewrite clusters
+    on the Morton curve of the listed columns (:mod:`.layout`), so the
+    compacted files bound EVERY listed column's footer stats, not just a
+    leading one. Mutually exclusive with ``sort_within_by``.
 
     Returns ``(files_before, files_after)``.
     """
     import glob as _glob
 
+    if sort_within_by and zorder_by:
+        raise ValueError("compact_files: sort_within_by and zorder_by are exclusive")
     parts = _glob.glob(os.path.join(path, "part-*"))
     files_before = len(parts)
     total_bytes = sum(os.path.getsize(p) for p in parts)
     n_out = max(1, (total_bytes + target_file_bytes - 1) // target_file_bytes)
     df = spark.read.parquet(path)
-    if sort_within_by:
+    if zorder_by:
+        from .layout import zorder_frame
+
+        out = zorder_frame(df, zorder_by, num_files=int(n_out))
+    elif sort_within_by:
         out = df.repartitionByRange(n_out, *sort_within_by).sortWithinPartitions(
             *sort_within_by
         )

@@ -430,3 +430,29 @@ def test_zorder_write_bounds_every_clustering_column(spark, sf_dir, tmp_path):
     assert z_ok < 0.6 and z_pk < 0.6, (z_ok, z_pk)
     assert z_pk < rng(linear, "l_partkey") / 1.5
     assert rng(unclustered, "l_partkey") > 0.6
+
+
+def test_compaction_zorder_mode(spark, sf_dir, tmp_path):
+    """OPTIMIZE ... ZORDER BY: compaction re-clusters on the Morton curve,
+    so the compacted files bound BOTH listed columns' footer stats."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from amazon_fresh_sql_data_engineering_spark.sources import layout as L
+    from amazon_fresh_sql_data_engineering_spark.sources import sinks
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    path = str(tmp_path / "t")
+    li.repartition(64).write.parquet(path)  # accreted small files
+    before, after = sinks.compact_files(
+        spark, path, target_file_bytes=16 * 1024, zorder_by=["l_orderkey", "l_partkey"]
+    )
+    assert before == 64 and 1 < after < 64
+    assert spark.read.parquet(path).count() == li.count()
+    assert L.avg_normalized_range(path, "l_orderkey") < 0.7
+    assert L.avg_normalized_range(path, "l_partkey") < 0.7
+    with pytest.raises(ValueError, match="exclusive"):
+        sinks.compact_files(spark, path, sort_within_by=["l_orderkey"],
+                            zorder_by=["l_partkey"])
