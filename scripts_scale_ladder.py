@@ -39,8 +39,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_scale_tmp")
 # round-7 (VERDICT r6 item 7): one more doubling — the 4x rung still had
-# idle cores masking exponents; 8x makes the linear claims sharper
-REPLICAS = (2, 4, 8)
+# idle cores masking exponents; 8x makes the linear claims sharper.
+# round-8: 16x — a 256x span of the quadratic hypothesis, and the first
+# rung where the heavy tier's data no longer fits the page cache headroom
+# comfortably, so super-linear I/O effects would finally show
+REPLICAS = (2, 4, 8, 16)
 ID_OFFSET = 100_000_000
 
 #: query name -> tables its plan reads (only these are replicated)
@@ -80,6 +83,11 @@ def prep() -> None:
     tables = sorted({t for ts in QUERIES.values() for t in ts})
     for r in REPLICAS:
         out_dir = os.path.join(ROOT, f"r{r}")
+        if os.path.isdir(out_dir) and all(
+            os.path.isdir(f"{out_dir}/{t}.parquet") for t in tables
+        ):
+            print(f"r{r}: already prepped, skipping")
+            continue
         shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
         for tbl in tables:
