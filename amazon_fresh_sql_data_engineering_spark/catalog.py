@@ -6,12 +6,14 @@ order) for its per-round correctness gate, so ``_PRIORITY`` front-loads the
 queries that most need driver-side evidence this round. CORRECTNESS_r07 was
 50/50 green; cumulatively all 231 catalog queries have green driver rows
 (r01 ∪ … ∪ r07), no query's latest row is red, and no latest row is older
-than r3. Round 8 front-loads (a) the ONE new entry (op_mv_dim_update —
-dim-side JOIN-view maintenance, VERDICT r7 item 3), then (b) the VERDICT
-r7 item-1 rotation: all 38 rows whose latest driver evidence is r3
+than r3. Round 8 front-loads (a) the TWO new entries (op_mv_dim_update —
+dim-side JOIN-view maintenance, VERDICT r7 item 3; op_mv_var — variance
+views via the existing delta rule), then (b) the VERDICT r7 item-1
+rotation: all 38 rows whose latest driver evidence is r3
 (CORRECTNESS_r03 order — events_funnel and the r3 tail), topped up with
-the 11 oldest r4 rows (CORRECTNESS_r04 order). 1+38+11 = 50; after this
-round no driver row anywhere in the union is older than r4.
+the 10 oldest r4 rows (CORRECTNESS_r04 order; q_profile_columns yielded
+its slot to the second new entry). 2+38+10 = 50; after this round no
+driver row anywhere in the union is older than r4.
 
 STANDING RULE (VERDICT r4 item 7): when the catalog grows after
 convergence, new entries go to the FRONT of _PRIORITY in the same round
@@ -54,6 +56,7 @@ except ImportError:
 _PRIORITY = [
     # --- round-8 block A: NEW entries (standing rule: new goes FRONT) ---
     "op_mv_dim_update",  # dim-side JOIN-view maintenance (VERDICT r7 item 3)
+    "op_mv_var",  # variance MV via the delta rule (sums-derivable evidence)
     # --- round-8 block B: all 38 rows whose latest driver evidence is r3
     # (CORRECTNESS_r03 order) ---
     "events_funnel",
@@ -105,7 +108,8 @@ _PRIORITY = [
     "op_weighted_sample",
     "q_csv_staging_roundtrip",
     "q_ctas_roundtrip",
-    "q_profile_columns",
+    # (q_profile_columns yielded its slot to the second new entry — it
+    # stays green-r4 and rotates next round)
 ]
 
 

@@ -1469,6 +1469,77 @@ def op_mv_join_agg(spark, sf_dir):
 
 
 @register(
+    "op_mv_var",
+    oracle="""
+        WITH eff AS (
+            SELECT o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS p
+            FROM orders
+            WHERE o_orderkey % 8 <> 5 AND o_orderkey % 16 <> 2
+            UNION ALL
+            SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+            FROM orders WHERE o_orderkey % 8 = 5
+        )
+        SELECT o_orderstatus,
+               count(*) AS order_cnt,
+               round(CAST(sum(p) AS DOUBLE) / count(*), 2) AS avg_price,
+               round((CAST(sum(p * p) AS DOUBLE)
+                      - CAST(sum(p) AS DOUBLE) * CAST(sum(p) AS DOUBLE)
+                        / count(*)) / count(*), 2) AS var_price
+        FROM eff
+        GROUP BY 1
+    """,
+    doc="Variance/AVG view maintenance under inserts+deletes — the "
+    "evidence for mv.py's 'anything derivable from sums' claim: VAR_POP "
+    "= (SS - S^2/n)/n needs only (count, sum, sum of squares), all "
+    "distributive, so the EXISTING mv_apply_delta maintains it with zero "
+    "new algebra (sums={'s': p, 'ss': p*p}); the non-linear readout "
+    "happens at query time over the |groups|-row state. Deletes are fully "
+    "invertible here (unlike MIN/MAX, which need op_mv_minmax's targeted "
+    "recompute). Determinism: both sums ride as EXACT DECIMALS (p*p is "
+    "DECIMAL(37,4) — the squares of money fit with headroom) and only the "
+    "readout converts to double, so both engines feed IDENTICAL rationals "
+    "through the IDENTICAL double formula — a float-summed E[x^2]-E[x]^2 "
+    "would diverge from the oracle's stable var_pop far beyond round(2) "
+    "at these magnitudes (mean^2 ~ 1e10), which is why the oracle states "
+    "the same exact-sum formula rather than var_pop. Same CDC fixture as "
+    "op_mv_incremental; oracle = full recompute over the post-change "
+    "table.",
+)
+def op_mv_var(spark, sf_dir):
+    from .operators import mv
+
+    p = dec("o_totalprice")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        p.alias("price"),
+        (p * p).alias("price_sq"),
+    )
+    keys = ["o_orderstatus"]
+    sums = {"s": "price", "ss": "price_sq"}
+    base = o.filter(F.col("o_orderkey") % 8 != 5)
+    mv0 = mv.mv_build(base, keys, sums)
+    delta = (
+        o.filter(F.col("o_orderkey") % 8 == 5)
+        .withColumn("__op", F.lit(1))
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 16 == 2).withColumn("__op", F.lit(-1))
+        )
+    )
+    mv1 = mv.mv_apply_delta(mv0, delta, keys, sums)
+    cnt = F.col("__mv_cnt")
+    s_d = F.col("s").cast("double")
+    ss_d = F.col("ss").cast("double")
+    return mv1.select(
+        "o_orderstatus",
+        cnt.alias("order_cnt"),
+        F.round(s_d / cnt, 2).alias("avg_price"),
+        F.round((ss_d - s_d * s_d / cnt) / cnt, 2).alias("var_price"),
+    )
+
+
+@register(
     "op_mv_dim_update",
     oracle="""
         WITH c2 AS (
