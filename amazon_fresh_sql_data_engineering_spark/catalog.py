@@ -97,7 +97,7 @@ _PRIORITY = [
     "op_market_basket",
     "op_bitwise_aggs",
     "q_sql_interface",
-    # --- round-8 block C: the 11 oldest r4 rows (CORRECTNESS_r04 order) ---
+    # --- round-8 block C: the 10 oldest r4 rows (CORRECTNESS_r04 order) ---
     "op_vector_centroids",
     "op_collect_agg",
     "op_regexp_extract_all",

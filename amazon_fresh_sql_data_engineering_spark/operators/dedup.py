@@ -422,8 +422,10 @@ def _incremental_verify(
     the verify pays anyway), and past ``max_broadcast_candidates`` the
     pair-vs-store-features join falls back to a shuffle while the
     genuinely batch-sized frames (bands, shingle sets) keep their hints.
-    The default cap (~2M pairs x ~24 B = tens of MB) stays well inside
-    executor/driver broadcast comfort.
+    The broadcast frame is the pair frame ALONE (two longs per row — the
+    join order below attaches shingle arrays only after the store join,
+    so the count cap is a real byte cap): 2M pairs x 16 B = ~32 MB,
+    well inside executor/driver broadcast comfort.
     """
     maybe_b = F.broadcast if broadcast_new else (lambda df: df)
     nb = new_bands.select("__id", "band", "bucket")
@@ -459,23 +461,27 @@ def _incremental_verify(
     sh_new = new_feats.select("__id", "__h")
     sh_old = store_features.select("__id", "__h")
     cross_v = (
-        cand_b(
-            cross.join(
-                # hint the inner batch-side join too: without it a batch
-                # shingle frame past autoBroadcastJoinThreshold would plan
-                # as a SortMergeJoin, adding batch-side exchanges the
-                # docstring promises away
-                maybe_b(
-                    sh_new.select(
-                        F.col("__id").alias("id_new"), F.col("__h").alias("__sh_n")
-                    )
-                ),
-                on="id_new",
-            )
-        )
+        # JOIN ORDER is the byte bound (self-review r8): broadcast the
+        # PAIR frame alone (two longs per row — the count cap really is a
+        # byte cap) against the store features first, THEN attach the
+        # batch shingle arrays from the broadcast batch side. Hinting
+        # cross JOIN sh_new (the pre-r8 shape) would broadcast per-pair
+        # SHINGLE ARRAYS — count-capped but not byte-capped (a hot bucket
+        # at just-under-cap pair counts x KB-sized arrays is GBs).
+        cand_b(cross)
         .join(
             sh_old.select(F.col("__id").alias("id_old"), F.col("__h").alias("__sh_o")),
             on="id_old",
+        )
+        .join(
+            # batch-side shingles: genuinely batch-bounded, hint kept so
+            # the pair-sized stream side never shuffles
+            maybe_b(
+                sh_new.select(
+                    F.col("__id").alias("id_new"), F.col("__h").alias("__sh_n")
+                )
+            ),
+            on="id_new",
         )
         .select(
             F.least("id_new", "id_old").alias("id_a"),
@@ -1056,10 +1062,20 @@ def write_minhash_store(
     # writer. The clustering shuffle is index-sized, paid once at build.
     idx = idx.repartition("band", "__pfx")
     idx.write.mode("overwrite").partitionBy("band", "__pfx").parquet(f"{path}/index")
+    _write_manifest(spark, path, num_hashes, bands, num_prefixes, k, seed, "batch")
+
+
+def _write_manifest(spark, path, num_hashes, bands, num_prefixes, k, seed, layout):
     spark.createDataFrame(
-        [(num_hashes, bands, num_prefixes, k, seed)],
-        "num_hashes int, bands int, num_prefixes int, k int, seed int",
+        [(num_hashes, bands, num_prefixes, k, seed, layout)],
+        "num_hashes int, bands int, num_prefixes int, k int, seed int, layout string",
     ).write.mode("overwrite").parquet(f"{path}/manifest")
+
+
+def _manifest_layout(m) -> str:
+    """Layout of a store manifest row; pre-r8 manifests lack the column
+    and are by construction batch-layout."""
+    return m.asDict().get("layout") or "batch"
 
 
 def bootstrap_minhash_store(
@@ -1080,10 +1096,7 @@ def bootstrap_minhash_store(
         raise ValueError(
             f"bootstrap_minhash_store: bands={bands} must divide num_hashes={num_hashes}"
         )
-    spark.createDataFrame(
-        [(num_hashes, bands, num_prefixes, k, seed)],
-        "num_hashes int, bands int, num_prefixes int, k int, seed int",
-    ).write.mode("overwrite").parquet(f"{path}/manifest")
+    _write_manifest(spark, path, num_hashes, bands, num_prefixes, k, seed, "append")
 
 
 def append_minhash_store(features: DataFrame, path: str, ingest_id: int) -> None:
@@ -1104,6 +1117,17 @@ def append_minhash_store(features: DataFrame, path: str, ingest_id: int) -> None
     """
     spark = features.sparkSession
     m = spark.read.parquet(f"{path}/manifest").collect()[0]
+    # layout guard (self-review r8): the manifests are otherwise
+    # identical, and appending __ingest leaves under a batch-layout
+    # index makes partition discovery fail FAR from the cause
+    # ("Conflicting directory structures") — reject here instead
+    if _manifest_layout(m) != "append":
+        raise ValueError(
+            f"append_minhash_store: {path} is a batch-layout store "
+            "(write_minhash_store); appending __ingest partitions would "
+            "corrupt its partition tree. Bootstrap a new store with "
+            "bootstrap_minhash_store for the append layout."
+        )
     num_hashes, bands, num_prefixes = m["num_hashes"], m["bands"], m["num_prefixes"]
     head = features.select(F.size("__sig").alias("n")).first()
     if head is None:
@@ -1199,6 +1223,11 @@ def minhash_store_probe(
     num_hashes, bands, num_prefixes, k, seed = (
         m["num_hashes"], m["bands"], m["num_prefixes"], m["k"], m["seed"]
     )
+    if max_ingest_exclusive is not None and _manifest_layout(m) != "append":
+        raise ValueError(
+            "minhash_store_probe: max_ingest_exclusive needs an "
+            "append-layout store (batch layouts carry no __ingest column)"
+        )
     if batch_features is not None:
         head = batch_features.select(F.size("__sig").alias("n")).first()
         if head is not None and head["n"] != num_hashes:

@@ -91,14 +91,42 @@ def zorder_frame(
     n_files = num_files or df.sparkSession.sparkContext.defaultParallelism
     nq = (1 << bits) - 1
     # one approxQuantile call handles all columns in a single pass;
-    # date/timestamp go through the epoch (a DATE cannot cast to double)
+    # date/timestamp go through the epoch (a DATE cannot cast to double);
+    # strings go through an order-preserving 3-codepoint prefix proxy —
+    # a plain cast would be NULL for every row, silently ranking the
+    # whole column 0 and dropping it from the curve (self-review r8).
+    # Unsupported types are rejected for the same reason.
     dtypes = dict(df.dtypes)
+    _numeric = ("tinyint", "smallint", "int", "bigint", "float", "double", "boolean")
 
     def as_double(c: str) -> Column:
         t = dtypes.get(c, "")
         if t == "date" or t.startswith("timestamp"):
             return F.col(c).cast("timestamp").cast("double")
-        return F.col(c).cast("double")
+        if t == "string":
+            # base-65536 value of the first 3 codepoints: monotone in the
+            # string for BMP text, 48 bits = exact in a double. Prefix
+            # granularity is the standard clustering trade (Delta's
+            # string z-values truncate the same way): ties within a
+            # 3-char prefix share a rank, which only coarsens file
+            # boundaries, never correctness (it is a write-time layout).
+            parts = [
+                F.coalesce(
+                    F.ascii(F.substring(F.col(c), i + 1, 1)), F.lit(0)
+                ).cast("double")
+                * F.lit(float(65536 ** (2 - i)))
+                for i in range(3)
+            ]
+            expr = parts[0]
+            for p in parts[1:]:
+                expr = expr + p
+            return F.when(F.col(c).isNull(), F.lit(None)).otherwise(expr)
+        if t in _numeric or t.startswith("decimal"):
+            return F.col(c).cast("double")
+        raise ValueError(
+            f"zorder: column {c!r} has unsupported type {t!r} (numeric, "
+            "decimal, boolean, date, timestamp, or string required)"
+        )
 
     casted = df.select(
         *df.columns,

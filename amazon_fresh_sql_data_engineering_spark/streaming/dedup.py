@@ -72,6 +72,13 @@ def _write_stream_meta(spark: SparkSession, store_path: str, owner: str, epoch: 
     ).write.mode("overwrite").parquet(f"{store_path}/stream")
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm  # noqa: SLF001 — no public FS API on SparkSession
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    return bool(fs.exists(jpath))
+
+
 def adopt_minhash_store_stream(
     spark: SparkSession, store_path: str, checkpoint_dir: str
 ) -> int:
@@ -79,13 +86,29 @@ def adopt_minhash_store_stream(
     bumps the epoch so the new stream's ingest keys cannot collide with —
     or overwrite — any prior epoch's partitions, and stamps the new owner.
     Prior epochs stay in the store as probe-visible history. Returns the
-    new epoch."""
+    new epoch.
+
+    Also the RECOVERY path for a torn stream record (self-review r8: the
+    record's overwrite is delete-then-write, so a crash mid-adopt can
+    leave it missing while the store holds history — the ingest loop then
+    fails loudly and points here): with no record, the safe epoch is
+    derived from the DATA — one past the highest epoch any ingested key
+    belongs to — so the re-homed stream still cannot collide with
+    anything on disk."""
     owner, epoch = _read_stream_meta(spark, store_path)
     if owner is None:
-        raise ValueError(
-            f"dedup stream: {store_path} has no stream record — nothing to adopt "
-            "(a first run stamps itself)"
+        if not _path_exists(spark, f"{store_path}/features"):
+            raise ValueError(
+                f"dedup stream: {store_path} has no stream record and no "
+                "ingested history — nothing to adopt (a first run stamps "
+                "itself)"
+            )
+        max_ingest = (
+            spark.read.parquet(f"{store_path}/features")
+            .agg(F.max("__ingest"))
+            .first()[0]
         )
+        epoch = max_ingest // _EPOCH_SPAN
     new_epoch = epoch + 1
     _write_stream_meta(spark, store_path, _owner_id(checkpoint_dir), new_epoch)
     return new_epoch
@@ -110,6 +133,18 @@ def run_store_dedup_stream(
         spark = batch_df.sparkSession
         cur_owner, epoch = _read_stream_meta(spark, store_path)
         if cur_owner is None:
+            # a MISSING stream record over a store that already holds
+            # history is a torn record (its overwrite is delete-then-
+            # write), NOT an unowned store — stamping epoch 0 here would
+            # be exactly the ingest-key collision the guard exists to
+            # prevent (self-review r8). Fail loudly; adopt recovers.
+            if _path_exists(spark, f"{store_path}/features"):
+                raise ValueError(
+                    f"dedup stream: store {store_path} holds ingested "
+                    "history but its stream record is missing (torn "
+                    "write?) — refusing to stamp epoch 0 over live ingest "
+                    "keys. Recover with adopt_minhash_store_stream()."
+                )
             epoch = 0
             _write_stream_meta(spark, store_path, owner, epoch)
         elif cur_owner != owner:
@@ -125,6 +160,13 @@ def run_store_dedup_stream(
         feats = minhash_features(
             batch_df, id_col, text_col, m["num_hashes"], m["k"], m["seed"]
         ).persist()
+        if feats.first() is None:
+            # empty micro-batch: nothing to accrete, nothing to pair —
+            # and on a freshly bootstrapped store the probe would read
+            # the not-yet-created features dir and wedge the stream on
+            # every replay (self-review r8)
+            feats.unpersist()
+            return
         try:
             # accrete FIRST (idempotent overwrite of this batch's leaf
             # partitions), then probe history strictly older than us —

@@ -44,14 +44,20 @@ hash-bucket of the grain keys and rewrites ONLY the buckets the batch
 touches (dynamic partition overwrite): the delta collapses to one
 partial row per touched group, so touched buckets are few and untouched
 partitions are not even read, let alone rewritten (byte-identity across
-a fold is pytest-asserted). Tear-proofing moves to PER-PARTITION stamps:
-a torn multi-partition job commit leaves every touched partition either
-fully old (stamp < id — the replay re-folds it from its own old rows) or
-fully new (stamp = id — the replay skips it), so each partition is
-self-describing and replays converge. A fold that empties a bucket
-deletes that bucket's directory AFTER the write; a crash in between
-leaves the bucket old-stamped, so the replay re-folds it to empty and
-retries the delete.
+a fold is pytest-asserted). Tear-proofing is PER-PARTITION stamps plus a
+per-bucket TWO-PHASE SWAP (the committer alone is not enough: dynamic
+overwrite's job commit replaces partitions delete-then-rename, so a
+mid-commit crash could leave a bucket neither old nor new — and a
+"missing" bucket would silently re-fold from empty). Each folded
+bucket's old directory is atomically renamed to a hidden backup before
+the write, and every micro-batch starts with a recovery pass
+(``_recover_buckets``): backup with a live directory => that bucket's
+fold committed, drop the backup; backup without one => it tore, restore
+it. After recovery every bucket is exactly one of {fully old: stamp <
+id, the replay re-folds it from its own rows} or {fully new: stamp =
+id, the replay skips it}, so replays converge from ANY crash point. A
+fold that empties a bucket clears it by dropping the backup without
+writing a replacement — same recovery argument.
 """
 
 from __future__ import annotations
@@ -165,6 +171,43 @@ def _bucket_col(keys: list[str], num_buckets: int):
     )
 
 
+#: backup-directory prefix for the partitioned sink's per-bucket two-phase
+#: swap; the LEADING DOT keeps parquet partition discovery from seeing it
+_BAK = ".mvold-"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm  # noqa: SLF001 — no public FS API on SparkSession
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def _recover_buckets(spark: SparkSession, out_path: str) -> None:
+    """Per-bucket crash recovery for the partitioned sink (self-review r8):
+    Spark's dynamic-overwrite job commit replaces partitions one by one,
+    so a mid-commit crash could leave a bucket neither old nor new. The
+    fold therefore RENAMES each to-be-folded bucket directory to a hidden
+    backup before writing (rename is atomic per directory), and this
+    recovery — run at the start of every micro-batch — restores the
+    invariant: a backup whose live directory exists means that bucket's
+    fold committed (drop the backup); a backup without a live directory
+    means it did not (rename it back). After recovery every bucket is
+    exactly one of {fully old, fully new}, which is what the per-bucket
+    stamps need."""
+    fs, root, jvm = _fs(spark, out_path)
+    if not fs.exists(root):
+        return
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith(_BAK):
+            continue
+        live = jvm.org.apache.hadoop.fs.Path(out_path + "/" + name[len(_BAK):])
+        if fs.exists(live):
+            fs.delete(st.getPath(), True)  # fold committed; backup obsolete
+        else:
+            fs.rename(st.getPath(), live)  # fold tore; restore the old state
+
+
 def run_mv_maintain_stream_partitioned(
     delta_stream: DataFrame,
     out_path: str,
@@ -201,6 +244,7 @@ def run_mv_maintain_stream_partitioned(
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover_buckets(spark, out_path)
         bd = batch_df.withColumn(_BUCKET, _bucket_col(keys, num_buckets))
         touched = sorted(
             r[0] for r in bd.select(_BUCKET).distinct().collect()
@@ -241,7 +285,24 @@ def run_mv_maintain_stream_partitioned(
             .persist()  # feeds both the write and the emptied-bucket check
         )
         try:
+            # the distinct-collect fully materializes `out` into cache —
+            # required before the renames below, which remove the very
+            # files out's lineage reads (a post-rename cache loss fails
+            # the job cleanly; recovery restores and the replay refolds)
             present = {r[0] for r in out.select(_BUCKET).distinct().collect()}
+            # per-bucket two-phase swap, phase 1: move each folded
+            # bucket's OLD directory aside atomically (see
+            # _recover_buckets for the crash-window argument)
+            fs, _root, jvm = _fs(spark, out_path)
+            for b in fold:
+                live = jvm.org.apache.hadoop.fs.Path(f"{out_path}/{_BUCKET}={b}")
+                if fs.exists(live):
+                    fs.rename(
+                        live,
+                        jvm.org.apache.hadoop.fs.Path(
+                            f"{out_path}/{_BAK}{_BUCKET}={b}"
+                        ),
+                    )
             (
                 # cluster on the partition column: one writer task per
                 # touched bucket directory instead of tasks x buckets tiny
@@ -252,12 +313,15 @@ def run_mv_maintain_stream_partitioned(
                 .partitionBy(_BUCKET)
                 .parquet(out_path)
             )
-            # dynamic overwrite never touches a partition absent from the
-            # written frame, so a bucket whose fold ended EMPTY must be
-            # cleared explicitly (else its stale rows survive) — idempotent
-            # under crash-replay per the module doc
-            for b in sorted(set(fold) - present):
-                _delete_dir(spark, f"{out_path}/{_BUCKET}={b}")
+            # phase 2: drop the backups — for committed buckets they are
+            # obsolete, and for buckets whose fold ended EMPTY (absent
+            # from `present`) dropping the backup IS the clear. A crash
+            # anywhere in this loop is healed by the next batch's
+            # recovery (live-exists => drop backup; else restore+refold).
+            for b in sorted(fold):
+                bak = jvm.org.apache.hadoop.fs.Path(f"{out_path}/{_BAK}{_BUCKET}={b}")
+                if fs.exists(bak):
+                    fs.delete(bak, True)
         finally:
             out.unpersist()
 
@@ -268,15 +332,6 @@ def run_mv_maintain_stream_partitioned(
         .start()
     )
     q.awaitTermination()
-
-
-def _delete_dir(spark: SparkSession, path: str) -> None:
-    """Recursive delete through the Hadoop FS of ``path`` (works for any
-    configured filesystem, not just local)."""
-    jvm = spark._jvm  # noqa: SLF001 — no public FS API on SparkSession
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
-    fs.delete(jpath, True)
 
 
 def adopt_mv_sink(
@@ -293,6 +348,9 @@ def adopt_mv_sink(
     so this assertion is never made implicitly. Works for both the flat
     and the bucket-partitioned sink layouts.
     """
+    # a torn partitioned fold may be holding a bucket's only copy in a
+    # hidden backup dir — heal before reading, or the rewrite loses it
+    _recover_buckets(spark, out_path)
     published = spark.read.parquet(out_path)
     if _STAMP not in published.columns:
         raise ValueError(f"mv stream: {out_path} is not a stamped view state")

@@ -84,7 +84,10 @@ def prep() -> None:
     for r in REPLICAS:
         out_dir = os.path.join(ROOT, f"r{r}")
         if os.path.isdir(out_dir) and all(
-            os.path.isdir(f"{out_dir}/{t}.parquet") for t in tables
+            # _SUCCESS gates torn prep runs: a directory killed mid-write
+            # would otherwise be silently reused and the ladder would
+            # measure truncated replicas (self-review r8)
+            os.path.isfile(f"{out_dir}/{t}.parquet/_SUCCESS") for t in tables
         ):
             print(f"r{r}: already prepped, skipping")
             continue

@@ -456,3 +456,57 @@ def test_compaction_zorder_mode(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="exclusive"):
         sinks.compact_files(spark, path, sort_within_by=["l_orderkey"],
                             zorder_by=["l_partkey"])
+
+
+def test_zorder_string_column_clusters(spark, tmp_path):
+    """String clustering columns go through an order-preserving prefix
+    proxy (self-review r8: a plain double cast nulled every string and
+    silently dropped the column from the curve); unsupported types raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from amazon_fresh_sql_data_engineering_spark.sources import layout as L
+
+    rows = [(i, chr(ord("a") + i % 8) + f"_{i}", float(i % 97)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, region string, price double")
+    path = str(tmp_path / "z")
+    # 64 files = 6 z-bits = ~3 high bits per column: each file should
+    # span ~1-2 of the 8 region prefixes (a nulled-out column would leave
+    # every file spanning all 8)
+    L.zorder_write(df, path, ["region", "price"], bits=8, num_files=64)
+    assert spark.read.parquet(path).count() == 4000
+    spans = []
+    for r in L.file_column_ranges(path, ["region"]):
+        lo, hi = r["region"]
+        spans.append(ord(hi[0]) - ord(lo[0]) + 1)
+    # measured ~2.8 (range-boundary straddling); the nulled-column
+    # failure mode this guards against is ~8.0
+    assert sum(spans) / len(spans) <= 3.5, spans
+    with pytest.raises(ValueError, match="unsupported type"):
+        L.zorder_frame(
+            df.withColumn("arr", F.array(F.lit(1))), ["arr"], num_files=2
+        )
+
+
+def test_append_store_rejects_batch_layout(spark, tmp_path):
+    """Appending __ingest partitions to a write_minhash_store layout would
+    corrupt its partition tree far from the cause — rejected up front
+    (self-review r8)."""
+    import pytest
+
+    from amazon_fresh_sql_data_engineering_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "a completely different document about parquet files")],
+        "doc_id long, text string",
+    )
+    feats = D.minhash_features(docs, "doc_id", "text", 64, 3, 42)
+    path = str(tmp_path / "batch_store")
+    D.write_minhash_store(feats, path, num_prefixes=8)
+    with pytest.raises(ValueError, match="batch-layout"):
+        D.append_minhash_store(feats, path, 0)
+    with pytest.raises(ValueError, match="append-layout"):
+        D.minhash_store_probe(
+            docs, path, "doc_id", "text", max_ingest_exclusive=1
+        )

@@ -1024,3 +1024,113 @@ def test_store_dedup_stream_accretes_and_matches_full_corpus(spark, sf_dir, tmp_
         for r in D.minhash_dedup_pairs(full3, "doc_id", "text", threshold=0.6).collect()
     }
     assert got3 == exp3 and len(got3) > len(exp)
+
+
+def test_streaming_mv_partitioned_recovers_torn_fold(spark, tmp_path):
+    """Per-bucket two-phase swap (self-review r8): a crash between the
+    backup rename and the commit leaves a bucket's directory missing —
+    recovery must restore it from the hidden backup (NOT re-fold it from
+    empty, which silently loses accumulated state), and an obsolete
+    backup next to a committed bucket must be dropped."""
+    import os
+    import shutil
+
+    from amazon_fresh_sql_data_engineering_spark.operators import mv
+    from amazon_fresh_sql_data_engineering_spark.streaming.mv import (
+        read_mv_state,
+        run_mv_maintain_stream_partitioned,
+    )
+
+    keys, sums, nb = ["g"], {"rev": "rev"}, 4
+    sch = "id int, g string, rev double, __op int"
+    src = str(tmp_path / "deltas")
+    out = str(tmp_path / "mv_state")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "a", 10.0, 1), (2, "b", 5.0, 1)], sch
+    ).write.parquet(src)
+    run_mv_maintain_stream_partitioned(
+        spark.readStream.schema(sch).parquet(src), out, ckpt, keys, sums,
+        num_buckets=nb,
+    )
+    buckets = [d for d in os.listdir(out) if d.startswith("__mv_bucket=")]
+    assert buckets
+    # simulate the torn window: a fold renamed bucket B aside and died
+    # before committing its replacement
+    torn = buckets[0]
+    os.rename(os.path.join(out, torn), os.path.join(out, f".mvold-{torn}"))
+    # and an OBSOLETE backup: a committed bucket whose cleanup died
+    if len(buckets) > 1:
+        live = buckets[1]
+        shutil.copytree(
+            os.path.join(out, live), os.path.join(out, f".mvold-{live}")
+        )
+    # next batch (touching nothing in the torn bucket necessarily) heals
+    spark.createDataFrame([(3, "a", 7.0, 1)], sch).write.mode("append").parquet(src)
+    run_mv_maintain_stream_partitioned(
+        spark.readStream.schema(sch).parquet(src), out, ckpt, keys, sums,
+        num_buckets=nb,
+    )
+    got = {r["g"]: (r["__mv_cnt"], float(r["rev"])) for r in read_mv_state(spark, out).collect()}
+    assert got == {"a": (2, 17.0), "b": (1, 5.0)}
+    assert not any(d.startswith(".mvold-") for d in os.listdir(out))
+
+
+def test_store_dedup_stream_torn_meta_refused_then_adopted(spark, sf_dir, tmp_path):
+    """A missing stream record over a store WITH history (the torn
+    delete-then-write window of the record's overwrite) must refuse to
+    stamp epoch 0 — that would overwrite live ingest keys — and
+    adopt_minhash_store_stream must recover by deriving the epoch from
+    the data. An EMPTY first micro-batch must not wedge the stream."""
+    import shutil
+
+    import pytest
+
+    from amazon_fresh_sql_data_engineering_spark.operators import dedup as D
+    from amazon_fresh_sql_data_engineering_spark.streaming import dedup as SD
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 30)
+    )
+    store = str(tmp_path / "store")
+    pairs_out = str(tmp_path / "pairs")
+    D.bootstrap_minhash_store(spark, store, num_prefixes=8)
+
+    # one growing source under ONE checkpoint: the first drained batch is
+    # EMPTY (must not wedge the stream on the missing features dir), the
+    # second carries the docs
+    src1 = str(tmp_path / "src1")
+    ck1 = str(tmp_path / "ck1")
+    docs.filter(F.lit(False)).coalesce(1).write.parquet(src1)
+    SD.run_store_dedup_stream(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(src1),
+        store, ck1, pairs_out, "doc_id", "text", 0.6,
+    )
+    docs.coalesce(1).write.mode("append").parquet(src1)
+    SD.run_store_dedup_stream(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(src1),
+        store, ck1, pairs_out, "doc_id", "text", 0.6,
+    )
+    # tear the stream record (the overwrite's delete-then-write window)
+    shutil.rmtree(f"{store}/stream")
+    src2 = str(tmp_path / "src2")
+    docs.withColumn("doc_id", F.col("doc_id") + 500_000).coalesce(1).write.parquet(src2)
+    with pytest.raises(Exception, match="stream record is missing"):
+        SD.run_store_dedup_stream(
+            spark.readStream.schema("doc_id long, text string").parquet(src2),
+            store, str(tmp_path / "ck2"), pairs_out, "doc_id", "text", 0.6,
+        )
+    new_epoch = SD.adopt_minhash_store_stream(spark, store, str(tmp_path / "ck2"))
+    assert new_epoch >= 1  # derived from max ingest key, safely past epoch 0
+    SD.run_store_dedup_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(src2),
+        store, str(tmp_path / "ck2"), pairs_out, "doc_id", "text", 0.6,
+    )
+    got = {(r.id_a, r.id_b) for r in SD.read_dedup_pairs(spark, pairs_out).collect()}
+    # every +500k copy pairs with its original in prior-epoch history
+    base_ids = {r.doc_id for r in docs.collect()}
+    assert all((i, i + 500_000) in got for i in base_ids)
