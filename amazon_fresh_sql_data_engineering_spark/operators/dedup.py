@@ -1158,6 +1158,69 @@ def append_minhash_store(features: DataFrame, path: str, ingest_id: int) -> None
     )
 
 
+def compact_minhash_store(spark, path: str, upto_exclusive: int) -> tuple[int, int]:
+    """Fold an append-layout store's accumulated ingest partitions together
+    (the OPTIMIZE of the log-structured dedup store).
+
+    Every ``append_minhash_store`` batch adds one leaf-file set per
+    touched (band, pfx) directory, so probe cost grows with FILE COUNT —
+    per-file open/footer overhead — even while the logical index barely
+    grows (measured: small-batch drains 33 s -> 66 s as ingests piled up,
+    SCALE.md r8). Compaction rewrites all rows with ``__ingest <
+    upto_exclusive`` into ONE consolidated partition per directory
+    (stamped ``upto_exclusive - 1``, so every probe with
+    ``max_ingest_exclusive >= upto_exclusive`` — all future batches —
+    still sees exactly the same history), preserves in-flight ingests
+    ``>= upto_exclusive`` untouched, and publishes via atomic swap
+    (readers see the old tree or the new, never a mix). Cost: one
+    index-sized + one features-sized pass — never the corpus text.
+
+    SAFETY CONTRACT (the one thing compaction trades away): replaying an
+    ingest batch BELOW ``upto_exclusive`` after compaction would
+    re-append its rows (its idempotent overwrite target no longer
+    exists) and duplicate history. foreachBatch only ever replays the
+    last uncommitted micro-batch, so pass the stream's last COMMITTED
+    ingest key (or lower) — equivalently, compact while the stream is
+    stopped.
+
+    Returns (files_before, files_after) over index + features.
+    """
+    import glob as _glob
+    import os as _os
+
+    def _nfiles() -> int:
+        return len(
+            _glob.glob(_os.path.join(path, "index", "**", "*.parquet"), recursive=True)
+        ) + len(
+            _glob.glob(_os.path.join(path, "features", "**", "*.parquet"), recursive=True)
+        )
+
+    from ..sources.sinks import atomic_swap_write
+
+    m = spark.read.parquet(f"{path}/manifest").collect()[0]
+    if _manifest_layout(m) != "append":
+        raise ValueError(
+            f"compact_minhash_store: {path} is a batch-layout store — "
+            "only the append layout accretes ingest partitions"
+        )
+    before = _nfiles()
+    stamp = F.lit(upto_exclusive - 1).cast("long")
+    folded_ing = F.when(
+        F.col("__ingest") < upto_exclusive, stamp
+    ).otherwise(F.col("__ingest"))
+    idx = spark.read.parquet(f"{path}/index").withColumn("__ingest", folded_ing)
+    # one writer per directory (the write_minhash_store clustering rule)
+    idx = idx.repartition("band", "__pfx")
+    atomic_swap_write(
+        idx, f"{path}/index", partition_by=["band", "__pfx", "__ingest"]
+    )
+    feats = spark.read.parquet(f"{path}/features").withColumn("__ingest", folded_ing)
+    atomic_swap_write(
+        feats.repartition("__ingest"), f"{path}/features", partition_by=["__ingest"]
+    )
+    return before, _nfiles()
+
+
 def minhash_store_probe(
     batch_docs: DataFrame,
     path: str,

@@ -25,6 +25,14 @@ Any crash point therefore replays to the identical final state: the three
 effects are each idempotent and the probe's read is insensitive to whether
 the accretion already happened.
 
+MAINTENANCE: each batch adds one leaf-file set per touched (band, pfx)
+directory, so probe cost grows with FILE COUNT (per-file open/footer
+overhead) even while the logical index barely grows — the classic
+log-structured-store trade. Run `operators/dedup.compact_minhash_store`
+periodically (stream stopped, or upto_exclusive <= the last committed
+ingest key) to fold old ingests into one consolidated partition per
+directory; probe results are invariant under compaction (pytest-asserted).
+
 OWNERSHIP (the streaming/mv.py lesson, ADVICE r7): micro-batch ids are
 checkpoint-scoped, so a fresh checkpoint restarting at 0 would dynamic-
 overwrite ``__ingest=0`` — destroying a prior stream's first batch. The

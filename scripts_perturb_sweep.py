@@ -24,6 +24,14 @@ Modes:
               canonicalized pandas frames exactly — the driver's
               hash-stability failure mode (nondeterministic collect_list
               order, un-tiebroken LIMIT cuts, float reduction order)
+  nobroadcast autoBroadcastJoinThreshold=-1 (r8): the optimizer may never
+              CHOOSE a broadcast join — every non-hinted join plans as
+              SortMergeJoin/ShuffledHashJoin, flushing out results that
+              silently depended on build-side semantics (null handling,
+              duplicate keys) or on a small-table broadcast the optimizer
+              happened to pick; explicit broadcast() hints still apply,
+              so the engine's own hinted plans are exercised against a
+              maximally shuffled everything-else
 
 Usage: python scripts_perturb_sweep.py <mode> [sf_dir] [name ...]
 Exit 1 on any failure. Round-4 baseline: all four modes green at sf0.01.
@@ -40,7 +48,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tes
 
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 
-MODES = ("aqeoff", "onepart", "nocodegen", "determinism")
+MODES = ("aqeoff", "onepart", "nocodegen", "determinism", "nobroadcast")
 
 
 def build_session(mode: str):
@@ -62,6 +70,10 @@ def build_session(mode: str):
             b.config("spark.sql.adaptive.enabled", "false")
             .config("spark.sql.shuffle.partitions", "1")
             .config("spark.default.parallelism", "1")
+        )
+    elif mode == "nobroadcast":
+        b = b.config("spark.sql.autoBroadcastJoinThreshold", "-1").config(
+            "spark.sql.shuffle.partitions", "8"
         )
     elif mode == "nocodegen":
         b = (

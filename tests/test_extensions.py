@@ -1035,3 +1035,61 @@ def test_append_store_probe_prunes_ingest_and_stays_exchange_free(spark, docs, t
         )
     with pytest.raises(ValueError, match="32-hash"):
         D.append_minhash_store(f_bad, path, 2)
+
+
+def test_compact_minhash_store_preserves_probe_results(spark, docs, tmp_path):
+    """Store compaction (the log-structured store's OPTIMIZE): folding
+    accumulated ingest partitions into one per directory must change NO
+    probe result — same candidates, same pairs, same max_ingest_exclusive
+    semantics for future batches — while collapsing the file count; only
+    batch-layout stores are rejected."""
+    import pytest
+
+    path = str(tmp_path / "append_store")
+    D.bootstrap_minhash_store(spark, path, num_prefixes=8)
+    # accrete 4 single-doc ingests (4 leaf-file generations per dir)
+    for i, did in enumerate([1, 2, 3, 4]):
+        f = D.minhash_features(
+            docs.filter(F.col("doc_id") == did), "doc_id", "text", 64, 3, 42
+        )
+        D.append_minhash_store(f, path, i)
+    batch = docs.filter(F.col("doc_id") == 5).unionByName(
+        docs.filter(F.col("doc_id") == 1).withColumn("doc_id", F.col("doc_id") + 100)
+    )
+    probe_kw = dict(threshold=0.5, max_ingest_exclusive=4)
+    before = {
+        (r.id_a, r.id_b): round(r.jaccard_sim, 6)
+        for r in D.minhash_store_probe(batch, path, "doc_id", "text", **probe_kw).collect()
+    }
+    assert before  # 101 is a copy of 1: must pair with 1/2/3
+
+    nf_before, nf_after = D.compact_minhash_store(spark, path, upto_exclusive=4)
+    assert nf_after < nf_before, (nf_before, nf_after)
+    after = {
+        (r.id_a, r.id_b): round(r.jaccard_sim, 6)
+        for r in D.minhash_store_probe(batch, path, "doc_id", "text", **probe_kw).collect()
+    }
+    assert after == before
+
+    # the loop continues on the compacted store: append the batch as
+    # ingest 4, then probe a later batch against everything
+    f4 = D.minhash_features(batch, "doc_id", "text", 64, 3, 42)
+    D.append_minhash_store(f4, path, 4)
+    nxt = docs.filter(F.col("doc_id") == 2).withColumn(
+        "doc_id", F.col("doc_id") + 200
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_store_probe(
+            nxt, path, "doc_id", "text", threshold=0.5, max_ingest_exclusive=5
+        ).collect()
+    }
+    # 202 is a copy of 2 (exact dup family of 1): pairs with 1, 2, 3, 101
+    assert got == {(1, 202), (2, 202), (3, 202), (101, 202)}
+
+    bpath = str(tmp_path / "batch_store")
+    D.write_minhash_store(
+        D.minhash_features(docs, "doc_id", "text", 64, 3, 42), bpath, num_prefixes=8
+    )
+    with pytest.raises(ValueError, match="batch-layout"):
+        D.compact_minhash_store(spark, bpath, 1)
