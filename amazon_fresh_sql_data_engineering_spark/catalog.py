@@ -3,17 +3,17 @@ family into ``registry.CATALOG``.
 
 The external driver samples the FIRST ~50 catalog entries (registration
 order) for its per-round correctness gate, so ``_PRIORITY`` front-loads the
-queries that most need driver-side evidence this round. CORRECTNESS_r07 was
-50/50 green; cumulatively all 231 catalog queries have green driver rows
-(r01 ∪ … ∪ r07), no query's latest row is red, and no latest row is older
-than r3. Round 8 front-loads (a) the TWO new entries (op_mv_dim_update —
-dim-side JOIN-view maintenance, VERDICT r7 item 3; op_mv_var — variance
-views via the existing delta rule), then (b) the VERDICT r7 item-1
-rotation: all 38 rows whose latest driver evidence is r3
-(CORRECTNESS_r03 order — events_funnel and the r3 tail), topped up with
-the 10 oldest r4 rows (CORRECTNESS_r04 order; q_profile_columns yielded
-its slot to the second new entry). 2+38+10 = 50; after this round no
-driver row anywhere in the union is older than r4.
+queries that most need driver-side evidence this round. CORRECTNESS_r08 was
+50/50 green; cumulatively all 233 pre-r9 catalog queries have green driver
+rows (r01 ∪ … ∪ r08), no query's latest row is red, and no latest row is
+older than r4 (latest-round histogram r4:37, r5:46, r6:50, r7:50, r8:50).
+Round 9 front-loads (a) the ONE new entry (q_zorder_roundtrip — the
+driver-checked z-order storage round-trip, VERDICT r8 item 2), then (b)
+the VERDICT r8 item-1 rotation: all 37 rows whose latest driver evidence
+is r4 (CORRECTNESS_r04 order — q_profile_columns, which yielded its r8
+slot, and the r4 tail), topped up with the 12 oldest r5 rows
+(CORRECTNESS_r05 order). 1+37+12 = 50; after this round no driver row
+anywhere in the union is older than r5.
 
 STANDING RULE (VERDICT r4 item 7): when the catalog grows after
 convergence, new entries go to the FRONT of _PRIORITY in the same round
@@ -54,62 +54,60 @@ except ImportError:
     pass
 
 _PRIORITY = [
-    # --- round-8 block A: NEW entries (standing rule: new goes FRONT) ---
-    "op_mv_dim_update",  # dim-side JOIN-view maintenance (VERDICT r7 item 3)
-    "op_mv_var",  # variance MV via the delta rule (sums-derivable evidence)
-    # --- round-8 block B: all 38 rows whose latest driver evidence is r3
-    # (CORRECTNESS_r03 order) ---
-    "events_funnel",
-    "events_props_json",
-    "events_props_struct",
-    "events_time_rollup",
-    "events_enriched",
-    "text_fingerprint",
-    "text_chunk_sliding",
-    "text_pii_redact",
-    "text_ngram_counts",
-    "text_bpe_tokens",
-    "mm_resize",
-    "op_hash_split",
-    "op_stratified_sample",
-    "op_histogram",
-    "op_skew_two_phase_agg",
-    "op_grouping_sets",
-    "op_win_distinct_count",
-    "op_fuzzy_match",
-    "op_forward_fill",
-    "op_posexplode",
-    "op_join_full",
-    "op_unpivot",
-    "op_datetime_funcs",
-    "op_string_funcs",
-    "op_win_range_frame",
-    "op_mode_per_group",
-    "op_win_navigation",
-    "op_agg_corr",
-    "op_min_by_max_by",
-    "op_string_agg",
-    "op_try_funcs",
-    "op_cross_join_grid",
-    "op_topn_per_group",
-    "op_date_spine",
-    "op_percent_rank",
-    "op_market_basket",
-    "op_bitwise_aggs",
-    "q_sql_interface",
-    # --- round-8 block C: the 10 oldest r4 rows (CORRECTNESS_r04 order) ---
-    "op_vector_centroids",
-    "op_collect_agg",
-    "op_regexp_extract_all",
-    "op_bool_aggs",
-    "op_seasonal_decompose",
-    "op_skew_report",
-    "op_label_propagation",
-    "op_weighted_sample",
-    "q_csv_staging_roundtrip",
-    "q_ctas_roundtrip",
-    # (q_profile_columns yielded its slot to the second new entry — it
-    # stays green-r4 and rotates next round)
+    # --- round-9 block A: NEW entries (standing rule: new goes FRONT) ---
+    "q_zorder_roundtrip",  # z-order storage round-trip (VERDICT r8 item 2)
+    # --- round-9 block B: all 37 rows whose latest driver evidence is r4
+    # (CORRECTNESS_r04 order; q_profile_columns yielded its r8 slot) ---
+    "q_profile_columns",
+    "text_repetition_filter",
+    "text_decontaminate",
+    "text_url_dedup",
+    "events_cohort_retention",
+    "op_set_ops_all",
+    "op_outlier_zscore",
+    "op_incremental_agg",
+    "op_bloom_prune_join",
+    "events_attribution",
+    "op_skew_salted_join",
+    "op_corpus_mixture",
+    "text_vocab_coverage",
+    "text_normalize",
+    "text_line_dedup",
+    "text_entropy_filter",
+    "dedup_containment",
+    "op_kmeans_refine",
+    "text_winnow_fingerprint",
+    "sim_ann_pq",
+    "sim_ann_pq_rerank",
+    "text_hashing_vectorizer",
+    "q_expectations",
+    "events_anomaly",
+    "text_char_lm_score",
+    "op_pagerank",
+    "dedup_semantic",
+    "op_bm25_search",
+    "op_time_weighted_avg",
+    "events_sliding_distinct",
+    "op_cdc_apply",
+    "op_snapshot_diff",
+    "q_masked_view",
+    "events_sliding_distinct_hll",
+    "op_triangle_count",
+    "op_interpolate_gaps",
+    "events_markov_transitions",
+    # --- round-9 block C: the 12 oldest r5 rows (CORRECTNESS_r05 order) ---
+    "q_idremap_roundtrip",
+    "events_ohlc",
+    "op_chi_square",
+    "op_ab_test_welch",
+    "op_rfm_segmentation",
+    "op_word_pmi",
+    "events_time_to_convert",
+    "events_ewma",
+    "op_gini_concentration",
+    "events_top_paths",
+    "op_basket_lift",
+    "op_abc_analysis",
 ]
 
 

@@ -365,9 +365,30 @@ def dedup_store_probe(spark, sf_dir):
         )
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    _drain_probe_pins()
     return D.minhash_store_probe(
-        batch, _corpus_store(spark, sf_dir), "doc_id", "text", threshold=0.6
+        batch, _corpus_store(spark, sf_dir), "doc_id", "text", threshold=0.6,
+        pins=_PROBE_PINS,
     ).withColumn("jaccard_sim", F.round("jaccard_sim", 6))
+
+
+#: pins persisted by the LAST dedup_store_probe call (ADVICE r8): a catalog
+#: query hands its DataFrame back unconsumed, so the pins cannot be released
+#: inside the call without degrading the very probe they cache — instead
+#: each probe call drains the PREVIOUS call's generation before persisting
+#: its own. Repeated probes (bench cold/warm pairs, parity sweeps) then hold
+#: at most one generation of cached frames instead of accreting one per
+#: call; a single-shot process releases them at exit like any cache.
+_PROBE_PINS: list = []
+
+
+def _drain_probe_pins() -> None:
+    while _PROBE_PINS:
+        frame = _PROBE_PINS.pop()
+        try:
+            frame.unpersist()
+        except Exception:  # noqa: BLE001 — best-effort release of a cache pin
+            pass
 
 
 def _corpus_store(spark, sf_dir):
@@ -388,6 +409,37 @@ def _corpus_store(spark, sf_dir):
 def prestage_fixtures(spark, sf_dir: str) -> None:
     """Build the per-process cached store ahead of timing (bench warm-up)."""
     _corpus_store(spark, sf_dir)
+
+
+def _corpus_append_store(spark, sf_dir):
+    """Per-process SEEDED append-layout store: the base corpus accreted as
+    epoch-0 ingest key 0, no stream record (consumers adopt their own
+    checkpoint). VERDICT r8 item 8: the ingest loop's per-drain cost is
+    streaming-constant dominated (~20-30 s at the 1x rung), so anything
+    that times or repeatedly exercises the loop should start from this
+    staged artifact instead of re-paying bootstrap + first drain. The loop
+    MUTATES its store, so consumers take a COPY — see
+    :func:`staged_append_store_copy`."""
+    from .operators.dedup import append_minhash_store, bootstrap_minhash_store
+    from .sources.staging import process_cache_dir
+
+    def _build(tmp: str) -> None:
+        d = _t(spark, sf_dir, "documents")
+        bootstrap_minhash_store(spark, tmp, num_prefixes=8)
+        feats = D.minhash_features(d, "doc_id", "text", 64, 3, 42)
+        append_minhash_store(feats, tmp, 0)
+
+    return process_cache_dir(("mhstore-append", sf_dir), _build)
+
+
+def staged_append_store_copy(spark, sf_dir, dest: str) -> str:
+    """Copy the staged seeded append store to ``dest`` (a fresh path the
+    caller owns) and return ``dest``. The first call per (process, sf_dir)
+    builds the store; later calls pay only the local copy."""
+    import shutil
+
+    shutil.copytree(_corpus_append_store(spark, sf_dir), dest)
+    return dest
 
 
 

@@ -88,6 +88,13 @@ def zorder_frame(
         raise ValueError(f"zorder: scratch column {_Z!r} already present")
     if not cols:
         raise ValueError("zorder: at least one clustering column required")
+    # the quantile scratch names are scratch too (ADVICE r8): a caller
+    # column named __zq_<i> would duplicate in `casted` and approxQuantile /
+    # _rank_expr could bind to the caller's values, silently corrupting the
+    # clustering — same class as the _Z guard above
+    clash = [f"__zq_{i}" for i in range(len(cols)) if f"__zq_{i}" in df.columns]
+    if clash:
+        raise ValueError(f"zorder: scratch column(s) {clash} already present")
     n_files = num_files or df.sparkSession.sparkContext.defaultParallelism
     nq = (1 << bits) - 1
     # one approxQuantile call handles all columns in a single pass;

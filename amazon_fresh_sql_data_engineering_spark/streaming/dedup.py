@@ -32,6 +32,12 @@ log-structured-store trade. Run `operators/dedup.compact_minhash_store`
 periodically (stream stopped, or upto_exclusive <= the last committed
 ingest key) to fold old ingests into one consolidated partition per
 directory; probe results are invariant under compaction (pytest-asserted).
+``run_store_dedup_stream(compact_every=N)`` does this INSIDE the loop
+(VERDICT r8 item 4): at the start of every Nth micro-batch, with
+``upto_exclusive`` = that batch's own ingest key — committed by
+foreachBatch's at-least-once contract (only the LAST uncommitted batch
+ever replays), so no fold target can be re-appended. File count then
+stays bounded across an arbitrarily long drain (pytest-asserted).
 
 OWNERSHIP (the streaming/mv.py lesson, ADVICE r7): micro-batch ids are
 checkpoint-scoped, so a fresh checkpoint restarting at 0 would dynamic-
@@ -81,9 +87,9 @@ def _write_stream_meta(spark: SparkSession, store_path: str, owner: str, epoch: 
 
 
 def _path_exists(spark: SparkSession, path: str) -> bool:
-    jvm = spark._jvm  # noqa: SLF001 — no public FS API on SparkSession
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    from .mv import _fs  # Connect-safe JVM-gateway access, one helper (r9)
+
+    fs, jpath, _ = _fs(spark, path)
     return bool(fs.exists(jpath))
 
 
@@ -130,11 +136,34 @@ def run_store_dedup_stream(
     id_col: str,
     text_col: str,
     threshold: float = 0.7,
-) -> None:
-    """Drain an availableNow document stream through the accrete-then-probe
-    loop. The store must exist (``bootstrap_minhash_store`` or a prior
-    drain); emitted pair rows are ``(id_a, id_b, jaccard_sim, vs)`` plus
-    the ``__ingest`` batch key, partitioned by it in ``pairs_path``."""
+    compact_every: int | None = None,
+    trigger: dict | None = None,
+    block: bool = True,
+):
+    """Run a document stream through the accrete-then-probe loop. Default
+    trigger is an availableNow drain (blocks until the backlog drains);
+    pass e.g. ``trigger={"processingTime": "10 seconds"}, block=False``
+    for a long-running cadence — the returned StreamingQuery is the
+    caller's to stop. The store must exist (``bootstrap_minhash_store`` or
+    a prior drain); emitted pair rows are ``(id_a, id_b, jaccard_sim,
+    vs)`` plus the ``__ingest`` batch key, partitioned by it in
+    ``pairs_path``.
+
+    ``compact_every=N`` runs ``compact_minhash_store`` INSIDE the loop at
+    the start of every Nth micro-batch (VERDICT r8 item 4), bounding the
+    store's file count across a long drain without stopping the stream.
+    Safety comes from the compaction contract relaxed to COMMITTED ingest
+    keys: when foreachBatch invokes batch B, every batch < B has committed
+    (at-least-once replays only the last uncommitted batch), so compacting
+    ``upto_exclusive = B's own ingest key`` — before B accretes — can
+    never fold a partition that a replay would later re-append. A replayed
+    B re-runs the compaction itself, which is idempotent (already-folded
+    rows keep their folded stamp; B's torn partitions sit at >= upto and
+    are untouched, then dynamically overwritten by the re-accrete).
+    Probe results are compaction-invariant (the folded stamp is
+    ``upto - 1`` < every future ``max_ingest_exclusive``)."""
+    from ..operators.dedup import compact_minhash_store
+
     owner = _owner_id(checkpoint_dir)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
@@ -164,6 +193,15 @@ def run_store_dedup_stream(
                 "intentional, call adopt_minhash_store_stream()."
             )
         ingest = epoch * _EPOCH_SPAN + batch_id
+        if (
+            compact_every
+            and batch_id > 0
+            and batch_id % compact_every == 0
+            and _path_exists(spark, f"{store_path}/features")
+        ):
+            # everything strictly below THIS batch's ingest key is
+            # committed (docstring) — fold it before we accrete
+            compact_minhash_store(spark, store_path, ingest)
         m = spark.read.parquet(f"{store_path}/manifest").collect()[0]
         feats = minhash_features(
             batch_df, id_col, text_col, m["num_hashes"], m["k"], m["seed"]
@@ -201,10 +239,12 @@ def run_store_dedup_stream(
     q = (
         doc_stream.writeStream.foreachBatch(_write)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
-    q.awaitTermination()
+    if block:
+        q.awaitTermination()
+    return q
 
 
 def read_dedup_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:

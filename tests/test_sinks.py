@@ -488,6 +488,28 @@ def test_zorder_string_column_clusters(spark, tmp_path):
         )
 
 
+def test_zorder_scratch_column_collisions_raise(spark):
+    """ADVICE r8: the quantile scratch names __zq_<i> are guarded like
+    __z_key — a caller column with that name would duplicate in the casted
+    projection and approxQuantile/_rank_expr could bind to the caller's
+    values, silently corrupting the clustering."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from amazon_fresh_sql_data_engineering_spark.sources import layout as L
+
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.lit(0.5).alias("__zq_1")
+    )
+    # __zq_1 is scratch for the SECOND clustering column: two cols collide
+    with pytest.raises(ValueError, match="__zq_1"):
+        L.zorder_frame(df, ["id", "v"], num_files=2)
+    # one clustering column only uses __zq_0 — no collision, must work
+    assert L.zorder_frame(df, ["id"], num_files=2).count() == 10
+    with pytest.raises(ValueError, match="__z_key"):
+        L.zorder_frame(df.withColumn("__z_key", F.lit(1)), ["id"], num_files=2)
+
+
 def test_append_store_rejects_batch_layout(spark, tmp_path):
     """Appending __ingest partitions to a write_minhash_store layout would
     corrupt its partition tree far from the cause — rejected up front
