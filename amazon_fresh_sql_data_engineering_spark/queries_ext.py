@@ -317,9 +317,11 @@ def dedup_incremental(spark, sf_dir):
     )
     # stands in for the persisted store a production pipeline accretes;
     # persist = the one materialization both the band join and the verify read
+    pins = _gen_pins("dedup_incremental")
     store = D.minhash_features(d, "doc_id", "text", 64, 3, 42).persist()
+    pins.append(store)
     return D.minhash_incremental_pairs(
-        store, batch, "doc_id", "text", threshold=0.6
+        store, batch, "doc_id", "text", threshold=0.6, pins=pins
     ).withColumn("jaccard_sim", F.round("jaccard_sim", 6))
 
 
@@ -365,30 +367,32 @@ def dedup_store_probe(spark, sf_dir):
         )
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    _drain_probe_pins()
     return D.minhash_store_probe(
         batch, _corpus_store(spark, sf_dir), "doc_id", "text", threshold=0.6,
-        pins=_PROBE_PINS,
+        pins=_gen_pins("dedup_store_probe"),
     ).withColumn("jaccard_sim", F.round("jaccard_sim", 6))
 
 
-#: pins persisted by the LAST dedup_store_probe call (ADVICE r8): a catalog
-#: query hands its DataFrame back unconsumed, so the pins cannot be released
-#: inside the call without degrading the very probe they cache — instead
-#: each probe call drains the PREVIOUS call's generation before persisting
-#: its own. Repeated probes (bench cold/warm pairs, parity sweeps) then hold
-#: at most one generation of cached frames instead of accreting one per
-#: call; a single-shot process releases them at exit like any cache.
-_PROBE_PINS: list = []
+#: pins persisted by the LAST call of each pin-carrying catalog query
+#: (ADVICE r8): a catalog query hands its DataFrame back unconsumed, so the
+#: pins cannot be released inside the call without degrading the very probe
+#: they cache — instead each call drains the PREVIOUS call's generation
+#: before persisting its own. Repeated executions (bench cold/warm pairs,
+#: parity sweeps) then hold at most one generation of cached frames per
+#: query instead of accreting one per call; a single-shot process releases
+#: them at exit like any cache.
+_QUERY_PINS: dict[str, list] = {}
 
 
-def _drain_probe_pins() -> None:
-    while _PROBE_PINS:
-        frame = _PROBE_PINS.pop()
+def _gen_pins(query: str) -> list:
+    pins = _QUERY_PINS.setdefault(query, [])
+    while pins:
+        frame = pins.pop()
         try:
             frame.unpersist()
         except Exception:  # noqa: BLE001 — best-effort release of a cache pin
             pass
+    return pins
 
 
 def _corpus_store(spark, sf_dir):

@@ -18,7 +18,12 @@ Mechanics here (all write-time; the read path is untouched):
    (depth = bits, the ranking module's literal-boundary idea re-applied)
    maps each value to its quantile rank — equi-POPULATED, so skew cannot
    collapse the curve the way equi-width bucketing would.
-2. Ranks interleave bit-by-bit into one long (Morton/Z key).
+2. Ranks interleave bit-by-bit into one long (Morton/Z key). The
+   interleave is FUSED into the comparison tree's leaf literals
+   (r9: a rank expression referenced once per bit re-inlines the whole
+   literal tree bits x cols times — measured 4x the write cost), so each
+   column's tree evaluates once per row; ``zorder_key`` remains the
+   reference form the fusion is tested against.
 3. ``repartitionByRange(num_files, z)`` + ``sortWithinPartitions(z)``
    clusters the write: consecutive z-ranges per file, one writer per
    range → num_files files, each a tight hyper-rectangle.
@@ -40,23 +45,44 @@ from pyspark.sql import functions as F
 _Z = "__z_key"
 
 
-def _rank_expr(col: Column, boundaries: list[float]) -> Column:
+def _rank_expr(
+    col: Column, boundaries: list[float], leaf=None, dtype: str = "int"
+) -> Column:
     """Quantile rank of ``col`` against sorted ``boundaries`` as a balanced
     comparison tree: rank = count of boundaries <= value, NULLs rank 0.
-    Depth log2(len+1), literal-only — whole-stage-codegen friendly."""
+    Depth log2(len+1), literal-only — whole-stage-codegen friendly.
+
+    ``leaf`` optionally maps each leaf's rank to a different LITERAL (the
+    r9 Morton fusion below): any pure int->int function folds into the
+    tree at build time for free, because the leaves are Python-side
+    constants — the expression still evaluates in one tree descent."""
+    lv = leaf or (lambda r: r)
 
     def build(lo: int, hi: int) -> Column:
         # leaf invariant: exactly the boundaries with index < lo are <= value
         if lo > hi:
-            return F.lit(lo).cast("int")
+            return F.lit(lv(lo)).cast(dtype)
         mid = (lo + hi) // 2
         return F.when(col < F.lit(boundaries[mid]), build(lo, mid - 1)).otherwise(
             build(mid + 1, hi)
         )
 
     if not boundaries:
-        return F.lit(0).cast("int")
-    return F.when(col.isNull(), F.lit(0)).otherwise(build(0, len(boundaries) - 1))
+        return F.lit(lv(0)).cast(dtype)
+    return F.when(col.isNull(), F.lit(lv(0)).cast(dtype)).otherwise(
+        build(0, len(boundaries) - 1)
+    )
+
+
+def _morton_spread(rank: int, bits: int, ncols: int, col_idx: int) -> int:
+    """Python-side Morton spread of an integer rank: bit b of ``rank``
+    lands at output bit (b * ncols + col_idx) — the per-column half of
+    :func:`zorder_key`, evaluated at EXPRESSION BUILD TIME on leaf
+    literals rather than per row on rank columns."""
+    out = 0
+    for b in range(bits):
+        out |= ((rank >> b) & 1) << (b * ncols + col_idx)
+    return out
 
 
 def zorder_key(ranks: list[Column], bits: int) -> Column:
@@ -149,10 +175,31 @@ def zorder_frame(
     # low-cardinality column's ranks into the low bits and the interleave
     # would under-weight it (its per-file locality collapses; caught by
     # the read-path skipping test at sf0.001)
-    ranks = [
-        _rank_expr(F.col(f"__zq_{i}"), sorted(b)) for i, b in enumerate(all_bnds)
-    ]
-    keyed = casted.withColumn(_Z, zorder_key(ranks, bits))
+    #
+    # MORTON FUSION (r9 perf fix, measured 10.5 s -> ~2.6 s on a 600k-row
+    # write at bits=8): building the z-key as zorder_key(rank_exprs, bits)
+    # references each rank COLUMN EXPRESSION once per bit, and Catalyst
+    # inlines the whole 2^bits-literal comparison tree at every reference
+    # — bits x ncols expanded trees per row (4080 comparisons at
+    # bits=8 x 2 cols) and a codegen blob to match. Instead the Morton
+    # spread is applied to the LEAF LITERALS at build time
+    # (_morton_spread is a pure int map, free on constants), so each
+    # column's tree is evaluated exactly ONCE per row (depth-log2 descent)
+    # and the z-key is just the OR of the per-column spread trees.
+    # Identical key values (pytest-asserted against zorder_key).
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"zorder: {n} cols x {bits} bits exceeds a long")
+    key = None
+    for i, b in enumerate(all_bnds):
+        tree = _rank_expr(
+            F.col(f"__zq_{i}"),
+            sorted(b),
+            leaf=lambda r, i=i: _morton_spread(r, bits, n, i),
+            dtype="long",
+        )
+        key = tree if key is None else key.bitwiseOR(tree)
+    keyed = casted.withColumn(_Z, key)
     clustered = (
         keyed.repartitionByRange(n_files, F.col(_Z))
         .sortWithinPartitions(_Z)

@@ -488,6 +488,47 @@ def test_zorder_string_column_clusters(spark, tmp_path):
         )
 
 
+def test_zorder_morton_fusion_matches_reference_key(spark):
+    """r9 perf fix: the Morton spread is folded into the rank tree's leaf
+    literals (one tree descent per column per row) — the fused key must
+    equal the reference zorder_key(rank_exprs, bits) bit for bit, and
+    _morton_spread's OR over columns must reconstruct zorder_key exactly."""
+    from pyspark.sql import functions as F
+
+    from amazon_fresh_sql_data_engineering_spark.sources import layout as L
+
+    # python-side identity: spread(a,..,0) | spread(b,..,1) == interleave
+    for a in (0, 1, 5, 170, 255):
+        for b in (0, 3, 128, 255):
+            expect = 0
+            for bit in range(8):
+                expect |= ((a >> bit) & 1) << (2 * bit)
+                expect |= ((b >> bit) & 1) << (2 * bit + 1)
+            got = L._morton_spread(a, 8, 2, 0) | L._morton_spread(b, 8, 2, 1)
+            assert got == expect, (a, b)
+
+    # expression-side: fused tree == reference key on real data
+    rows = [(float(i % 97), float((i * 7) % 101)) for i in range(500)] + [
+        (None, 3.0), (4.0, None)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    bits, qs = 4, [float(j + 1) / 16 for j in range(15)]
+    bnds = df.stat.approxQuantile(["x", "y"], qs, 0.001)
+    ref = L.zorder_key(
+        [L._rank_expr(F.col(c), sorted(b)) for c, b in zip(["x", "y"], bnds)], bits
+    )
+    fused = None
+    for i, (c, b) in enumerate(zip(["x", "y"], bnds)):
+        t = L._rank_expr(
+            F.col(c), sorted(b),
+            leaf=lambda r, i=i: L._morton_spread(r, bits, 2, i), dtype="long",
+        )
+        fused = t if fused is None else fused.bitwiseOR(t)
+    assert (
+        df.select((ref == fused).alias("eq")).filter(~F.col("eq")).count() == 0
+    )
+
+
 def test_zorder_scratch_column_collisions_raise(spark):
     """ADVICE r8: the quantile scratch names __zq_<i> are guarded like
     __z_key — a caller column with that name would duplicate in the casted
