@@ -1195,7 +1195,7 @@ def compact_minhash_store(spark, path: str, upto_exclusive: int) -> tuple[int, i
             _glob.glob(_os.path.join(path, "features", "**", "*.parquet"), recursive=True)
         )
 
-    from ..sources.sinks import atomic_swap_write
+    from ..sources.sinks import atomic_swap_write, recover_swap
 
     m = spark.read.parquet(f"{path}/manifest").collect()[0]
     if _manifest_layout(m) != "append":
@@ -1203,6 +1203,12 @@ def compact_minhash_store(spark, path: str, upto_exclusive: int) -> tuple[int, i
             f"compact_minhash_store: {path} is a batch-layout store — "
             "only the append layout accretes ingest partitions"
         )
+    # a PRIOR compaction may have crashed between its swap's two renames,
+    # leaving index or features in a __old__ sibling — heal before reading
+    # (self-review r9; the in-loop caller replays the same batch, so the
+    # re-run lands here first and self-heals)
+    recover_swap(f"{path}/index")
+    recover_swap(f"{path}/features")
     before = _nfiles()
     stamp = F.lit(upto_exclusive - 1).cast("long")
     folded_ing = F.when(

@@ -121,6 +121,9 @@ def zorder_frame(
     clash = [f"__zq_{i}" for i in range(len(cols)) if f"__zq_{i}" in df.columns]
     if clash:
         raise ValueError(f"zorder: scratch column(s) {clash} already present")
+    if len(cols) * bits > 63:
+        # fail before the quantile job, not after it (self-review r9)
+        raise ValueError(f"zorder: {len(cols)} cols x {bits} bits exceeds a long")
     n_files = num_files or df.sparkSession.sparkContext.defaultParallelism
     nq = (1 << bits) - 1
     # one approxQuantile call handles all columns in a single pass;
@@ -188,8 +191,6 @@ def zorder_frame(
     # and the z-key is just the OR of the per-column spread trees.
     # Identical key values (pytest-asserted against zorder_key).
     n = len(cols)
-    if n * bits > 63:
-        raise ValueError(f"zorder: {n} cols x {bits} bits exceeds a long")
     key = None
     for i, b in enumerate(all_bnds):
         tree = _rank_expr(

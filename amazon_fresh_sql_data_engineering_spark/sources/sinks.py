@@ -95,7 +95,15 @@ def atomic_swap_write(
 ) -> None:
     """Rewrite-and-swap: materialize to a temp sibling, then atomically
     replace ``final_path``. This is how OP-UPDATE/DELETE rewrites persist
-    without torn reads (SURVEY §2.3 OP-TXN non-goal note)."""
+    without torn reads (SURVEY §2.3 OP-TXN non-goal note).
+
+    POSIX rename cannot atomically replace a non-empty directory, so the
+    swap is TWO renames (final -> __old__ sibling, then __tmp__ -> final)
+    and a crash between them leaves ``final_path`` missing with the only
+    published state in the ``__old__`` sibling. Stateful consumers that
+    treat a missing directory as "empty initial state" (the streaming MV
+    sinks) MUST call :func:`recover_swap` before reading, or a torn swap
+    silently re-folds from empty (self-review r9)."""
     tmp = f"{final_path}.__tmp__{uuid.uuid4().hex[:8]}"
     w = df.write.mode("overwrite")
     if partition_by:
@@ -107,6 +115,37 @@ def atomic_swap_write(
     os.rename(tmp, final_path)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+def recover_swap(final_path: str) -> bool:
+    """Heal :func:`atomic_swap_write`'s two-rename crash window. Run by
+    stateful consumers BEFORE reading ``final_path``:
+
+    - ``__tmp__`` siblings are incomplete or unpublished writes — never
+      the only copy of anything — and are dropped.
+    - ``final_path`` present: any ``__old__`` sibling is an obsolete
+      backup whose cleanup died mid-swap — dropped.
+    - ``final_path`` MISSING with an ``__old__`` sibling: the crash hit
+      between the two renames; the sibling is the only published state —
+      restored (the interrupted operation then simply replays).
+
+    Returns True when a restore happened. Single-writer contract (the
+    same one the swap itself needs): no concurrent swapper."""
+    import glob as _glob
+
+    for t in _glob.glob(f"{final_path}.__tmp__*"):
+        shutil.rmtree(t, ignore_errors=True)
+    olds = sorted(_glob.glob(f"{final_path}.__old__*"))
+    if os.path.exists(final_path):
+        for o in olds:
+            shutil.rmtree(o, ignore_errors=True)
+        return False
+    if not olds:
+        return False
+    os.rename(olds[-1], final_path)
+    for o in olds[:-1]:
+        shutil.rmtree(o, ignore_errors=True)
+    return True
 
 
 def drop_table_path(path: str) -> None:
@@ -157,6 +196,10 @@ def compact_files(
 
     if sort_within_by and zorder_by:
         raise ValueError("compact_files: sort_within_by and zorder_by are exclusive")
+    # a prior compaction may have crashed between its swap's two renames,
+    # leaving the table in a __old__ sibling — heal before reading
+    # (self-review r9; without this the re-run reads a missing path)
+    recover_swap(path)
     parts = _glob.glob(os.path.join(path, "part-*"))
     files_before = len(parts)
     total_bytes = sum(os.path.getsize(p) for p in parts)

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.cdc import compact_log
-from ..sources.sinks import atomic_swap_write
+from ..sources.sinks import atomic_swap_write, recover_swap
 
 
 def run_cdc_apply_stream(
@@ -40,6 +40,11 @@ def run_cdc_apply_stream(
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # a crash between atomic_swap_write's two renames leaves the sink
+        # missing with the state in a __old__ sibling — heal it, or the
+        # fallback below silently rebuilds from this batch alone
+        # (self-review r9)
+        recover_swap(out_path)
         try:
             cur = spark.read.parquet(out_path)
             merged = cur.unionByName(batch_df)

@@ -213,12 +213,12 @@ def run_store_dedup_stream(
             # every replay (self-review r8)
             feats.unpersist()
             return
+        pins: list = []
         try:
             # accrete FIRST (idempotent overwrite of this batch's leaf
             # partitions), then probe history strictly older than us —
             # insensitive to whether a torn earlier attempt already landed
             append_minhash_store(feats, store_path, ingest)
-            pins: list = []
             pairs = minhash_store_probe(
                 batch_df, store_path, id_col, text_col, threshold=threshold,
                 batch_features=feats, max_ingest_exclusive=ingest, pins=pins,
@@ -231,9 +231,12 @@ def run_store_dedup_stream(
                 .partitionBy("__ingest")
                 .parquet(pairs_path)
             )
+        finally:
+            # drain in the failure path too (self-review r9): a throwing
+            # batch REPLAYS, and repeated failures would otherwise accrete
+            # one pin generation per attempt
             for p in pins:
                 p.unpersist()
-        finally:
             feats.unpersist()
 
     q = (

@@ -73,7 +73,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.mv import mv_apply_delta, mv_build
-from ..sources.sinks import atomic_swap_write
+from ..sources.sinks import atomic_swap_write, recover_swap
 
 #: stamp column: last folded micro-batch id, riding inside the swapped dir
 _STAMP = "__mv_last_batch"
@@ -142,6 +142,11 @@ def run_mv_maintain_stream(
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # a crash between atomic_swap_write's two renames leaves the sink
+        # missing with the state in a __old__ sibling — heal it, or the
+        # read below treats it as first-ever and refolds from EMPTY
+        # (silent state loss; self-review r9)
+        recover_swap(out_path)
         try:
             published = spark.read.parquet(out_path)
         except AnalysisException:
@@ -324,6 +329,11 @@ def run_mv_maintain_stream_partitioned(
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # swap recovery FIRST (a torn adopt/restamp swap means the whole
+        # tree is in a __old__ sibling — without this the fold would
+        # silently rebuild touched buckets from empty), THEN per-bucket
+        # backup recovery inside the restored tree
+        recover_swap(out_path)
         _recover_buckets(spark, out_path)
         bd = batch_df.withColumn(_BUCKET, _bucket_col(keys, num_buckets))
         touched = sorted(
@@ -332,11 +342,20 @@ def run_mv_maintain_stream_partitioned(
         if not touched:
             return
         try:
-            # mergeSchema: a legacy mixed-schema sink (pre-r9 partial folds
-            # over a seeded state) must surface __mv_owner DETERMINISTICALLY
-            # — with the default schema-from-one-file read, the column's
-            # very presence depends on which file wins (ADVICE r8)
-            published = spark.read.option("mergeSchema", "true").parquet(out_path)
+            # mergeSchema on the FIRST read of each run only (self-review
+            # r9): a legacy mixed-schema sink (pre-r9 partial folds over a
+            # seeded state) must surface __mv_owner deterministically for
+            # the classification below, but footer-merging every file on
+            # EVERY micro-batch taxes the hot path. After the first batch
+            # the sink is either uniform (restamped or our own folds) or a
+            # plain read's two possible outcomes are BOTH handled: schema
+            # includes __mv_owner (absent files read as NULL = seeded,
+            # adopted as folds touch them) or omits it (the owner-missing
+            # arm restamps the whole tree — converging, never wrong).
+            reader = spark.read
+            if not owner_checked["sink"]:
+                reader = reader.option("mergeSchema", "true")
+            published = reader.parquet(out_path)
         except AnalysisException:
             published = None
         if published is not None:
@@ -455,8 +474,10 @@ def adopt_mv_sink(
     so this assertion is never made implicitly. Works for both the flat
     and the bucket-partitioned sink layouts.
     """
+    # a torn swap may be holding the whole tree in a __old__ sibling, and
     # a torn partitioned fold may be holding a bucket's only copy in a
-    # hidden backup dir — heal before reading, or the rewrite loses it
+    # hidden backup dir — heal both before reading, or the rewrite loses it
+    recover_swap(out_path)
     _recover_buckets(spark, out_path)
     # mergeSchema: adoption is exactly where legacy mixed-schema sinks
     # (pre-r9 partial folds over seeded state) land to get healed

@@ -573,3 +573,36 @@ def test_append_store_rejects_batch_layout(spark, tmp_path):
         D.minhash_store_probe(
             docs, path, "doc_id", "text", max_ingest_exclusive=1
         )
+
+
+def test_recover_swap_heals_torn_two_rename_window(spark, tmp_path):
+    """self-review r9: atomic_swap_write is TWO renames; a crash between
+    them leaves the final path missing with the only state in a __old__
+    sibling. recover_swap must restore it, drop orphaned __tmp__ writes,
+    and treat old-siblings-next-to-a-live-final as obsolete backups."""
+    import os
+
+    from amazon_fresh_sql_data_engineering_spark.sources.sinks import (
+        atomic_swap_write,
+        recover_swap,
+    )
+
+    path = str(tmp_path / "state")
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    atomic_swap_write(df, path)
+    # torn window: final renamed aside, replacement never landed
+    os.rename(path, f"{path}.__old__deadbeef")
+    # plus an orphaned tmp from the interrupted write
+    os.makedirs(f"{path}.__tmp__cafe")
+    assert recover_swap(path) is True
+    assert spark.read.parquet(path).count() == 1
+    assert not os.path.exists(f"{path}.__tmp__cafe")
+    # final present: old sibling is an obsolete backup whose cleanup died
+    import shutil
+
+    shutil.copytree(path, f"{path}.__old__feedface")
+    assert recover_swap(path) is False
+    assert not os.path.exists(f"{path}.__old__feedface")
+    assert spark.read.parquet(path).count() == 1
+    # nothing at all: no-op
+    assert recover_swap(str(tmp_path / "never_existed")) is False

@@ -1426,3 +1426,72 @@ def test_store_dedup_stream_from_staged_seed(spark, sf_dir, tmp_path):
     got = {(r.id_a, r.id_b) for r in SD.read_dedup_pairs(spark, pairs_out).collect()}
     ids = {r.doc_id for r in wave.select("doc_id").collect()}
     assert ids and all((i - 1_000_000, i) in got for i in ids)
+
+
+def test_streaming_mv_heals_torn_swap_instead_of_refolding_from_empty(
+    spark, tmp_path
+):
+    """self-review r9: the flat MV sink's per-batch publish is an
+    atomic_swap_write, and a crash between its two renames leaves the
+    sink directory MISSING with the state in a __old__ sibling. The next
+    micro-batch used to read sink-absent => 'first-ever batch' and fold
+    into EMPTY state — silent loss of every published aggregate. The
+    recovery must restore the sibling so the fold carries prior state."""
+    import os
+
+    from amazon_fresh_sql_data_engineering_spark.streaming.mv import (
+        read_mv_state,
+        run_mv_maintain_stream,
+    )
+
+    keys, sums = ["g"], {"rev": "rev"}
+    sch = "id int, g string, rev double, __op int"
+    src = str(tmp_path / "d1")
+    out = str(tmp_path / "mv_state")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, "a", 10.0, 1)], sch).coalesce(1).write.parquet(src)
+    run_mv_maintain_stream(
+        spark.readStream.schema(sch).parquet(src), out, ckpt, keys, sums
+    )
+    # simulate the torn swap window: final renamed aside, new never landed
+    os.rename(out, f"{out}.__old__cafe01")
+    spark.createDataFrame([(2, "b", 5.0, 1)], sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_mv_maintain_stream(
+        spark.readStream.schema(sch).parquet(src), out, ckpt, keys, sums
+    )
+    got = {
+        r["g"]: (r["__mv_cnt"], float(r["rev"]))
+        for r in read_mv_state(spark, out).collect()
+    }
+    # both groups survive: 'a' from the healed prior state, 'b' from the batch
+    assert got == {"a": (1, 10.0), "b": (1, 5.0)}
+
+
+def test_cdc_stream_heals_torn_swap(spark, tmp_path):
+    """Same torn-swap window for the CDC compacted sink: prior keys must
+    survive a crash between the swap's renames."""
+    import os
+
+    from amazon_fresh_sql_data_engineering_spark.streaming.cdc import (
+        run_cdc_apply_stream,
+    )
+
+    sch = "k int, v string, op string, seq long"
+    src = str(tmp_path / "log")
+    out = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, "x", "U", 1)], sch).coalesce(1).write.parquet(src)
+    run_cdc_apply_stream(
+        spark.readStream.schema(sch).parquet(src), out, ckpt, ["k"], "seq"
+    )
+    os.rename(out, f"{out}.__old__cafe02")
+    spark.createDataFrame([(2, "y", "U", 2)], sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_cdc_apply_stream(
+        spark.readStream.schema(sch).parquet(src), out, ckpt, ["k"], "seq"
+    )
+    ks = {r["k"] for r in spark.read.parquet(out).collect()}
+    assert ks == {1, 2}  # key 1 healed from the sibling, key 2 folded
