@@ -218,3 +218,136 @@ def compact_files(
     atomic_swap_write(out, path)
     files_after = len(_glob.glob(os.path.join(path, "part-*")))
     return files_before, files_after
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    min_files: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> dict:
+    """Partition-subset OPTIMIZE for a hive-partitioned parquet table:
+    compact ONLY the leaf partition directories whose file count exceeds
+    ``min_files``, leaving every other partition's files byte-identical.
+
+    :func:`compact_files` rewrites the WHOLE table — correct but O(table)
+    per invocation, which at 100 TB means a full-table pass to fix the
+    handful of partitions a streaming sink or incremental upsert has been
+    peppering with small files. Real lakehouse OPTIMIZE is incremental:
+    the hot (usually most-recent) partitions get compacted, cold history
+    is not even read. Cost here is O(bytes in hot partitions).
+
+    Mechanics: walk to the leaf directories (dirs that directly hold
+    ``part-*`` files, any partition depth), heal each candidate's prior
+    torn compaction (:func:`_recover_leaf`), and for each leaf past the
+    threshold read THAT DIRECTORY alone, size output files from its
+    current on-disk bytes, and republish via a per-leaf swap whose tmp and
+    backup siblings are DOT-PREFIXED: a leaf dir is ``col=value``, and a
+    visible ``col=value.__old__x`` sibling would be read by partition
+    discovery as a bogus partition VALUE (found by the round-trip test) —
+    hidden dirs are ignored, the same trick as the MV sink's ``.mvold-``
+    backups. Partition column values live in the directory names, so a
+    leaf-local rewrite never touches them; readers of the whole table see
+    each leaf either fully old or fully new (per-directory swap atomicity
+    — the same granularity the bucketed MV sink and the minhash-store
+    compaction already use).
+
+    ``sort_within_by`` optionally re-sorts rows within each compacted
+    leaf so footer min/max stats stay tight. Returns ``{"compacted":
+    [leaf, ...], "skipped": n, "files_before": i, "files_after": j}``
+    (file counts over the compacted leaves only)."""
+    import glob as _glob
+
+    # heal torn leaf swaps FIRST: a fully torn leaf is MISSING from the
+    # leaf walk below — only its hidden .compact-old- backup exists
+    for root, dirs, _files in os.walk(path):
+        for d in list(dirs):
+            if d.startswith(".compact-old-"):
+                _recover_leaf(os.path.join(root, d[len(".compact-old-"):]))
+            elif d.startswith(".compact-tmp-"):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+
+    leaves = []
+    for root, dirs, files in os.walk(path):
+        # hidden/backup/tmp dirs are not table data
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))
+                   and "__tmp__" not in d and "__old__" not in d]
+        if any(f.startswith("part-") for f in files):
+            leaves.append(root)
+    if not leaves:
+        raise ValueError(
+            f"compact_partitions: no parquet leaf directories under {path} "
+            "(expected a hive-partitioned table; for a flat table use "
+            "compact_files)"
+        )
+    root_leaf = [l for l in leaves if os.path.abspath(l) == os.path.abspath(path)]
+    if root_leaf and len(leaves) == 1:
+        raise ValueError(
+            f"compact_partitions: {path} is a FLAT table (files at the "
+            "root) — use compact_files; a root-level swap here would "
+            "momentarily hide the whole table instead of one partition"
+        )
+    # a mixed layout (root files AND partition dirs) never swaps the root
+    leaves = [l for l in leaves if l not in root_leaf]
+    compacted, skipped, before, after = [], 0, 0, 0
+    for leaf in sorted(leaves):
+        _recover_leaf(leaf)
+        parts = _glob.glob(os.path.join(leaf, "part-*"))
+        if len(parts) <= min_files:
+            skipped += 1
+            continue
+        before += len(parts)
+        total_bytes = sum(os.path.getsize(p) for p in parts)
+        n_out = max(1, (total_bytes + target_file_bytes - 1) // target_file_bytes)
+        df = spark.read.parquet(leaf)
+        if sort_within_by:
+            out = df.repartitionByRange(int(n_out), *sort_within_by)
+            out = out.sortWithinPartitions(*sort_within_by)
+        else:
+            out = df.coalesce(int(n_out))
+        _swap_leaf(out, leaf)
+        after += len(_glob.glob(os.path.join(leaf, "part-*")))
+        compacted.append(os.path.relpath(leaf, path))
+    return {
+        "compacted": compacted,
+        "skipped": skipped,
+        "files_before": before,
+        "files_after": after,
+    }
+
+
+def _swap_leaf(df: DataFrame, leaf: str) -> None:
+    """Rewrite-and-swap ONE hive leaf directory with HIDDEN siblings:
+    ``.compact-tmp-<name>`` and ``.compact-old-<name>`` are dot-prefixed
+    so partition discovery never reads them as partition values (an
+    ``atomic_swap_write``-style visible ``col=value.__old__x`` sibling IS
+    read as the bogus value ``value.__old__x``). Single writer; a crash
+    anywhere is healed by :func:`_recover_leaf` on the next pass."""
+    parent, name = os.path.split(leaf)
+    tmp = os.path.join(parent, f".compact-tmp-{name}")
+    old = os.path.join(parent, f".compact-old-{name}")
+    df.write.mode("overwrite").parquet(tmp)
+    os.rename(leaf, old)
+    os.rename(tmp, leaf)
+    shutil.rmtree(old)
+
+
+def _recover_leaf(leaf: str) -> bool:
+    """Heal :func:`_swap_leaf`'s crash windows for one leaf: drop an
+    orphaned hidden tmp (never the only copy), restore the hidden backup
+    iff the leaf itself is missing, drop it when the leaf is live."""
+    parent, name = os.path.split(leaf)
+    tmp = os.path.join(parent, f".compact-tmp-{name}")
+    old = os.path.join(parent, f".compact-old-{name}")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.exists(leaf):
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+        return False
+    if os.path.exists(old):
+        os.rename(old, leaf)
+        return True
+    return False

@@ -606,3 +606,98 @@ def test_recover_swap_heals_torn_two_rename_window(spark, tmp_path):
     assert spark.read.parquet(path).count() == 1
     # nothing at all: no-op
     assert recover_swap(str(tmp_path / "never_existed")) is False
+
+
+def test_compact_partitions_rewrites_only_hot_leaves(spark, sf_dir, tmp_path):
+    """Partition-subset OPTIMIZE (round-9): only leaf directories past the
+    file-count threshold are rewritten; cold partitions stay BYTE-IDENTICAL
+    (never even read), values and partition columns survive, multi-level
+    layouts work, and the flat-table misuse raises."""
+    import glob
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_part")
+    # two-level partitioning; make ONE leaf hot (many small files) by
+    # writing it with many input partitions, others cold
+    hot = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT")
+    )
+    cold = orders.join(hot, ["o_orderkey"], "left_anti")
+    cold.repartition(2).write.partitionBy(
+        "o_orderstatus", "o_orderpriority"
+    ).parquet(path)
+    hot.repartition(24).write.mode("append").partitionBy(
+        "o_orderstatus", "o_orderpriority"
+    ).parquet(path)
+
+    def snap(leaf):
+        return {
+            os.path.basename(p): os.path.getsize(p)
+            for p in glob.glob(os.path.join(path, leaf, "part-*"))
+        }
+
+    hot_leaf = "o_orderstatus=F/o_orderpriority=1-URGENT"
+    cold_leaf = next(
+        os.path.relpath(r, path)
+        for r, _d, fs in os.walk(path)
+        if any(f.startswith("part-") for f in fs)
+        and os.path.relpath(r, path) != hot_leaf
+    )
+    assert len(snap(hot_leaf)) > 8
+    cold_before = snap(cold_leaf)
+    expect = {
+        (r["o_orderkey"], r["o_orderstatus"], r["o_orderpriority"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+    res = sinks.compact_partitions(spark, path, min_files=8)
+    assert res["compacted"] == [hot_leaf]
+    assert res["skipped"] >= 1
+    assert res["files_after"] < res["files_before"]
+    assert len(snap(hot_leaf)) <= 8
+    # cold leaf untouched: exact same file names and sizes
+    assert snap(cold_leaf) == cold_before
+    # full-table read: values and partition columns intact
+    got = {
+        (r["o_orderkey"], r["o_orderstatus"], r["o_orderpriority"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == expect
+
+    # idempotent second pass: nothing left above the threshold
+    res2 = sinks.compact_partitions(spark, path, min_files=8)
+    assert res2["compacted"] == [] and res2["files_before"] == 0
+
+    # a torn PRIOR leaf compaction heals before counting. The backup is
+    # DOT-HIDDEN by design: a visible col=value.__old__x sibling would be
+    # read by partition discovery as the bogus partition value
+    # 'value.__old__x' — while torn, readers just miss the one leaf, and
+    # they NEVER see a polluted value
+    leaf_dir = os.path.join(path, hot_leaf)
+    parent, name = os.path.split(leaf_dir)
+    os.rename(leaf_dir, os.path.join(parent, f".compact-old-{name}"))
+    torn_vals = {
+        r["o_orderpriority"]
+        for r in spark.read.parquet(path).select("o_orderpriority").distinct().collect()
+    }
+    assert all(".compact" not in v and "__old__" not in v for v in torn_vals)
+    res3 = sinks.compact_partitions(spark, path, min_files=8)
+    assert res3["compacted"] == []  # healed leaf is already compact
+    got3 = {
+        (r["o_orderkey"], r["o_orderstatus"], r["o_orderpriority"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got3 == expect
+
+    # flat table: refused with pointer to compact_files
+    flat = str(tmp_path / "flat")
+    orders.limit(10).write.parquet(flat)
+    with pytest.raises(ValueError, match="FLAT table"):
+        sinks.compact_partitions(spark, flat)
