@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -104,12 +105,17 @@ def atomic_swap_write(
     treat a missing directory as "empty initial state" (the streaming MV
     sinks) MUST call :func:`recover_swap` before reading, or a torn swap
     silently re-folds from empty (self-review r9)."""
-    tmp = f"{final_path}.__tmp__{uuid.uuid4().hex[:8]}"
+    # suffixes are MONOTONIC (ns timestamp, zero-padded hex) so that if
+    # multiple __old__ siblings ever coexist, lexicographic order IS age
+    # order — recover_swap additionally falls back to directory mtime for
+    # pre-r10 uuid-suffixed backups (ADVICE r9)
+    stamp = f"{time.time_ns():016x}.{uuid.uuid4().hex[:6]}"
+    tmp = f"{final_path}.__tmp__{stamp}"
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
-    old = f"{final_path}.__old__{uuid.uuid4().hex[:8]}"
+    old = f"{final_path}.__old__{stamp}"
     if os.path.exists(final_path):
         os.rename(final_path, old)
     os.rename(tmp, final_path)
@@ -135,17 +141,106 @@ def recover_swap(final_path: str) -> bool:
 
     for t in _glob.glob(f"{final_path}.__tmp__*"):
         shutil.rmtree(t, ignore_errors=True)
-    olds = sorted(_glob.glob(f"{final_path}.__old__*"))
+    olds = _glob.glob(f"{final_path}.__old__*")
     if os.path.exists(final_path):
         for o in olds:
             shutil.rmtree(o, ignore_errors=True)
         return False
     if not olds:
         return False
-    os.rename(olds[-1], final_path)
-    for o in olds[:-1]:
-        shutil.rmtree(o, ignore_errors=True)
+    # NEWEST backup is the published state. Suffixes are monotonic since
+    # r10, but pre-r10 backups carry random uuid suffixes where
+    # lexicographic order is NOT age order (ADVICE r9) — directory mtime
+    # is correct for both: rename preserves it, so each backup's mtime is
+    # when its contents were materialized, and the single-writer contract
+    # (write N finishes before write N+1 starts) strictly orders those.
+    newest = max(olds, key=os.path.getmtime)
+    os.rename(newest, final_path)
+    for o in olds:
+        if o != newest:
+            shutil.rmtree(o, ignore_errors=True)
     return True
+
+
+class SwapPublish:
+    """POSIX-rename publish primitive: :func:`atomic_swap_write` +
+    :func:`recover_swap`. The state IS the directory at ``final_path``;
+    replacement is two renames with a healable crash window. Correct on
+    any filesystem with atomic directory rename (HDFS, POSIX) — NOT on
+    S3-semantics object stores, where rename is copy+delete."""
+
+    name = "swap"
+
+    def write(self, df: DataFrame, final_path: str, partition_by=None) -> None:
+        atomic_swap_write(df, final_path, partition_by)
+
+    def heal(self, final_path: str) -> bool:
+        return recover_swap(final_path)
+
+    def read_or_none(self, spark: SparkSession, final_path: str):
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(final_path)
+        except AnalysisException:
+            return None
+
+
+class PointerPublish:
+    """Object-store-safe publish primitive (VERDICT r9 item 3): immutable
+    ``data/v=N`` snapshot directories plus one atomically-replaced
+    ``_LATEST`` pointer file — :mod:`.versioned`'s mechanism lifted into
+    the sink publish seam. NOTHING is ever renamed into or out of the
+    live path: a snapshot is fully materialized under a fresh version
+    directory first, then the pointer flips (``os.replace`` locally; a
+    conditional PUT on object stores). There is therefore no torn-swap
+    window at all — a crash anywhere before the flip leaves the OLD
+    snapshot published and only an orphan directory to prune, which is
+    exactly why the two-rename swap's heal logic doesn't (and needn't)
+    transfer to S3 semantics. After a successful flip, superseded
+    snapshots are pruned (same retention the swap primitive has)."""
+
+    name = "pointer"
+
+    def write(self, df: DataFrame, final_path: str, partition_by=None) -> None:
+        from . import versioned as V
+
+        os.makedirs(os.path.join(final_path, V._DATA), exist_ok=True)
+        versions = V.list_versions(final_path)
+        version = (versions[-1] + 1) if versions else 1
+        w = df.write.mode("errorifexists")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(V._data_dir(final_path, version))
+        V._publish(final_path, version)
+        V.vacuum(final_path, keep_last=1)
+
+    def heal(self, final_path: str) -> bool:
+        """Prune orphan snapshots NEWER than the pointer (torn writes that
+        never published — the analog of dropping ``__tmp__`` siblings).
+        Never restores anything: the previous publish is still live."""
+        from . import versioned as V
+
+        cur = V.current_version(final_path)
+        pruned = False
+        for v in V.list_versions(final_path):
+            if cur is None or v > cur:
+                shutil.rmtree(V._data_dir(final_path, v), ignore_errors=True)
+                pruned = True
+        return pruned
+
+    def read_or_none(self, spark: SparkSession, final_path: str):
+        from . import versioned as V
+
+        if V.current_version(final_path) is None:
+            return None
+        return V.read_snapshot(spark, final_path)
+
+
+#: the default (rename-based) publish primitive
+SWAP_PUBLISH = SwapPublish()
+#: the object-store-safe (pointer-based) publish primitive
+POINTER_PUBLISH = PointerPublish()
 
 
 def drop_table_path(path: str) -> None:
@@ -271,9 +366,15 @@ def compact_partitions(
 
     leaves = []
     for root, dirs, files in os.walk(path):
-        # hidden/backup/tmp dirs are not table data
-        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))
-                   and "__tmp__" not in d and "__old__" not in d]
+        # hidden/backup/tmp dirs are not table data. The dot/underscore
+        # prefix rule is the WHOLE filter (parquet's own convention, and
+        # every swap sibling this package creates under a table root is
+        # dot-prefixed: _swap_leaf's .compact-*, the MV sink's .mvold-*).
+        # A substring test on '__tmp__'/'__old__' would wrongly exclude a
+        # legitimate partition VALUE containing those tokens, e.g.
+        # col=a__old__b (ADVICE r9); atomic_swap_write's visible siblings
+        # live BESIDE the table path, never inside the walk.
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         if any(f.startswith("part-") for f in files):
             leaves.append(root)
     if not leaves:

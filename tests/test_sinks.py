@@ -701,3 +701,76 @@ def test_compact_partitions_rewrites_only_hot_leaves(spark, sf_dir, tmp_path):
     orders.limit(10).write.parquet(flat)
     with pytest.raises(ValueError, match="FLAT table"):
         sinks.compact_partitions(spark, flat)
+
+
+def test_recover_swap_restores_newest_of_multiple_backups(spark, tmp_path):
+    """ADVICE r9 (low): if more than one __old__ sibling coexists with a
+    missing final path, the NEWEST backup is the published state — and
+    pre-r10 uuid suffixes mean lexicographic order is NOT age order, so
+    recovery must go by mtime. Here the OLDER backup sorts LAST."""
+    import time
+
+    from amazon_fresh_sql_data_engineering_spark.sources.sinks import recover_swap
+
+    path = str(tmp_path / "state")
+    old_v1 = f"{path}.__old__zzzzzzzz"  # older state, lexicographically last
+    old_v2 = f"{path}.__old__aaaaaaaa"  # newer state, lexicographically first
+    spark.createDataFrame([(1, "stale")], "id int, v string").write.parquet(old_v1)
+    time.sleep(0.05)  # strictly order the directory mtimes
+    spark.createDataFrame([(2, "live")], "id int, v string").write.parquet(old_v2)
+    assert recover_swap(path) is True
+    row = spark.read.parquet(path).collect()[0]
+    assert (row["id"], row["v"]) == (2, "live")
+    assert not os.path.exists(old_v1) and not os.path.exists(old_v2)
+
+
+def test_atomic_swap_suffixes_are_monotonic(spark, tmp_path):
+    """r10: swap siblings carry a ns-timestamp suffix so lexicographic
+    order IS age order for anything written from now on (the mtime
+    fallback still covers pre-r10 backups)."""
+    import re
+
+    from amazon_fresh_sql_data_engineering_spark.sources import sinks as S
+
+    stamps = []
+    orig_rename = os.rename
+
+    def spy_rename(src, dst):
+        m = re.search(r"\.__old__([0-9a-f]{16})\.", src + "|" + dst)
+        if m:
+            stamps.append(m.group(1))
+        orig_rename(src, dst)
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "id int")
+    S.atomic_swap_write(df, path)
+    os.rename = spy_rename
+    try:
+        S.atomic_swap_write(df, path)
+        S.atomic_swap_write(df, path)
+    finally:
+        os.rename = orig_rename
+    assert len(stamps) >= 2 and stamps == sorted(stamps)
+
+
+def test_compact_partitions_handles_token_lookalike_partition_values(
+    spark, tmp_path
+):
+    """ADVICE r9 (low): a legitimate hive partition VALUE containing
+    '__old__' or '__tmp__' (e.g. col=a__old__b) is table data, not a swap
+    sibling — it must be walked, compacted, and kept in results."""
+    df = spark.createDataFrame(
+        [(i, "a__old__b" if i % 2 else "c__tmp__d") for i in range(200)],
+        "id int, grp string",
+    )
+    path = str(tmp_path / "tok")
+    df.repartition(24).write.partitionBy("grp").parquet(path)
+    import glob
+
+    assert len(glob.glob(os.path.join(path, "grp=a__old__b", "part-*"))) > 8
+    expect = {(r["id"], r["grp"]) for r in spark.read.parquet(path).collect()}
+    res = sinks.compact_partitions(spark, path, min_files=8)
+    assert sorted(res["compacted"]) == ["grp=a__old__b", "grp=c__tmp__d"]
+    assert len(glob.glob(os.path.join(path, "grp=a__old__b", "part-*"))) <= 8
+    got = {(r["id"], r["grp"]) for r in spark.read.parquet(path).collect()}
+    assert got == expect
