@@ -3,17 +3,16 @@ family into ``registry.CATALOG``.
 
 The external driver samples the FIRST ~50 catalog entries (registration
 order) for its per-round correctness gate, so ``_PRIORITY`` front-loads the
-queries that most need driver-side evidence this round. CORRECTNESS_r08 was
-50/50 green; cumulatively all 233 pre-r9 catalog queries have green driver
-rows (r01 ∪ … ∪ r08), no query's latest row is red, and no latest row is
-older than r4 (latest-round histogram r4:37, r5:46, r6:50, r7:50, r8:50).
-Round 9 front-loads (a) the ONE new entry (q_zorder_roundtrip — the
-driver-checked z-order storage round-trip, VERDICT r8 item 2), then (b)
-the VERDICT r8 item-1 rotation: all 37 rows whose latest driver evidence
-is r4 (CORRECTNESS_r04 order — q_profile_columns, which yielded its r8
-slot, and the r4 tail), topped up with the 12 oldest r5 rows
-(CORRECTNESS_r05 order). 1+37+12 = 50; after this round no driver row
-anywhere in the union is older than r5.
+queries that most need driver-side evidence this round. CORRECTNESS_r09 was
+50/50 green; cumulatively all 234 pre-r10 catalog queries have green driver
+rows (r01 ∪ … ∪ r09), no query's latest row is red, and no latest row is
+older than r5 (latest-round histogram r5:34, r6:50, r7:50, r8:50, r9:50).
+Round 10 front-loads (a) the ONE new entry (q_compaction_roundtrip — the
+driver-checked OPTIMIZE round-trip, VERDICT r9 item 2), then (b) the
+VERDICT r9 item-1 rotation: all 34 rows whose latest driver evidence is r5
+(CORRECTNESS_r05 order), topped up with the 15 oldest r6 rows
+(CORRECTNESS_r06 order). 1+34+15 = 50; after this round no driver row
+anywhere in the union is older than r6.
 
 STANDING RULE (VERDICT r4 item 7): when the catalog grows after
 convergence, new entries go to the FRONT of _PRIORITY in the same round
@@ -54,60 +53,61 @@ except ImportError:
     pass
 
 _PRIORITY = [
-    # --- round-9 block A: NEW entries (standing rule: new goes FRONT) ---
-    "q_zorder_roundtrip",  # z-order storage round-trip (VERDICT r8 item 2)
-    # --- round-9 block B: all 37 rows whose latest driver evidence is r4
-    # (CORRECTNESS_r04 order; q_profile_columns yielded its r8 slot) ---
-    "q_profile_columns",
-    "text_repetition_filter",
-    "text_decontaminate",
-    "text_url_dedup",
-    "events_cohort_retention",
-    "op_set_ops_all",
-    "op_outlier_zscore",
-    "op_incremental_agg",
-    "op_bloom_prune_join",
-    "events_attribution",
-    "op_skew_salted_join",
-    "op_corpus_mixture",
-    "text_vocab_coverage",
-    "text_normalize",
-    "text_line_dedup",
-    "text_entropy_filter",
-    "dedup_containment",
-    "op_kmeans_refine",
-    "text_winnow_fingerprint",
-    "sim_ann_pq",
-    "sim_ann_pq_rerank",
-    "text_hashing_vectorizer",
-    "q_expectations",
-    "events_anomaly",
-    "text_char_lm_score",
-    "op_pagerank",
-    "dedup_semantic",
-    "op_bm25_search",
-    "op_time_weighted_avg",
-    "events_sliding_distinct",
-    "op_cdc_apply",
-    "op_snapshot_diff",
-    "q_masked_view",
-    "events_sliding_distinct_hll",
-    "op_triangle_count",
-    "op_interpolate_gaps",
-    "events_markov_transitions",
-    # --- round-9 block C: the 12 oldest r5 rows (CORRECTNESS_r05 order) ---
-    "q_idremap_roundtrip",
-    "events_ohlc",
-    "op_chi_square",
-    "op_ab_test_welch",
-    "op_rfm_segmentation",
-    "op_word_pmi",
-    "events_time_to_convert",
-    "events_ewma",
-    "op_gini_concentration",
-    "events_top_paths",
-    "op_basket_lift",
-    "op_abc_analysis",
+    # --- round-10 block A: NEW entries (standing rule: new goes FRONT) ---
+    "q_compaction_roundtrip",  # OPTIMIZE round-trip (VERDICT r9 item 2)
+    # --- round-10 block B: all 34 rows whose latest driver evidence is
+    # r5 (CORRECTNESS_r05 order) ---
+    "op_benford",
+    "events_inter_arrival",
+    "op_seasonality",
+    "op_mad_outliers",
+    "op_xcorr_lagged",
+    "text_zipf_fit",
+    "events_dau_wau_mau",
+    "op_embedding_norm_stats",
+    "events_bot_detection",
+    "events_window_funnel",
+    "events_error_budget",
+    "op_mann_whitney",
+    "op_ks_test",
+    "op_survival_km",
+    "events_heavy_hitters_cms",
+    "op_pca_power",
+    "op_holt_linear",
+    "op_cohort_ltv",
+    "events_concurrency_peak",
+    "q_dp_release",
+    "op_metric_decomposition",
+    "op_bootstrap_ci",
+    "events_forecast_backtest",
+    "op_neyman_allocation",
+    "op_join_size_estimate",
+    "q_gdpr_erasure",
+    "op_gains_chart",
+    "op_shard_plan",
+    "events_shapley_attribution",
+    "op_diff_in_diff",
+    "op_cuped",
+    "op_kmv_distinct",
+    "op_winsorized_mean",
+    "op_price_elasticity",
+    # --- round-10 block C: the 15 oldest r6 rows (CORRECTNESS_r06
+    # order) — tops the sample up to 50 ---
+    "dedup_incremental",
+    "op_mv_incremental",
+    "q_product_sales_rank",
+    "q_top_customers_period",
+    "op_histogram_equidepth",
+    "q_high_value",
+    "op_win_ntile",
+    "op_seq_gaps",
+    "op_pack_sequences",
+    "op_item_cf_jaccard",
+    "op_scan",
+    "op_project",
+    "op_filter_eq",
+    "op_filter_ci",
+    "op_filter_date",
 ]
 
 
