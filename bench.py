@@ -44,11 +44,17 @@ the adjudication evidence the judge has been re-deriving by hand two rounds
 running — (a) the query's cold/warm spread across the round's committed
 builder runs (``--runs GLOB``, default BENCH_full_r*.json next to this
 script), and (b) whether the query's OPERATOR PATH changed this round
-(``--since REF``, default: the last commit touching a CORRECTNESS_r*.json —
-the round boundary — mapped through each query function's transitive source
-modules vs ``git diff --name-only``). Verdict per flag: ``tenancy-spike``
-(stable across committed runs, path untouched), ``plan-change`` (path
-touched — investigate), or ``inconclusive``.
+(``--since REF``, default: the newest commit touching a CORRECTNESS_r*.json
+STRICTLY BEFORE HEAD — the round boundary; ``--until REF`` defaults HEAD,
+pass the round's closing commit to replay a past round's adjudication).
+The change map is FUNCTION-level (VERDICT r9 item 4): each query fn's
+transitive callees — module-attribute calls, classes, and referenced
+module constants included — are AST-resolved and intersected with the
+top-level symbols whose AST actually differs between the refs, so a query
+living in a touched file is only marked ``plan-change`` when something on
+its own call path changed. Verdict per flag: ``tenancy-spike`` (stable
+across committed runs, path untouched), ``plan-change`` (path touched —
+investigate), or ``inconclusive``.
 """
 
 from __future__ import annotations
@@ -236,42 +242,276 @@ def summarize(out: dict, full_path: str, limit: int = 1900) -> dict:
     return summary
 
 
-def _query_source_files(fn, repo_root: str) -> set[str]:
-    """Repo-relative source files a catalog query transitively touches:
-    the function's own file, package modules referenced from its globals,
-    and package functions it calls (followed recursively). A static
-    over-approximation is fine — the adjudication question is 'COULD this
-    round's diff have changed this query's plan', and false positives only
-    demote a tenancy verdict to inconclusive, never the reverse."""
-    import inspect
+_PKG = "amazon_fresh_sql_data_engineering_spark"
 
-    seen_files: set[str] = set()
+
+def _query_source_symbols(fn, repo_root: str) -> set[tuple[str, str | None]]:
+    """(repo-relative file, symbol) pairs a catalog query transitively
+    touches — FUNCTION-level, not file-level (VERDICT r9 item 4: the
+    file-level map produced 7 false 'plan-change' labels across r9b/r9c).
+
+    Walk: the query function, every package function it calls (names
+    resolved through its globals, module-attribute calls like
+    ``dml.update_set`` resolved through an AST pass over its source,
+    nested code objects included), package classes it references, and
+    package-module CONSTANTS it reads (recorded by name so a changed SQL
+    string still flags its query). ``(file, None)`` is the whole-file
+    sentinel, emitted only when static resolution genuinely fails. A
+    static over-approximation stays fine — false positives only demote a
+    tenancy verdict to inconclusive, never the reverse."""
+    import ast
+    import inspect
+    import textwrap
+    import types
+
+    out: set[tuple[str, str | None]] = set()
     seen_fns: set = set()
     stack = [fn]
+
+    def _rel(obj) -> str | None:
+        try:
+            src = inspect.getsourcefile(obj)
+        except TypeError:
+            return None
+        if not src or _PKG not in src:
+            return None
+        return os.path.relpath(src, repo_root)
+
     while stack:
         f = stack.pop()
         if f in seen_fns:
             continue
         seen_fns.add(f)
+        rel = _rel(f)
+        if rel is None:
+            continue
+        out.add((rel, f.__qualname__.split(".<locals>.")[0]))
+        g = getattr(f, "__globals__", {})
+        # all names this function (and its nested lambdas/closures) reads
+        names: set[str] = set()
+        codes = [f.__code__]
+        while codes:
+            c = codes.pop()
+            names.update(c.co_names)
+            names.update(c.co_freevars)
+            codes.extend(k for k in c.co_consts if isinstance(k, types.CodeType))
+        # module-attribute accesses (dml.update_set) need the AST: the
+        # bytecode alone can't pair the module name with the attribute.
+        # Function-LOCAL imports (the package's import-cycle idiom:
+        # ``from .sources.sinks import ctas_zordered`` inside the body)
+        # also need it — the imported names never land in __globals__.
+        attr_pairs: set[tuple[str, str]] = set()
+        local_imports: list = []  # (absolute module, [names] or None)
+        parsed = True
+        mod_parts = (getattr(f, "__module__", "") or "").split(".")
         try:
-            src = inspect.getsourcefile(f)
-        except TypeError:
-            continue
-        if not src or "amazon_fresh_sql_data_engineering_spark" not in src:
-            continue
-        seen_files.add(os.path.relpath(src, repo_root))
-        for name in getattr(f, "__code__", None) and f.__code__.co_names or ():
-            v = getattr(f, "__globals__", {}).get(name)
-            if inspect.ismodule(v):
-                mf = getattr(v, "__file__", "") or ""
-                if "amazon_fresh_sql_data_engineering_spark" in mf:
-                    seen_files.add(os.path.relpath(mf, repo_root))
-            elif inspect.isfunction(v):
+            tree = ast.parse(textwrap.dedent(inspect.getsource(f)))
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Attribute) and isinstance(
+                    node.value, ast.Name
+                ):
+                    attr_pairs.add((node.value.id, node.attr))
+                elif isinstance(node, ast.ImportFrom) and node.level > 0:
+                    anchor = mod_parts[: -node.level]
+                    absolute = ".".join(
+                        anchor + ([node.module] if node.module else [])
+                    )
+                    local_imports.append(
+                        (absolute, [(a.name, a.asname or a.name) for a in node.names])
+                    )
+                elif isinstance(node, ast.ImportFrom) and (
+                    node.module or ""
+                ).startswith(_PKG):
+                    local_imports.append(
+                        (node.module, [(a.name, a.asname or a.name) for a in node.names])
+                    )
+                elif isinstance(node, ast.Import):
+                    for a in node.names:
+                        if a.name.startswith(_PKG):
+                            local_imports.append((a.name, None))
+        except (OSError, SyntaxError, TypeError):
+            parsed = False
+        import importlib
+
+        env = dict(g)  # globals overlaid with function-local imports
+        for absolute, imp_names in local_imports:
+            try:
+                mod = importlib.import_module(absolute)
+            except ImportError:
+                continue
+            mrel_src = getattr(mod, "__file__", "") or ""
+            if _PKG not in mrel_src:
+                continue
+            mrel = os.path.relpath(mrel_src, repo_root)
+            if imp_names is None:
+                out.add((mrel, None))
+                continue
+            for iname, bound in imp_names:
+                v = getattr(mod, iname, None)
+                env.setdefault(bound, v)
+                if inspect.isfunction(v):
+                    stack.append(v)
+                elif inspect.isclass(v) and _rel(v):
+                    out.add((_rel(v), v.__name__))
+                elif inspect.ismodule(v):
+                    pass  # attr accesses resolve through env below
+                else:
+                    out.add((mrel, iname))
+        resolved_mods: set[str] = set()
+        for mname, attr in attr_pairs:
+            mod = env.get(mname)
+            if not inspect.ismodule(mod) or _PKG not in (
+                getattr(mod, "__file__", "") or ""
+            ):
+                continue
+            resolved_mods.add(mname)
+            mrel = os.path.relpath(mod.__file__, repo_root)
+            v = getattr(mod, attr, None)
+            if inspect.isfunction(v):
                 stack.append(v)
-    return seen_files
+            elif inspect.isclass(v) and _rel(v):
+                out.add((_rel(v), v.__name__))
+            else:
+                out.add((mrel, attr))  # module constant (or unresolvable)
+        for name in names:
+            if name not in env:
+                continue  # attribute names also land in co_names — skip
+            v = env[name]
+            if inspect.isfunction(v):
+                stack.append(v)
+            elif inspect.isclass(v) and _rel(v):
+                out.add((_rel(v), v.__name__))
+            elif inspect.ismodule(v):
+                mf = getattr(v, "__file__", "") or ""
+                if _PKG in mf and (name not in resolved_mods or not parsed):
+                    # referenced but no attribute statically resolved
+                    # (passed as a value, or the source didn't parse)
+                    out.add((os.path.relpath(mf, repo_root), None))
+            else:
+                # plain value (SQL string, threshold, schema const):
+                # assume defined in the reader's own module — the common
+                # case — so a changed module constant flags its queries
+                out.add((rel, name))
+    return out
 
 
-def adjudicate(current_path: str, prior_path: str, runs_glob: str | None, since: str | None) -> dict:
+def _changed_file_symbols(
+    repo_root: str, relpath: str, since: str, until: str
+) -> set[str] | None:
+    """Top-level symbols of ``relpath`` whose AST changed between the two
+    git refs. Returns None for 'treat the whole file as changed': the file
+    was added, failed to parse, its imports shrank/changed, or executable
+    module-level residue (anything beyond docstrings / single-name
+    assignments) differs. Changed/removed module constants are reported
+    by NAME; purely ADDED statements and imports are ignored — they
+    cannot alter a pre-existing query's plan."""
+    import ast
+    import subprocess
+
+    def _load(ref: str) -> str | None:
+        r = subprocess.run(
+            ["git", "show", f"{ref}:{relpath}"],
+            cwd=repo_root, capture_output=True, text=True,
+        )
+        return r.stdout if r.returncode == 0 else None
+
+    old_src, new_src = _load(since), _load(until)
+    if old_src is None or new_src is None:
+        return None
+    try:
+        old_t, new_t = ast.parse(old_src), ast.parse(new_src)
+    except SyntaxError:
+        return None
+
+    def _index(tree):
+        funcs: dict[str, str] = {}
+        assigns: dict[str, str] = {}
+        imports: set[str] = set()
+        other: list[str] = []
+
+        def visit(body, prefix):
+            for node in body:
+                if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    funcs[prefix + node.name] = ast.dump(node)
+                elif isinstance(node, ast.ClassDef):
+                    visit(node.body, prefix + node.name + ".")
+                    rest = [
+                        n for n in node.body
+                        if not isinstance(
+                            n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+                        )
+                    ]
+                    funcs[prefix + node.name] = "|".join(
+                        [ast.dump(n) for n in rest]
+                        + [ast.dump(d) for d in node.decorator_list]
+                        + [ast.dump(b) for b in node.bases]
+                    )
+                elif isinstance(node, (ast.Import, ast.ImportFrom)):
+                    if prefix == "":
+                        imports.add(ast.dump(node))
+                    else:
+                        other.append(prefix + ast.dump(node))
+                elif isinstance(node, ast.Expr) and isinstance(
+                    node.value, ast.Constant
+                ):
+                    pass  # docstring
+                elif (
+                    isinstance(node, ast.Assign)
+                    and len(node.targets) == 1
+                    and isinstance(node.targets[0], ast.Name)
+                ):
+                    assigns[prefix + node.targets[0].id] = ast.dump(node)
+                elif isinstance(node, ast.AnnAssign) and isinstance(
+                    node.target, ast.Name
+                ):
+                    assigns[prefix + node.target.id] = ast.dump(node)
+                else:
+                    other.append(prefix + ast.dump(node))
+
+        visit(tree.body, "")
+        return funcs, assigns, imports, sorted(other)
+
+    f_old, a_old, i_old, o_old = _index(old_t)
+    f_new, a_new, i_new, o_new = _index(new_t)
+    if not i_old <= i_new or o_old != o_new:
+        return None  # imports shrank/changed or executable residue differs
+    changed = {q for q in f_old if f_old[q] != f_new.get(q)}
+    changed |= {q for q in a_old if a_old[q] != a_new.get(q)}
+    return changed
+
+
+def _symbols_touched(
+    symbols: set[tuple[str, str | None]],
+    changed_by_file: dict[str, set[str] | None],
+) -> list[str]:
+    """Intersect a query's symbol set with the diff's changed symbols.
+    Prefix-compatible match: changed 'Class.method' hits symbol 'Class',
+    changed 'fn' hits symbol 'fn' (nested defs were folded into their
+    top-level parent on both sides)."""
+    hits: set[str] = set()
+    for relfile, sym in symbols:
+        if relfile not in changed_by_file:
+            continue
+        ch = changed_by_file[relfile]
+        if ch is None:
+            hits.add(f"{relfile}::*")
+        elif sym is None:
+            if ch:
+                hits.update(f"{relfile}::{c}" for c in ch)
+        else:
+            for c in ch:
+                if c == sym or c.startswith(sym + ".") or sym.startswith(c + "."):
+                    hits.add(f"{relfile}::{c}")
+    return sorted(hits)
+
+
+def adjudicate(
+    current_path: str,
+    prior_path: str,
+    runs_glob: str | None,
+    since: str | None,
+    until: str = "HEAD",
+) -> dict:
     """Post-hoc adjudication of a driver bench artifact (module doc). Pure
     JSON + git analysis — no SparkSession, no query execution."""
     import glob
@@ -298,19 +538,40 @@ def adjudicate(current_path: str, prior_path: str, runs_glob: str | None, since:
             pass
 
     if since is None:
-        # round boundary = the driver's artifact commit of the previous round
+        # round boundary = the driver's artifact commit of the PREVIOUS
+        # round. If THIS round's correctness artifact is already committed
+        # at HEAD, the newest CORRECTNESS commit IS HEAD and the diff
+        # below would be empty — every regression with a tight spread
+        # would then be misclassified as tenancy-spike (ADVICE r9). Take
+        # the newest CORRECTNESS commit strictly before HEAD.
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=repo_root, capture_output=True, text=True,
+        ).stdout.strip()
         out = subprocess.run(
-            ["git", "log", "-1", "--format=%H", "--", "CORRECTNESS_r*.json"],
+            ["git", "log", "--format=%H", "--", "CORRECTNESS_r*.json"],
             cwd=repo_root, capture_output=True, text=True,
         )
-        since = out.stdout.strip() or None
+        since = next((h for h in out.stdout.split() if h != head), None)
     changed: set[str] = set()
     if since:
         out = subprocess.run(
-            ["git", "diff", "--name-only", f"{since}..HEAD"],
+            ["git", "diff", "--name-only", f"{since}..{until}"],
             cwd=repo_root, capture_output=True, text=True,
         )
         changed = {line.strip() for line in out.stdout.splitlines() if line.strip()}
+    # FUNCTION-level change map (VERDICT r9 item 4): for each changed
+    # package file, which top-level symbols actually differ between the
+    # refs — so a query living in a touched FILE is only marked
+    # plan-change when a symbol on its own call path changed
+    changed_by_file: dict[str, set[str] | None] = {}
+    for relfile in changed:
+        if relfile.endswith(".py") and relfile.startswith(_PKG):
+            changed_by_file[relfile] = (
+                _changed_file_symbols(repo_root, relfile, since, until)
+                if since
+                else None
+            )
 
     from amazon_fresh_sql_data_engineering_spark.catalog import CATALOG
 
@@ -335,9 +596,14 @@ def adjudicate(current_path: str, prior_path: str, runs_glob: str | None, since:
         stable = spread is not None and (
             spread <= 1.5 or (max(colds.values()) - min(colds.values())) <= 0.3
         )
-        touched = sorted(
-            _query_source_files(CATALOG[name].fn, repo_root) & changed
-        ) if name in CATALOG else None
+        touched = (
+            _symbols_touched(
+                _query_source_symbols(CATALOG[name].fn, repo_root),
+                changed_by_file,
+            )
+            if name in CATALOG
+            else None
+        )
         if touched:
             verdict = "plan-change"
         elif stable:
@@ -350,7 +616,7 @@ def adjudicate(current_path: str, prior_path: str, runs_glob: str | None, since:
             "committed_runs_warm": warms,
             "committed_spread_ratio": spread,
             "operator_path_changed": bool(touched),
-            "changed_files": touched or [],
+            "changed_symbols": touched or [],
             "verdict": verdict,
         }
     return {
@@ -358,6 +624,7 @@ def adjudicate(current_path: str, prior_path: str, runs_glob: str | None, since:
             "current": current_path,
             "prior": prior_path,
             "since": since,
+            "until": until,
             "committed_runs": [rn for rn, _ in runs],
             "drift_median_ratio": comp.get("drift_median_ratio"),
             "normalized_total_ratio": comp.get("normalized_total_ratio"),
@@ -437,6 +704,13 @@ if __name__ == "__main__":
         since_ref = (
             sys.argv[sys.argv.index("--since") + 1] if "--since" in sys.argv else None
         )
-        print(json.dumps(adjudicate(current, prior, runs_glob, since_ref), indent=2))
+        until_ref = (
+            sys.argv[sys.argv.index("--until") + 1] if "--until" in sys.argv else "HEAD"
+        )
+        print(
+            json.dumps(
+                adjudicate(current, prior, runs_glob, since_ref, until_ref), indent=2
+            )
+        )
     else:
         main()

@@ -116,3 +116,47 @@ def test_summary_hard_bound_with_pathological_full_path():
     parsed = json.loads(line)
     assert parsed["full"] == "full.json"  # basename fallback engaged
     assert parsed["value"] == out["value"]  # totals always survive
+
+
+def test_adjudicate_symbol_map_is_function_level():
+    """VERDICT r9 item 4: the adjudication change map resolves each query
+    fn's TRANSITIVE CALLEES (function-local imports and module-attr calls
+    included) instead of file membership. Locks the three properties the
+    r9c replay demonstrated: (a) the z-order query's path reaches the
+    layout symbols the r9 Morton fusion changed, (b) an unrelated query
+    in the SAME FILE does not, and (c) the walker covers the whole
+    catalog without falling back to whole-file sentinels."""
+    from bench import _changed_file_symbols, _query_source_symbols, _symbols_touched
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from amazon_fresh_sql_data_engineering_spark.catalog import CATALOG
+
+    layout = "amazon_fresh_sql_data_engineering_spark/sources/layout.py"
+    # the r8 artifact commit -> the r9 closing commit: the round in which
+    # zorder_frame/_rank_expr changed (the Morton-leaf fusion)
+    ch = _changed_file_symbols(repo, layout, "71d4bf8", "0ff3f94")
+    if ch is None:  # shallow/filtered clone: can't replay history
+        import pytest
+
+        pytest.skip("git history for the r9 round not available")
+    assert "zorder_frame" in ch or "_rank_expr" in ch
+    z = _query_source_symbols(CATALOG["q_zorder_roundtrip"].fn, repo)
+    assert any(f == layout for f, _s in z)
+    assert _symbols_touched(z, {layout: ch})
+    hv = _query_source_symbols(CATALOG["q_high_value"].fn, repo)
+    assert not _symbols_touched(hv, {layout: ch})
+    # same-file discrimination: q_zorder_roundtrip and q_compaction_roundtrip
+    # live in queries_etl.py; a change to only one's symbols must not flag
+    # the other (simulated change set)
+    etl = "amazon_fresh_sql_data_engineering_spark/queries_etl.py"
+    fake = {etl: {"q_zorder_roundtrip"}}
+    assert _symbols_touched(z, fake)
+    comp = _query_source_symbols(CATALOG["q_compaction_roundtrip"].fn, repo)
+    assert not _symbols_touched(comp, fake)
+    # whole-catalog walk: fully resolved, no whole-file sentinels
+    sentinels = []
+    for name, spec in CATALOG.items():
+        for f, s in _query_source_symbols(spec.fn, repo):
+            if s is None:
+                sentinels.append((name, f))
+    assert not sentinels, sentinels[:5]
