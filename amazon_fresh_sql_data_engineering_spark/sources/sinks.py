@@ -180,6 +180,16 @@ class SwapPublish:
     def read_or_none(self, spark: SparkSession, final_path: str):
         from pyspark.errors import AnalysisException
 
+        # cross-primitive guard: a pointer-published sink has no parquet
+        # at its root, so a direct read would come back None/empty and a
+        # stateful consumer would silently refold from scratch — the same
+        # failure mode the torn-swap heal exists for, caused by operator
+        # error instead of a crash. Fail loudly.
+        if os.path.exists(os.path.join(final_path, "_LATEST")):
+            raise ValueError(
+                f"swap publish: {final_path} is a POINTER-published sink "
+                "(_LATEST present) — read it with POINTER_PUBLISH"
+            )
         try:
             return spark.read.parquet(final_path)
         except AnalysisException:
@@ -230,9 +240,20 @@ class PointerPublish:
         return pruned
 
     def read_or_none(self, spark: SparkSession, final_path: str):
+        import glob as _glob
+
         from . import versioned as V
 
         if V.current_version(final_path) is None:
+            # cross-primitive guard (mirror of SwapPublish's): parquet at
+            # the root means this sink was published by the SWAP
+            # primitive — returning None here would silently discard it
+            if _glob.glob(os.path.join(final_path, "part-*")):
+                raise ValueError(
+                    f"pointer publish: {final_path} is a SWAP-published "
+                    "sink (root parquet files, no _LATEST) — read it "
+                    "with SWAP_PUBLISH"
+                )
             return None
         return V.read_snapshot(spark, final_path)
 

@@ -774,3 +774,32 @@ def test_compact_partitions_handles_token_lookalike_partition_values(
     assert len(glob.glob(os.path.join(path, "grp=a__old__b", "part-*"))) <= 8
     got = {(r["id"], r["grp"]) for r in spark.read.parquet(path).collect()}
     assert got == expect
+
+
+def test_publish_primitive_cross_use_fails_loudly(spark, tmp_path):
+    """Self-review r10: pairing an existing sink with the WRONG publish
+    primitive must raise, not return None — a None reads as 'first-ever
+    batch' to the streaming sinks, which would silently refold published
+    state from empty (the operator-error twin of the torn-swap window)."""
+    import pytest
+
+    from amazon_fresh_sql_data_engineering_spark.sources.sinks import (
+        POINTER_PUBLISH,
+        SWAP_PUBLISH,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    swap_sink = str(tmp_path / "swap_sink")
+    SWAP_PUBLISH.write(df, swap_sink)
+    with pytest.raises(ValueError, match="SWAP-published"):
+        POINTER_PUBLISH.read_or_none(spark, swap_sink)
+    ptr_sink = str(tmp_path / "ptr_sink")
+    POINTER_PUBLISH.write(df, ptr_sink)
+    with pytest.raises(ValueError, match="POINTER-published"):
+        SWAP_PUBLISH.read_or_none(spark, ptr_sink)
+    # right pairings still read
+    assert SWAP_PUBLISH.read_or_none(spark, swap_sink).count() == 1
+    assert POINTER_PUBLISH.read_or_none(spark, ptr_sink).count() == 1
+    # absent sinks are None under both
+    assert SWAP_PUBLISH.read_or_none(spark, str(tmp_path / "nope")) is None
+    assert POINTER_PUBLISH.read_or_none(spark, str(tmp_path / "nope2")) is None
