@@ -1728,3 +1728,144 @@ def test_flat_mv_sink_needs_no_fs_gateway(spark, tmp_path, monkeypatch):
             str(tmp_path / "mv_part"), str(tmp_path / "ckpt2"), keys, sums,
             num_buckets=4,
         )
+
+
+def test_streaming_mv_partitioned_mvcc_matches_batch_untouched_byte_identical(
+    spark, tmp_path, monkeypatch
+):
+    """Round-10 depth: the per-bucket MVCC partitioned sink. Folded result
+    must equal the batch recompute; an UNTOUCHED bucket's live snapshot
+    directory must be byte-identical across a fold (the O(touched)
+    claim); and the whole loop must run with the JVM-gateway helper
+    stubbed to the Connect failure mode — MVCC needs no filesystem
+    renames of live data, which is also what makes it the object-store
+    form."""
+    import glob
+    import os
+
+    from amazon_fresh_sql_data_engineering_spark.streaming import mv as MV
+
+    def _no_gateway(spark, path):
+        raise NotImplementedError("simulated Spark Connect: no JVM gateway")
+
+    monkeypatch.setattr(MV, "_fs", _no_gateway)
+    keys, sums = ["g"], {"rev": "rev"}
+    sch = "id int, g string, rev double, __op int"
+    # group values chosen so batch 2 touches ONLY g2's bucket
+    rows1 = [(1, "g1", 10.0, 1), (2, "g2", 5.0, 1), (3, "g3", 7.0, 1)]
+    rows2 = [(4, "g2", 2.5, 1)]
+    src = str(tmp_path / "d1")
+    out = str(tmp_path / "mv_state")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(rows1, sch).coalesce(1).write.parquet(src)
+    MV.run_mv_maintain_stream_partitioned_mvcc(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(src),
+        out, ckpt, keys, sums, num_buckets=16,
+    )
+
+    def snap(b):
+        bdir = MV._bp_dir(out, b)
+        v = MV._bp_version(bdir)
+        return {
+            os.path.basename(p): os.path.getsize(p)
+            for p in glob.glob(f"{bdir}/data/v={v}/part-*")
+        }, v
+
+    from amazon_fresh_sql_data_engineering_spark.streaming.mv import _bucket_col
+
+    b_of = {
+        r["g"]: r["b"]
+        for r in spark.createDataFrame([("g1",), ("g2",), ("g3",)], "g string")
+        .withColumn("b", _bucket_col(keys, 16))
+        .collect()
+    }
+    untouched = [b for g, b in b_of.items() if g != "g2" and b != b_of["g2"]]
+    assert untouched  # g1/g3 must not share g2's bucket for the check to bite
+    before = {b: snap(b) for b in untouched}
+    spark.createDataFrame(rows2, sch).coalesce(1).write.mode("append").parquet(src)
+    MV.run_mv_maintain_stream_partitioned_mvcc(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(src),
+        out, ckpt, keys, sums, num_buckets=16,
+    )
+    got = {
+        r["g"]: (r["__mv_cnt"], float(r["rev"]))
+        for r in MV.read_mv_state_mvcc(spark, out).collect()
+    }
+    assert got == {"g1": (1, 10.0), "g2": (2, 7.5), "g3": (1, 7.0)}
+    # untouched buckets: same snapshot version, same files, same bytes
+    for b in untouched:
+        assert snap(b) == before[b]
+
+
+def test_streaming_mv_partitioned_mvcc_heals_and_converges(spark, tmp_path):
+    """MVCC crash windows are garbage, never loss: a staged-but-never-
+    published snapshot (crash between the staging move and the pointer
+    flip) is pruned by the next batch's heal while the OLD snapshot stays
+    live; a fold that empties a bucket publishes a schema-bearing 0-row
+    snapshot behind the same atomic flip; ownership and cross-layout
+    misuse fail loudly."""
+    import os
+    import shutil
+
+    import pytest
+
+    from amazon_fresh_sql_data_engineering_spark.streaming import mv as MV
+
+    keys, sums = ["g"], {"rev": "rev"}
+    sch = "id int, g string, rev double, __op int"
+    src = str(tmp_path / "d1")
+    out = str(tmp_path / "mv_state")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, "a", 10.0, 1), (2, "b", 4.0, 1)], sch).coalesce(
+        1
+    ).write.parquet(src)
+    MV.run_mv_maintain_stream_partitioned_mvcc(
+        spark.readStream.schema(sch).parquet(src), out, ckpt, keys, sums,
+        num_buckets=8,
+    )
+    # simulate the torn window: an orphan NEWER snapshot exists (staging
+    # move done, pointer flip never happened) with poisoned content
+    buckets = MV._bp_buckets(out)
+    bdir = MV._bp_dir(out, buckets[0])
+    v = MV._bp_version(bdir)
+    shutil.copytree(f"{bdir}/data/v={v}", f"{bdir}/data/v={v + 1}")
+    # old state is still what reads resolve
+    n0 = MV.read_mv_state_mvcc(spark, out).count()
+    assert n0 == 2
+    # next batch heals the orphan and folds normally; 'b' is emptied
+    spark.createDataFrame([(3, "b", 4.0, -1)], sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    MV.run_mv_maintain_stream_partitioned_mvcc(
+        spark.readStream.schema(sch).parquet(src), out, ckpt, keys, sums,
+        num_buckets=8,
+    )
+    got = {
+        r["g"]: (r["__mv_cnt"], float(r["rev"]))
+        for r in MV.read_mv_state_mvcc(spark, out).collect()
+    }
+    assert got == {"a": (1, 10.0)}  # b emptied, a intact
+    assert not os.path.exists(f"{bdir}/data/v={v + 1}") or MV._bp_version(
+        bdir
+    ) == v + 1  # orphan either pruned or legitimately superseded
+    # each bucket holds exactly ONE snapshot (vacuum on publish)
+    for b in MV._bp_buckets(out):
+        data = f"{MV._bp_dir(out, b)}/data"
+        assert len(os.listdir(data)) == 1, (b, os.listdir(data))
+    # foreign checkpoint refused
+    with pytest.raises(Exception, match="owned by checkpoint"):
+        MV.run_mv_maintain_stream_partitioned_mvcc(
+            spark.readStream.schema(sch).parquet(src),
+            out, str(tmp_path / "ckpt2"), keys, sums, num_buckets=8,
+        )
+    # cross-layout misuse refused: mvcc maintainer pointed at a swap sink
+    flat = str(tmp_path / "flat_sink")
+    MV.run_mv_maintain_stream(
+        spark.readStream.schema(sch).parquet(src),
+        flat, str(tmp_path / "ckpt3"), keys, sums,
+    )
+    with pytest.raises(Exception, match="flat SWAP sink"):
+        MV.run_mv_maintain_stream_partitioned_mvcc(
+            spark.readStream.schema(sch).parquet(src),
+            flat, str(tmp_path / "ckpt4"), keys, sums, num_buckets=8,
+        )
