@@ -718,6 +718,47 @@ def run_mv_maintain_stream_partitioned_mvcc(
     return q
 
 
+def adopt_mv_sink_mvcc(
+    spark: SparkSession,
+    out_path: str,
+    checkpoint_dir: str,
+    last_batch: int = -1,
+) -> None:
+    """Re-home a per-bucket MVCC sink onto a NEW checkpoint — the
+    :func:`adopt_mv_sink` of the mvcc layout. Every bucket's live
+    snapshot is rewritten with the new owner and ``last_batch`` stamp and
+    published as a NEW version behind the usual atomic flip (old
+    snapshots stay live until their replacement is pointed at, so a
+    crash mid-adopt leaves a mix of adopted and unadopted buckets — the
+    unadopted ones still carry the foreign owner and the next fold
+    refuses loudly, exactly the explicit-decision contract adoption
+    exists to enforce; re-run the adopt to finish)."""
+    buckets = _bp_buckets(out_path)
+    if not buckets:
+        raise FileNotFoundError(f"mv stream: no published state at {out_path}")
+    for b in buckets:
+        _bp_heal(_bp_dir(out_path, b))
+    owner = _owner_id(checkpoint_dir)
+    for b in buckets:
+        bdir = _bp_dir(out_path, b)
+        cur_v = _bp_version(bdir)
+        if cur_v is None:
+            continue  # never-published bucket: nothing to adopt
+        df = spark.read.parquet(f"{bdir}/data/v={cur_v}")
+        if _STAMP not in df.columns:
+            raise ValueError(f"mv stream: {bdir} is not a stamped view state")
+        restamped = (
+            df.drop(_STAMP, _OWNER)
+            .withColumn(_STAMP, F.lit(last_batch))
+            .withColumn(_OWNER, F.lit(owner))
+        )
+        next_v = cur_v + 1
+        restamped.coalesce(1).write.mode("overwrite").parquet(
+            f"{bdir}/data/v={next_v}"
+        )
+        _bp_publish(bdir, next_v)
+
+
 def read_mv_state_mvcc(spark: SparkSession, out_path: str) -> DataFrame:
     """Current state of a per-bucket MVCC sink: resolve every bucket's
     pointer driver-side, read the named snapshots (emptied buckets are

@@ -1869,3 +1869,40 @@ def test_streaming_mv_partitioned_mvcc_heals_and_converges(spark, tmp_path):
             spark.readStream.schema(sch).parquet(src),
             flat, str(tmp_path / "ckpt4"), keys, sums, num_buckets=8,
         )
+
+
+def test_streaming_mv_partitioned_mvcc_adopt_rehomes(spark, tmp_path):
+    """adopt_mv_sink_mvcc: a fresh checkpoint over an existing mvcc sink
+    is refused until the operator explicitly re-homes it; adoption
+    restamps every bucket behind the usual atomic flips and the new
+    stream folds on top."""
+    import pytest
+
+    from amazon_fresh_sql_data_engineering_spark.streaming import mv as MV
+
+    keys, sums = ["g"], {"rev": "rev"}
+    sch = "id int, g string, rev double, __op int"
+    src = str(tmp_path / "d1")
+    out = str(tmp_path / "mv_state")
+    spark.createDataFrame([(1, "a", 10.0, 1)], sch).coalesce(1).write.parquet(src)
+    MV.run_mv_maintain_stream_partitioned_mvcc(
+        spark.readStream.schema(sch).parquet(src),
+        out, str(tmp_path / "ck1"), keys, sums, num_buckets=8,
+    )
+    src2 = str(tmp_path / "d2")
+    spark.createDataFrame([(2, "b", 5.0, 1)], sch).coalesce(1).write.parquet(src2)
+    with pytest.raises(Exception, match="owned by checkpoint"):
+        MV.run_mv_maintain_stream_partitioned_mvcc(
+            spark.readStream.schema(sch).parquet(src2),
+            out, str(tmp_path / "ck2"), keys, sums, num_buckets=8,
+        )
+    MV.adopt_mv_sink_mvcc(spark, out, str(tmp_path / "ck2"))
+    MV.run_mv_maintain_stream_partitioned_mvcc(
+        spark.readStream.schema(sch).parquet(src2),
+        out, str(tmp_path / "ck2"), keys, sums, num_buckets=8,
+    )
+    got = {
+        r["g"]: (r["__mv_cnt"], float(r["rev"]))
+        for r in MV.read_mv_state_mvcc(spark, out).collect()
+    }
+    assert got == {"a": (1, 10.0), "b": (1, 5.0)}
