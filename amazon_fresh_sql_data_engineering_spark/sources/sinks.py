@@ -208,7 +208,14 @@ class PointerPublish:
     snapshot published and only an orphan directory to prune, which is
     exactly why the two-rename swap's heal logic doesn't (and needn't)
     transfer to S3 semantics. After a successful flip, superseded
-    snapshots are pruned (same retention the swap primitive has)."""
+    snapshots are pruned (same retention the swap primitive has).
+
+    NOT for :mod:`.versioned` time-travel tables, despite sharing their
+    on-disk mechanism: ``write`` vacuums to latest-only and ``heal``
+    prunes every snapshot the pointer doesn't name — a rolled-back table
+    with newer snapshots on disk would lose them. Streaming sink state
+    is single-version by contract; use versioned.py directly when you
+    want history."""
 
     name = "pointer"
 
@@ -240,19 +247,22 @@ class PointerPublish:
         return pruned
 
     def read_or_none(self, spark: SparkSession, final_path: str):
-        import glob as _glob
-
         from . import versioned as V
 
         if V.current_version(final_path) is None:
-            # cross-primitive guard (mirror of SwapPublish's): parquet at
-            # the root means this sink was published by the SWAP
-            # primitive — returning None here would silently discard it
-            if _glob.glob(os.path.join(final_path, "part-*")):
+            # cross-primitive guard (mirror of SwapPublish's): root
+            # parquet files (flat swap layout) or visible hive partition
+            # directories (partitioned swap layout) mean this sink was
+            # published by the SWAP primitive — returning None here would
+            # silently discard it
+            if os.path.isdir(final_path) and any(
+                e.startswith("part-") or ("=" in e and e != V._DATA and not e.startswith((".", "_")))
+                for e in os.listdir(final_path)
+            ):
                 raise ValueError(
                     f"pointer publish: {final_path} is a SWAP-published "
-                    "sink (root parquet files, no _LATEST) — read it "
-                    "with SWAP_PUBLISH"
+                    "sink (root parquet files or partition directories, "
+                    "no _LATEST) — read it with SWAP_PUBLISH"
                 )
             return None
         return V.read_snapshot(spark, final_path)

@@ -803,3 +803,22 @@ def test_publish_primitive_cross_use_fails_loudly(spark, tmp_path):
     # absent sinks are None under both
     assert SWAP_PUBLISH.read_or_none(spark, str(tmp_path / "nope")) is None
     assert POINTER_PUBLISH.read_or_none(spark, str(tmp_path / "nope2")) is None
+
+
+def test_pointer_read_rejects_partitioned_swap_sink(spark, tmp_path):
+    """Self-review r10b: the cross-primitive guard must also catch a
+    PARTITIONED swap sink (hive dirs at the root, no part-* files) —
+    otherwise the pointer read returns None and a stateful consumer
+    silently discards it."""
+    import pytest
+
+    from amazon_fresh_sql_data_engineering_spark.sources.sinks import (
+        POINTER_PUBLISH,
+        SWAP_PUBLISH,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, g string")
+    sink = str(tmp_path / "part_sink")
+    SWAP_PUBLISH.write(df, sink, partition_by=["g"])
+    with pytest.raises(ValueError, match="SWAP-published"):
+        POINTER_PUBLISH.read_or_none(spark, sink)
