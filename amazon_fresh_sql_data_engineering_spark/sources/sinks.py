@@ -148,13 +148,23 @@ def recover_swap(final_path: str) -> bool:
         return False
     if not olds:
         return False
-    # NEWEST backup is the published state. Suffixes are monotonic since
-    # r10, but pre-r10 backups carry random uuid suffixes where
-    # lexicographic order is NOT age order (ADVICE r9) — directory mtime
-    # is correct for both: rename preserves it, so each backup's mtime is
-    # when its contents were materialized, and the single-writer contract
-    # (write N finishes before write N+1 starts) strictly orders those.
-    newest = max(olds, key=os.path.getmtime)
+    # NEWEST backup is the published state. Suffixes are monotonic
+    # ns-stamps since r10 (16 hex digits, zero-padded: lexicographic
+    # order IS age order), so when every backup carries one, order by the
+    # SUFFIX — exact regardless of filesystem timestamp granularity
+    # (ADVICE r10: two backups materialized within one coarse-mtime tick
+    # tie under max(mtime) and the pick becomes arbitrary). Pre-r10
+    # backups carry random uuid suffixes where lexicographic order means
+    # nothing — fall back to directory mtime for a mixed/legacy set
+    # (rename preserves mtime, and the single-writer contract strictly
+    # orders materialization times at normal granularity).
+    import re as _re
+
+    _stamped = _re.compile(r"\.__old__[0-9a-f]{16}\.[0-9a-f]{6}$")
+    if all(_stamped.search(o) for o in olds):
+        newest = max(olds)
+    else:
+        newest = max(olds, key=os.path.getmtime)
     os.rename(newest, final_path)
     for o in olds:
         if o != newest:
@@ -251,12 +261,20 @@ class PointerPublish:
 
         if V.current_version(final_path) is None:
             # cross-primitive guard (mirror of SwapPublish's): root
-            # parquet files (flat swap layout) or visible hive partition
+            # parquet files (flat swap layout) or hive partition
             # directories (partitioned swap layout) mean this sink was
             # published by the SWAP primitive — returning None here would
-            # silently discard it
+            # silently discard it. Partition-dir detection follows Spark's
+            # InMemoryFileIndex rule (ADVICE r10): any 'name=value' entry
+            # counts EVEN with a leading underscore — Spark itself admits
+            # underscore-prefixed partition dirs (the rename-swap
+            # partitioned MV sink writes '__mv_bucket=N'), so excluding
+            # them here reopened the silent-refold-from-empty path this
+            # guard exists to close. Only dot-prefixed entries stay
+            # hidden (Spark never discovers those as partitions).
             if os.path.isdir(final_path) and any(
-                e.startswith("part-") or ("=" in e and e != V._DATA and not e.startswith((".", "_")))
+                e.startswith("part-")
+                or ("=" in e and e != V._DATA and not e.startswith("."))
                 for e in os.listdir(final_path)
             ):
                 raise ValueError(

@@ -588,10 +588,11 @@ def run_mv_maintain_stream_partitioned_mvcc(
     {not flipped: the OLD snapshot is still live, stamp < batch id, the
     replay refolds it from its own rows}. Heal = prune unpointed
     snapshots and staging leftovers — garbage collection, not recovery. A
-    fold that EMPTIES a bucket publishes the ``version = -1`` empty
-    sentinel with the same atomic flip (deleting a directory is not
-    atomic; flipping a pointer is), and a replay of that batch re-empties
-    by the same algebra as the flat sink.
+    fold that EMPTIES a bucket publishes a schema-bearing 0-ROW snapshot
+    at the bucket's next version behind the same atomic flip (deleting a
+    directory is not atomic; flipping a pointer is — and keeping the
+    schema keeps every reader's snapshot union well-typed), and a replay
+    of that batch re-empties by the same algebra as the flat sink.
 
     No Hadoop FileSystem gateway anywhere — reads resolve pointer files
     driver-side and hand Spark the explicit snapshot paths (``_BUCKET``

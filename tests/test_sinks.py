@@ -822,3 +822,51 @@ def test_pointer_read_rejects_partitioned_swap_sink(spark, tmp_path):
     SWAP_PUBLISH.write(df, sink, partition_by=["g"])
     with pytest.raises(ValueError, match="SWAP-published"):
         POINTER_PUBLISH.read_or_none(spark, sink)
+
+
+def test_pointer_read_rejects_underscore_prefixed_partition_swap_sink(
+    spark, tmp_path
+):
+    """ADVICE r10 (low): Spark's InMemoryFileIndex admits underscore-
+    prefixed 'name=value' partition dirs — the rename-swap partitioned MV
+    sink's layout is exactly '__mv_bucket=N' — so the pointer primitive's
+    cross-layout guard must count them as swap evidence too, not skip
+    them under the hidden-prefix rule and silently return None."""
+    import pytest
+
+    from amazon_fresh_sql_data_engineering_spark.sources.sinks import (
+        POINTER_PUBLISH,
+    )
+
+    sink = str(tmp_path / "mv_bucket_sink")
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "id int, g string, __mv_bucket int"
+    )
+    df.write.partitionBy("__mv_bucket").parquet(sink)
+    # sanity: Spark itself discovers the underscore-prefixed partitions
+    assert spark.read.parquet(sink).count() == 2
+    with pytest.raises(ValueError, match="SWAP-published"):
+        POINTER_PUBLISH.read_or_none(spark, sink)
+
+
+def test_recover_swap_prefers_monotonic_suffix_over_mtime(spark, tmp_path):
+    """ADVICE r10 (low): when every backup carries the r10 16-hex-digit
+    ns-stamp suffix, restore order comes from the SUFFIX — exact even when
+    a coarse-granularity filesystem gives both backups the same mtime (or,
+    as forced here, actively misleading mtimes). The mtime fallback stays
+    for legacy uuid-suffixed backups (covered by the multiple-backups
+    test above)."""
+    from amazon_fresh_sql_data_engineering_spark.sources.sinks import recover_swap
+
+    path = str(tmp_path / "state")
+    older = f"{path}.__old__00000000000000aa.abc123"
+    newer = f"{path}.__old__00000000000000ff.def456"
+    spark.createDataFrame([(1, "stale")], "id int, v string").write.parquet(older)
+    spark.createDataFrame([(2, "live")], "id int, v string").write.parquet(newer)
+    # actively mislead mtime: make the OLDER-stamped backup look newest
+    os.utime(older, (2_000_000_000, 2_000_000_000))
+    os.utime(newer, (1_000_000_000, 1_000_000_000))
+    assert recover_swap(path) is True
+    row = spark.read.parquet(path).collect()[0]
+    assert (row["id"], row["v"]) == (2, "live")
+    assert not os.path.exists(older) and not os.path.exists(newer)
