@@ -160,3 +160,79 @@ def test_adjudicate_symbol_map_is_function_level():
             if s is None:
                 sentinels.append((name, f))
     assert not sentinels, sentinels[:5]
+
+
+def test_symbol_map_sees_default_arg_publish_instances():
+    """ADVICE r10 (low): symbols reached only through a default-argument
+    INSTANCE (``publish=SWAP_PUBLISH``) or duck-typed calls on it
+    (``publish.write``) must still flag — the walker records the
+    instance's class symbol and walks the class's methods, so edits to
+    SwapPublish.write (or helpers behind it, like atomic_swap_write) hit
+    the change map."""
+    from bench import _query_source_symbols, _symbols_touched
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from amazon_fresh_sql_data_engineering_spark.streaming.mv import (
+        run_mv_maintain_stream,
+    )
+
+    syms = _query_source_symbols(run_mv_maintain_stream, repo)
+    sinks = "amazon_fresh_sql_data_engineering_spark/sources/sinks.py"
+    assert (sinks, "SwapPublish") in syms, sorted(s for f, s in syms if f == sinks)
+    # methods walked: atomic_swap_write hides behind SwapPublish.write
+    assert (sinks, "atomic_swap_write") in syms
+    # an edit to the class (or the helper behind it) therefore intersects;
+    # prefix matching means the bare class symbol hits method-level changes
+    assert _symbols_touched(syms, {sinks: {"SwapPublish.write"}})
+    assert _symbols_touched(syms, {sinks: {"atomic_swap_write"}})
+    assert _symbols_touched(syms, {sinks: {"SwapPublish"}})
+
+
+def test_adjudicate_warm_and_position_rules_self_clear(tmp_path):
+    """VERDICT r10 item 4: warm-tier and rotation-position flags self-
+    clear mechanically — current reading inside the committed-run
+    envelope, or a move into the run's first ~20 slots on a small query —
+    while a flag with no evidence stays inconclusive."""
+    from bench import adjudicate
+
+    base = {f"q{i:02d}": 1.0 for i in range(12)}
+    # prior: late-position qpos, favorable qenv pin
+    prior_q = dict(base, qenv=0.30, qpos=0.40, qbad=0.50)
+    prior = {
+        "queries": prior_q,
+        "queries_warm": {k: v * 0.8 for k, v in prior_q.items()},
+    }
+    # current: qenv 2.5x (but within committed envelope), qpos 2.5x at
+    # position 0 (rotation artifact), qbad 4x with no cover
+    cur_q = dict(qpos=1.00, **{k: v for k, v in base.items()})
+    cur_q.update(qenv=0.75, qbad=2.00)
+    cur = {
+        "queries": cur_q,
+        "queries_warm": {k: v * 0.8 for k, v in cur_q.items()},
+    }
+    committed = {
+        "queries": dict(base, qenv=0.80, qpos=0.35, qbad=0.45),
+        "queries_warm": dict(
+            {k: v * 0.8 for k, v in base.items()}, qenv=0.70, qpos=0.30, qbad=0.40
+        ),
+    }
+    paths = {}
+    for name, payload in (("cur", cur), ("prior", prior), ("committed", committed)):
+        p = tmp_path / f"BENCH_{name}.json"
+        p.write_text(json.dumps(payload))
+        paths[name] = str(p)
+    out = adjudicate(
+        paths["cur"],
+        paths["prior"],
+        str(tmp_path / "BENCH_committed.json"),
+        since="HEAD",
+        until="HEAD",
+    )["adjudicate"]
+    flags = out["flags"]
+    assert set(flags) == {"qenv", "qpos", "qbad"}
+    assert flags["qenv"]["verdict"] == "tenancy-spike"
+    assert "cold-in-committed-range" in flags["qenv"]["evidence"]
+    assert flags["qpos"]["verdict"] == "tenancy-spike"
+    assert any(e.startswith("rotation-position") for e in flags["qpos"]["evidence"])
+    assert flags["qbad"]["verdict"] == "inconclusive"
+    assert flags["qbad"]["evidence"] == []
