@@ -1065,10 +1065,13 @@ def write_minhash_store(
     _write_manifest(spark, path, num_hashes, bands, num_prefixes, k, seed, "batch")
 
 
-def _write_manifest(spark, path, num_hashes, bands, num_prefixes, k, seed, layout):
+def _write_manifest(
+    spark, path, num_hashes, bands, num_prefixes, k, seed, layout, publish="swap"
+):
     spark.createDataFrame(
-        [(num_hashes, bands, num_prefixes, k, seed, layout)],
-        "num_hashes int, bands int, num_prefixes int, k int, seed int, layout string",
+        [(num_hashes, bands, num_prefixes, k, seed, layout, publish)],
+        "num_hashes int, bands int, num_prefixes int, k int, seed int, "
+        "layout string, publish string",
     ).write.mode("overwrite").parquet(f"{path}/manifest")
 
 
@@ -1076,6 +1079,79 @@ def _manifest_layout(m) -> str:
     """Layout of a store manifest row; pre-r8 manifests lack the column
     and are by construction batch-layout."""
     return m.asDict().get("layout") or "batch"
+
+
+#: versioned root of a POINTER-published append store (r11): the live
+#: index/features trees sit inside one generation directory
+#: ``{path}/store/data/v=N`` behind a ``{path}/store/_LATEST`` pointer
+_GEN = "store"
+
+
+def _gen_root(path: str) -> str:
+    return f"{path}/{_GEN}"
+
+
+def _store_is_pointer(path: str) -> bool:
+    """On-disk publish-mode discriminator (os-level, no session needed):
+    a pointer-published store carries the generation pointer file. The
+    layout itself is authoritative — the manifest's ``publish`` column is
+    documentation of the bootstrap-time choice, not a second source of
+    truth that could disagree with the tree."""
+    import os
+
+    from ..sources import versioned as V
+
+    return os.path.exists(os.path.join(_gen_root(path), V._POINTER))
+
+
+def _store_trees(path: str) -> tuple[str, str]:
+    """Resolved ``(features_dir, index_dir)`` live trees of a minhash
+    store, under either publish mode. Swap/legacy stores keep the r7
+    layout (trees at the store root, republished by directory rename);
+    pointer stores resolve through the generation pointer — appends are
+    dynamic partition overwrites INTO the current generation (the live
+    tree is mutable; what is immutable is a SUPERSEDED generation), and
+    only compaction creates a new generation."""
+    if _store_is_pointer(path):
+        from ..sources import versioned as V
+
+        root = _gen_root(path)
+        d = V._data_dir(root, V.current_version(root))
+        return f"{d}/features", f"{d}/index"
+    return f"{path}/features", f"{path}/index"
+
+
+def heal_minhash_store(path: str) -> None:
+    """Publish-mode-dispatched pre-read heal — every store consumer entry
+    point runs this UNCONDITIONALLY before any existence probe (the
+    ADVICE-r9 rule: on a swap-published tree, ``exists()`` is only
+    meaningful after the heal).
+
+    Swap mode: :func:`~..sources.sinks.recover_swap` on both trees (a
+    compaction crash between a swap's two renames leaves the only copy of
+    a tree in a ``__old__`` sibling — restore it).
+
+    Pointer mode: prune generations the pointer does not name. There is
+    no restore arm at all — the pointed generation stayed live through
+    any crash; generations ABOVE the pointer are compactions that never
+    published, generations BELOW it are superseded trees whose vacuum
+    died post-flip. Both are garbage, never state (the crash algebra the
+    per-bucket MVCC MV sink established in r10, carried to the store)."""
+    if _store_is_pointer(path):
+        import shutil
+
+        from ..sources import versioned as V
+
+        root = _gen_root(path)
+        cur = V.current_version(root)
+        for v in V.list_versions(root):
+            if v != cur:
+                shutil.rmtree(V._data_dir(root, v), ignore_errors=True)
+    else:
+        from ..sources.sinks import recover_swap
+
+        recover_swap(f"{path}/features")
+        recover_swap(f"{path}/index")
 
 
 def bootstrap_minhash_store(
@@ -1086,17 +1162,64 @@ def bootstrap_minhash_store(
     num_prefixes: int = 64,
     k: int = 3,
     seed: int = 42,
+    publish: str = "swap",
 ) -> None:
     """Create an EMPTY append-layout store: manifest only (index/features
     appear with the first ``append_minhash_store``). The append layout
     carries an extra ``__ingest`` partition column on both frames — a
     monotone batch key — which ``write_minhash_store``'s batch layout does
-    not; the two layouts must not be mixed in one store."""
+    not; the two layouts must not be mixed in one store.
+
+    ``publish`` selects the COMPACTION publication primitive (r11,
+    VERDICT r10 item 2 — the store was the last rename-dependent publish
+    on the object-store path):
+
+    - ``"swap"`` (default): the r7 layout — live trees at the store root,
+      compaction republishes each via atomic directory rename
+      (POSIX/HDFS).
+    - ``"pointer"``: both live trees sit inside ONE generation directory
+      ``{path}/store/data/v=N`` behind a ``_LATEST`` pointer. Appends are
+      still dynamic partition overwrites into the CURRENT generation
+      (appends mutate the live tree by design — that is the log-
+      structured contract); compaction materializes the folded trees as
+      generation N+1 and publishes BOTH with one atomic pointer flip
+      (``os.replace`` locally; a conditional PUT on an object store).
+      Nothing live is ever renamed, the crash algebra has no restore arm
+      (torn generations are garbage to prune, see
+      :func:`heal_minhash_store`), and — unlike the swap arm's two
+      sequential tree swaps — index and features can never publish torn
+      APART from each other. Also the Spark-Connect-safe mode: no
+      consumer touches the JVM filesystem gateway (all pointer/heal
+      operations are driver-side ``os`` calls, like the per-bucket MVCC
+      MV sink).
+
+    The mode is recorded in the manifest and discriminated on disk by the
+    generation pointer itself, so every consumer (append, probe, compact,
+    the streaming ingest loop) resolves the live trees automatically —
+    there is no wrong-primitive read path to guard."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"bootstrap_minhash_store: bands={bands} must divide num_hashes={num_hashes}"
         )
-    _write_manifest(spark, path, num_hashes, bands, num_prefixes, k, seed, "append")
+    if publish not in ("swap", "pointer"):
+        raise ValueError(
+            f"bootstrap_minhash_store: publish={publish!r} (want 'swap' or 'pointer')"
+        )
+    _write_manifest(
+        spark, path, num_hashes, bands, num_prefixes, k, seed, "append", publish
+    )
+    if publish == "pointer":
+        import os
+
+        from ..sources import versioned as V
+
+        # generation 1 starts EMPTY: the version directory exists so the
+        # pointer has a referent, but features/index subtrees only appear
+        # with the first append (existence probes keep their "has this
+        # store ingested anything yet" meaning under both modes)
+        root = _gen_root(path)
+        os.makedirs(V._data_dir(root, 1), exist_ok=True)
+        V._publish(root, 1)
 
 
 def append_minhash_store(features: DataFrame, path: str, ingest_id: int) -> None:
@@ -1113,7 +1236,11 @@ def append_minhash_store(features: DataFrame, path: str, ingest_id: int) -> None
     Layout: ``features`` partitioned by ``__ingest``; ``index`` partitioned
     by ``(band, __pfx, __ingest)`` — band/pfx stay the LEADING directory
     levels, so the probe's static (band, pfx) pruning is unchanged and the
-    ingest filter prunes the trailing level.
+    ingest filter prunes the trailing level. Under a pointer-published
+    store both trees resolve into the current GENERATION directory — the
+    write itself is identical (a dynamic partition overwrite of the
+    batch's own leaves inside the live tree; only compaction changes
+    generations).
     """
     spark = features.sparkSession
     m = spark.read.parquet(f"{path}/manifest").collect()[0]
@@ -1137,12 +1264,13 @@ def append_minhash_store(features: DataFrame, path: str, ingest_id: int) -> None
             f"append_minhash_store: features carry {head['n']}-hash signatures "
             f"but the store manifest says {num_hashes}"
         )
+    feats_dir, idx_dir = _store_trees(path)
     stamped = features.withColumn("__ingest", F.lit(ingest_id).cast("long"))
     (
         stamped.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__ingest")
-        .parquet(f"{path}/features")
+        .parquet(feats_dir)
     )
     idx = _bands_from_sig(features.select("__id", "__sig"), num_hashes, bands)
     idx = idx.withColumn(
@@ -1154,7 +1282,7 @@ def append_minhash_store(features: DataFrame, path: str, ingest_id: int) -> None
         idx.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("band", "__pfx", "__ingest")
-        .parquet(f"{path}/index")
+        .parquet(idx_dir)
     )
 
 
@@ -1183,19 +1311,34 @@ def compact_minhash_store(spark, path: str, upto_exclusive: int) -> tuple[int, i
     ingest key (or lower) — equivalently, compact while the stream is
     stopped.
 
+    PUBLICATION is publish-mode-dispatched (r11, VERDICT r10 item 2):
+
+    - swap store: each folded tree republishes via
+      :func:`~..sources.sinks.atomic_swap_write` (two renames per tree,
+      healable crash window between them — POSIX/HDFS only);
+    - pointer store: both folded trees materialize under generation
+      ``N+1`` and publish with ONE atomic pointer flip, then the
+      superseded generation is vacuumed. No rename ever touches live
+      data (object-store-safe), a crash before the flip leaves an
+      unpointed generation that :func:`heal_minhash_store` prunes, and a
+      crash after it leaves only the old generation to vacuum — the
+      no-restore-arm crash algebra, and it also closes the swap arm's
+      one asymmetry (a crash BETWEEN the two tree swaps publishes index
+      and features from different folds; harmless to probes, since both
+      stampings agree below ``max_ingest_exclusive``, but a window the
+      single flip simply does not have).
+
     Returns (files_before, files_after) over index + features.
     """
     import glob as _glob
     import os as _os
 
-    def _nfiles() -> int:
+    def _nfiles(feats_dir: str, idx_dir: str) -> int:
         return len(
-            _glob.glob(_os.path.join(path, "index", "**", "*.parquet"), recursive=True)
+            _glob.glob(_os.path.join(idx_dir, "**", "*.parquet"), recursive=True)
         ) + len(
-            _glob.glob(_os.path.join(path, "features", "**", "*.parquet"), recursive=True)
+            _glob.glob(_os.path.join(feats_dir, "**", "*.parquet"), recursive=True)
         )
-
-    from ..sources.sinks import atomic_swap_write, recover_swap
 
     m = spark.read.parquet(f"{path}/manifest").collect()[0]
     if _manifest_layout(m) != "append":
@@ -1203,28 +1346,48 @@ def compact_minhash_store(spark, path: str, upto_exclusive: int) -> tuple[int, i
             f"compact_minhash_store: {path} is a batch-layout store — "
             "only the append layout accretes ingest partitions"
         )
-    # a PRIOR compaction may have crashed between its swap's two renames,
-    # leaving index or features in a __old__ sibling — heal before reading
-    # (self-review r9; the in-loop caller replays the same batch, so the
-    # re-run lands here first and self-heals)
-    recover_swap(f"{path}/index")
-    recover_swap(f"{path}/features")
-    before = _nfiles()
+    # a PRIOR compaction may have crashed mid-publish — heal before
+    # reading (self-review r9; the in-loop caller replays the same batch,
+    # so the re-run lands here first and self-heals). Under the pointer
+    # mode this also clears a torn generation out of the errorifexists
+    # target below.
+    heal_minhash_store(path)
+    feats_dir, idx_dir = _store_trees(path)
+    before = _nfiles(feats_dir, idx_dir)
     stamp = F.lit(upto_exclusive - 1).cast("long")
     folded_ing = F.when(
         F.col("__ingest") < upto_exclusive, stamp
     ).otherwise(F.col("__ingest"))
-    idx = spark.read.parquet(f"{path}/index").withColumn("__ingest", folded_ing)
+    idx = spark.read.parquet(idx_dir).withColumn("__ingest", folded_ing)
     # one writer per directory (the write_minhash_store clustering rule)
     idx = idx.repartition("band", "__pfx")
-    atomic_swap_write(
-        idx, f"{path}/index", partition_by=["band", "__pfx", "__ingest"]
-    )
-    feats = spark.read.parquet(f"{path}/features").withColumn("__ingest", folded_ing)
-    atomic_swap_write(
-        feats.repartition("__ingest"), f"{path}/features", partition_by=["__ingest"]
-    )
-    return before, _nfiles()
+    feats = spark.read.parquet(feats_dir).withColumn("__ingest", folded_ing)
+    feats = feats.repartition("__ingest")
+    if _store_is_pointer(path):
+        from ..sources import versioned as V
+
+        root = _gen_root(path)
+        cur = V.current_version(root)
+        next_v = cur + 1
+        next_dir = V._data_dir(root, next_v)
+        (
+            idx.write.mode("errorifexists")
+            .partitionBy("band", "__pfx", "__ingest")
+            .parquet(f"{next_dir}/index")
+        )
+        (
+            feats.write.mode("errorifexists")
+            .partitionBy("__ingest")
+            .parquet(f"{next_dir}/features")
+        )
+        V._publish(root, next_v)  # the one atomic operation
+        V.vacuum(root, keep_last=1)
+        return before, _nfiles(f"{next_dir}/features", f"{next_dir}/index")
+    from ..sources.sinks import atomic_swap_write
+
+    atomic_swap_write(idx, idx_dir, partition_by=["band", "__pfx", "__ingest"])
+    atomic_swap_write(feats, feats_dir, partition_by=["__ingest"])
+    return before, _nfiles(feats_dir, idx_dir)
 
 
 def minhash_store_probe(
@@ -1317,7 +1480,8 @@ def minhash_store_probe(
         (r["band"], r["__pfx"])
         for r in new_bands.select("band", "__pfx").distinct().collect()
     ]
-    idx = spark.read.parquet(f"{path}/index")
+    store_feats_dir, store_idx_dir = _store_trees(path)
+    idx = spark.read.parquet(store_idx_dir)
     # prune only when it can pay: past half the directory space the scan
     # reads most of the index anyway and the per-partition filter
     # evaluation is pure overhead (measured: a batch touching 64% of a
@@ -1335,7 +1499,7 @@ def minhash_store_probe(
         # an O(1)-lookup InSet.
         enc = F.col("band") * F.lit(num_prefixes) + F.col("__pfx")
         idx = idx.filter(enc.isin([b * num_prefixes + p for b, p in touched]))
-    store_features = spark.read.parquet(f"{path}/features")
+    store_features = spark.read.parquet(store_feats_dir)
     if max_ingest_exclusive is not None:
         # __ingest is a partition column in append-layout stores, so both
         # filters prune directories, composing with the (band, pfx) prune

@@ -39,6 +39,18 @@ foreachBatch's at-least-once contract (only the LAST uncommitted batch
 ever replays), so no fold target can be re-appended. File count then
 stays bounded across an arbitrarily long drain (pytest-asserted).
 
+PUBLISH MODE (r11, VERDICT r10 item 2): the store's compaction was the
+package's last rename-dependent publish on the object-store path.
+``bootstrap_minhash_store(publish="pointer")`` re-bases it on a
+store-level generation pointer — live trees under ``store/data/v=N``,
+appends still dynamic partition overwrites into the CURRENT generation,
+compaction materializing generation N+1 and flipping one pointer (both
+trees publish together; crash windows are garbage to prune, never state
+to restore). The loop dispatches on the on-disk layout, so the same code
+drains either mode; the pointer mode additionally never touches the JVM
+filesystem gateway (Spark-Connect-safe, pytest-asserted under a stubbed
+gateway).
+
 OWNERSHIP (the streaming/mv.py lesson, ADVICE r7): micro-batch ids are
 checkpoint-scoped, so a fresh checkpoint restarting at 0 would dynamic-
 overwrite ``__ingest=0`` — destroying a prior stream's first batch. The
@@ -58,11 +70,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    _store_is_pointer,
+    _store_trees,
     append_minhash_store,
+    heal_minhash_store,
     minhash_features,
     minhash_store_probe,
 )
-from ..sources.sinks import recover_swap
 
 _EPOCH_SPAN = 1_000_000_000
 
@@ -94,6 +108,22 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def _features_present(spark: SparkSession, store_path: str) -> bool:
+    """Has this store ingested anything yet? Resolves the live features
+    tree under either publish mode. The pointer mode probes with
+    driver-side ``os`` (its pointer/heal machinery is os-level
+    throughout, like the per-bucket MVCC MV sink — which also makes the
+    whole pointer-store ingest loop run without the JVM filesystem
+    gateway, i.e. under Spark Connect); the swap mode keeps the Hadoop
+    FileSystem probe it has always used."""
+    feats_dir, _ = _store_trees(store_path)
+    if _store_is_pointer(store_path):
+        import os
+
+        return os.path.isdir(feats_dir)
+    return _path_exists(spark, feats_dir)
+
+
 def adopt_minhash_store_stream(
     spark: SparkSession, store_path: str, checkpoint_dir: str
 ) -> int:
@@ -111,20 +141,20 @@ def adopt_minhash_store_stream(
     belongs to — so the re-homed stream still cannot collide with
     anything on disk."""
     # same blind spot as the ingest loop (ADVICE r9): a torn compaction
-    # hides the entire feature history in a __old__ sibling, and the
-    # data-derived epoch below would otherwise be computed over nothing
-    recover_swap(f"{store_path}/features")
-    recover_swap(f"{store_path}/index")
+    # hides the entire feature history (swap: in a __old__ sibling;
+    # pointer: behind an unpointed generation), and the data-derived
+    # epoch below would otherwise be computed over nothing
+    heal_minhash_store(store_path)
     owner, epoch = _read_stream_meta(spark, store_path)
     if owner is None:
-        if not _path_exists(spark, f"{store_path}/features"):
+        if not _features_present(spark, store_path):
             raise ValueError(
                 f"dedup stream: {store_path} has no stream record and no "
                 "ingested history — nothing to adopt (a first run stamps "
                 "itself)"
             )
         max_ingest = (
-            spark.read.parquet(f"{store_path}/features")
+            spark.read.parquet(_store_trees(store_path)[0])
             .agg(F.max("__ingest"))
             .first()[0]
         )
@@ -177,16 +207,17 @@ def run_store_dedup_stream(
         # ADVICE r9 (medium): a compaction crash between the features
         # swap's two renames leaves features/ MISSING with the ONLY copy
         # of history in a features.__old__* sibling. Every gate below
-        # probes _path_exists(features): the compaction gate would skip
-        # (and with it compact_minhash_store's own internal heal), the
+        # probes features-exists: the compaction gate would skip (and
+        # with it compact_minhash_store's own internal heal), the
         # torn-record guard would mistake history-present for absent, and
         # append_minhash_store would recreate features/ holding only this
         # batch — after which the NEXT compaction's recover_swap sees
         # features/ present and deletes the backup as obsolete: permanent
         # silent loss of the feature history. Heal UNCONDITIONALLY before
-        # anything reads or probes existence.
-        recover_swap(f"{store_path}/features")
-        recover_swap(f"{store_path}/index")
+        # anything reads or probes existence (publish-mode-dispatched
+        # since r11: the pointer mode's heal prunes torn generations —
+        # no restore arm, but the exists()-only-after-heal rule stands).
+        heal_minhash_store(store_path)
         cur_owner, epoch = _read_stream_meta(spark, store_path)
         if cur_owner is None:
             # a MISSING stream record over a store that already holds
@@ -194,7 +225,7 @@ def run_store_dedup_stream(
             # write), NOT an unowned store — stamping epoch 0 here would
             # be exactly the ingest-key collision the guard exists to
             # prevent (self-review r8). Fail loudly; adopt recovers.
-            if _path_exists(spark, f"{store_path}/features"):
+            if _features_present(spark, store_path):
                 raise ValueError(
                     f"dedup stream: store {store_path} holds ingested "
                     "history but its stream record is missing (torn "
@@ -216,7 +247,7 @@ def run_store_dedup_stream(
             compact_every
             and batch_id > 0
             and batch_id % compact_every == 0
-            and _path_exists(spark, f"{store_path}/features")
+            and _features_present(spark, store_path)
         ):
             # everything strictly below THIS batch's ingest key is
             # committed (docstring) — fold it before we accrete

@@ -1906,3 +1906,216 @@ def test_streaming_mv_partitioned_mvcc_adopt_rehomes(spark, tmp_path):
         for r in MV.read_mv_state_mvcc(spark, out).collect()
     }
     assert got == {"a": (1, 10.0), "b": (1, 5.0)}
+
+
+def test_store_dedup_stream_pointer_publish_no_gateway(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r10 item 2: the minhash store re-based on the generation-
+    pointer publish — the last rename-dependent publish on the object-
+    store path retired. The ENTIRE ingest loop (bootstrap, accrete, probe,
+    IN-LOOP compaction, pair publish) must run with the JVM-gateway helper
+    stubbed to the Spark Connect failure mode, emit exactly the one-shot
+    oracle's pairs, and leave the store on a single advanced generation
+    (compaction folded + vacuumed through one pointer flip)."""
+    import os
+
+    from amazon_fresh_sql_data_engineering_spark.operators import dedup as D
+    from amazon_fresh_sql_data_engineering_spark.sources import versioned as V
+    from amazon_fresh_sql_data_engineering_spark.streaming import dedup as SD
+    from amazon_fresh_sql_data_engineering_spark.streaming import mv as MV
+
+    def _no_gateway(spark, path):
+        raise NotImplementedError("simulated Spark Connect: no JVM gateway")
+
+    monkeypatch.setattr(MV, "_fs", _no_gateway)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 80)
+    )
+    wave1 = docs.filter(F.col("doc_id") < 40)
+    wave2 = docs.filter(F.col("doc_id") >= 40)
+    # wave3 plants cross-batch near-dups of wave1 — probed AFTER the
+    # in-loop compaction folded wave1's ingest partition, so a green
+    # result certifies compaction probe-invariance under the pointer mode
+    wave3 = wave1.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    src = str(tmp_path / "arrivals")
+    store = str(tmp_path / "mh_store")
+    pairs_out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    D.bootstrap_minhash_store(spark, store, num_prefixes=8, publish="pointer")
+    root = f"{store}/store"
+    assert V.current_version(root) == 1
+
+    def _drain():
+        SD.run_store_dedup_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            store, ckpt, pairs_out, "doc_id", "text", 0.6, compact_every=2,
+        )
+
+    wave1.coalesce(1).write.parquet(src)
+    _drain()  # batch 0
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    _drain()  # batch 1
+    wave3.coalesce(1).write.mode("append").parquet(src)
+    _drain()  # batch 2: compacts ingests {0,1} first, then accretes+probes
+
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard_sim, 6)
+        for r in SD.read_dedup_pairs(spark, pairs_out).collect()
+    }
+    full = wave1.unionByName(wave2).unionByName(wave3)
+    exp = {
+        (r.id_a, r.id_b): round(r.jaccard_sim, 6)
+        for r in D.minhash_dedup_pairs(full, "doc_id", "text", threshold=0.6).collect()
+    }
+    assert got == exp and got
+    # the in-loop compaction published generation 2 with ONE pointer flip
+    # and vacuumed generation 1; batch 2's accretion then landed INSIDE
+    # the new generation
+    cur = V.current_version(root)
+    assert cur >= 2
+    assert V.list_versions(root) == [cur]
+    feats_dir, idx_dir = D._store_trees(store)
+    assert feats_dir.startswith(f"{root}/data/v={cur}")
+    assert os.path.isdir(feats_dir) and os.path.isdir(idx_dir)
+    # nothing at the legacy swap locations
+    assert not os.path.exists(f"{store}/features")
+    assert not os.path.exists(f"{store}/index")
+
+
+def test_store_pointer_heals_torn_compaction_generation(spark, sf_dir, tmp_path):
+    """Pointer-mode crash algebra: a compaction that died BEFORE its
+    pointer flip leaves a partial unpointed generation — never state.
+    Every consumer entry point (adopt, the ingest loop, compaction
+    itself) must prune it and read the still-published generation; the
+    replayed compaction then lands on a fresh generation number. History
+    must survive throughout (the torn-features silent-loss scenario of
+    ADVICE r9, re-run against the no-restore-arm design)."""
+    import os
+
+    from amazon_fresh_sql_data_engineering_spark.operators import dedup as D
+    from amazon_fresh_sql_data_engineering_spark.sources import versioned as V
+    from amazon_fresh_sql_data_engineering_spark.streaming import dedup as SD
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 25)
+    )
+    store = str(tmp_path / "store")
+    pairs_out = str(tmp_path / "pairs")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    D.bootstrap_minhash_store(spark, store, num_prefixes=8, publish="pointer")
+    docs.coalesce(1).write.parquet(src)
+    SD.run_store_dedup_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        store, ckpt, pairs_out, "doc_id", "text", 0.6,
+    )
+    root = f"{store}/store"
+    cur = V.current_version(root)
+    # simulate the torn compaction: generation cur+1 partially
+    # materialized, pointer never flipped
+    torn = f"{root}/data/v={cur + 1}"
+    os.makedirs(f"{torn}/index")
+    with open(f"{torn}/index/garbage", "w") as fh:
+        fh.write("partial write")
+    # adopt (fresh checkpoint) heals first: the orphan generation is
+    # pruned, the data-derived epoch comes from the LIVE generation
+    epoch = SD.adopt_minhash_store_stream(spark, store, str(tmp_path / "ckptB"))
+    assert epoch >= 1
+    assert not os.path.exists(torn)
+    assert V.current_version(root) == cur
+    # a second torn generation, then the loop itself (with in-loop
+    # compaction enabled) heals, accretes near-dups of history, and still
+    # pairs them — history was never lost
+    os.makedirs(f"{torn}/features")
+    docs.withColumn("doc_id", F.col("doc_id") + 500_000).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    SD.run_store_dedup_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        store, str(tmp_path / "ckptB"), pairs_out, "doc_id", "text", 0.6,
+        compact_every=1,
+    )
+    assert not os.path.exists(torn)
+    got = {(r.id_a, r.id_b) for r in SD.read_dedup_pairs(spark, pairs_out).collect()}
+    base_ids = {r.doc_id for r in docs.collect()}
+    missing = [i for i in base_ids if (i, i + 500_000) not in got]
+    assert not missing, f"history lost for {missing[:5]}"
+    # an explicit compaction against live history: folds, flips, vacuums
+    feats_dir, _ = D._store_trees(store)
+    hi = spark.read.parquet(feats_dir).agg(F.max("__ingest")).first()[0]
+    before, after = D.compact_minhash_store(spark, store, hi + 1)
+    new_cur = V.current_version(root)
+    assert new_cur > cur and V.list_versions(root) == [new_cur]
+    assert after <= before
+    # probe still sees everything (compaction is probe-invariant)
+    wave = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 900_000)
+    pairs = D.minhash_store_probe(
+        wave, store, "doc_id", "text", threshold=0.6,
+        max_ingest_exclusive=hi + 2,
+    )
+    probed = {(r.id_a, r.id_b) for r in pairs.collect()}
+    want = {r.doc_id for r in wave.collect()}
+    assert all((i - 900_000, i) in probed for i in want)
+
+
+def test_mvcc_sink_snapshot_churn_bounded(spark, tmp_path):
+    """r11 (VERDICT r10 item 5 lock): the MVCC sink's snapshot churn is
+    bounded — superseded versions are pruned AT the pointer flip, so after
+    any number of folds every bucket holds exactly ONE live snapshot
+    (steady-state disk amplification 1x; transient 2x only inside a fold)
+    and no staging leftovers survive a batch. Version numbers advance
+    monotonically per touched bucket."""
+    import os
+
+    from amazon_fresh_sql_data_engineering_spark.streaming import mv as MV
+
+    keys, sums, nb = ["g"], {"rev": "rev"}, 4
+    sch = "id int, g string, rev double, __op int"
+    src = str(tmp_path / "deltas")
+    out = str(tmp_path / "mv_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        MV.run_mv_maintain_stream_partitioned_mvcc(
+            spark.readStream.schema(sch).parquet(src), out, ckpt, keys, sums,
+            num_buckets=nb,
+        )
+
+    # 4 batches, all touching group 'a' (same bucket every time)
+    spark.createDataFrame([(1, "a", 10.0, 1)], sch).coalesce(1).write.parquet(src)
+    drain()
+    for i in range(2, 5):
+        spark.createDataFrame(
+            [(i, "a", 1.0 * i, 1)], sch
+        ).coalesce(1).write.mode("append").parquet(src)
+        drain()
+    # every bucket: exactly one live v= snapshot; no staging dirs
+    assert not any(d.startswith(".mvstage-") for d in os.listdir(out))
+    seen_versions = []
+    for d in sorted(os.listdir(out)):
+        if not d.startswith("bucket="):
+            continue
+        data = os.path.join(out, d, "data")
+        vs = [e for e in os.listdir(data) if e.startswith("v=")]
+        assert len(vs) == 1, f"{d} holds {vs} — superseded snapshot not pruned"
+        seen_versions.append((d, int(vs[0][2:]), MV._bp_version(os.path.join(out, d))))
+    assert seen_versions
+    # the on-disk version IS the pointed version, and the repeatedly
+    # touched bucket advanced once per fold that touched it (4 folds)
+    assert all(on_disk == pointed for _, on_disk, pointed in seen_versions)
+    assert max(v for _, v, _ in seen_versions) == 4
+    got = {
+        r["g"]: (r["__mv_cnt"], float(r["rev"]))
+        for r in MV.read_mv_state_mvcc(spark, out).collect()
+    }
+    assert got == {"a": (4, 10.0 + 2.0 + 3.0 + 4.0)}
