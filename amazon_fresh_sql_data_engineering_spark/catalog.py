@@ -3,16 +3,16 @@ family into ``registry.CATALOG``.
 
 The external driver samples the FIRST ~50 catalog entries (registration
 order) for its per-round correctness gate, so ``_PRIORITY`` front-loads the
-queries that most need driver-side evidence this round. CORRECTNESS_r09 was
-50/50 green; cumulatively all 234 pre-r10 catalog queries have green driver
-rows (r01 ∪ … ∪ r09), no query's latest row is red, and no latest row is
-older than r5 (latest-round histogram r5:34, r6:50, r7:50, r8:50, r9:50).
-Round 10 front-loads (a) the ONE new entry (q_compaction_roundtrip — the
-driver-checked OPTIMIZE round-trip, VERDICT r9 item 2), then (b) the
-VERDICT r9 item-1 rotation: all 34 rows whose latest driver evidence is r5
-(CORRECTNESS_r05 order), topped up with the 15 oldest r6 rows
-(CORRECTNESS_r06 order). 1+34+15 = 50; after this round no driver row
-anywhere in the union is older than r6.
+queries that most need driver-side evidence this round. CORRECTNESS_r10 was
+50/50 green; cumulatively all 235 pre-r11 catalog queries have green driver
+rows (r01 ∪ … ∪ r10), no query's latest row is red, and no latest row is
+older than r6 (latest-round histogram r6:35, r7:50, r8:50, r9:50, r10:50).
+Round 11 front-loads (a) the ONE new entry (q_pointer_publish_roundtrip —
+the driver-checked MVCC/pointer publish round-trip, VERDICT r10 item 3),
+then (b) the VERDICT r10 item-1 rotation: all 35 rows whose latest driver
+evidence is r6 (CORRECTNESS_r06 order), topped up with the 14 oldest r7
+rows (CORRECTNESS_r07 order). 1+35+14 = 50; after this round no driver row
+anywhere in the union is older than r7.
 
 STANDING RULE (VERDICT r4 item 7): when the catalog grows after
 convergence, new entries go to the FRONT of _PRIORITY in the same round
@@ -53,61 +53,61 @@ except ImportError:
     pass
 
 _PRIORITY = [
-    # --- round-10 block A: NEW entries (standing rule: new goes FRONT) ---
-    "q_compaction_roundtrip",  # OPTIMIZE round-trip (VERDICT r9 item 2)
-    # --- round-10 block B: all 34 rows whose latest driver evidence is
-    # r5 (CORRECTNESS_r05 order) ---
-    "op_benford",
-    "events_inter_arrival",
-    "op_seasonality",
-    "op_mad_outliers",
-    "op_xcorr_lagged",
-    "text_zipf_fit",
-    "events_dau_wau_mau",
-    "op_embedding_norm_stats",
-    "events_bot_detection",
-    "events_window_funnel",
-    "events_error_budget",
-    "op_mann_whitney",
-    "op_ks_test",
-    "op_survival_km",
-    "events_heavy_hitters_cms",
-    "op_pca_power",
-    "op_holt_linear",
-    "op_cohort_ltv",
-    "events_concurrency_peak",
-    "q_dp_release",
-    "op_metric_decomposition",
-    "op_bootstrap_ci",
-    "events_forecast_backtest",
-    "op_neyman_allocation",
-    "op_join_size_estimate",
-    "q_gdpr_erasure",
-    "op_gains_chart",
-    "op_shard_plan",
-    "events_shapley_attribution",
-    "op_diff_in_diff",
-    "op_cuped",
-    "op_kmv_distinct",
-    "op_winsorized_mean",
-    "op_price_elasticity",
-    # --- round-10 block C: the 15 oldest r6 rows (CORRECTNESS_r06
+    # --- round-11 block A: NEW entries (standing rule: new goes FRONT) ---
+    "q_pointer_publish_roundtrip",  # MVCC publish round-trip (VERDICT r10 item 3)
+    # --- round-11 block B: all 35 rows whose latest driver evidence is
+    # r6 (CORRECTNESS_r06 order) ---
+    "op_filter_range",
+    "op_filter_null",
+    "op_filter_regex",
+    "op_filter_in_list",
+    "op_filter_complement",
+    "op_join_inner",
+    "op_join_inner_expr",
+    "op_join_left",
+    "op_join_multi",
+    "op_join_semi",
+    "q_no_orders",
+    "op_corr_scalar_subquery",
+    "op_agg_counts",
+    "q1_pricing_summary",
+    "op_agg_having",
+    "op_agg_sum_coalesce",
+    "q_prime_cities",
+    "op_agg_scalars_report",
+    "op_win_rownum_dedup",
+    "op_topk",
+    "op_topk_ties",
+    "op_sort_nulls",
+    "op_set_union",
+    "op_set_intersect_except",
+    "q_order_revenue",
+    "q_supplier_stock",
+    "q_top3_products",
+    "q_top_categories",
+    "op_win_lead_lag",
+    "op_win_running_total",
+    "op_win_moving_avg",
+    "op_rollup",
+    "op_cube",
+    "op_pivot",
+    "op_agg_stats",
+    # --- round-11 block C: the 14 oldest r7 rows (CORRECTNESS_r07
     # order) — tops the sample up to 50 ---
-    "dedup_incremental",
-    "op_mv_incremental",
-    "q_product_sales_rank",
-    "q_top_customers_period",
-    "op_histogram_equidepth",
-    "q_high_value",
-    "op_win_ntile",
-    "op_seq_gaps",
-    "op_pack_sequences",
-    "op_item_cf_jaccard",
-    "op_scan",
-    "op_project",
-    "op_filter_eq",
-    "op_filter_ci",
-    "op_filter_date",
+    "dedup_store_probe",
+    "op_mv_minmax",
+    "op_mv_join_agg",
+    "op_distinct_projection",
+    "op_asof_join",
+    "op_range_join",
+    "op_percentiles",
+    "op_win_share_of_total",
+    "op_approx_count_distinct",
+    "op_approx_percentile",
+    "op_zscore_outliers",
+    "q_clean_scalars",
+    "q_pipe_clean_customers",
+    "q_pipe_clean_orders",
 ]
 
 

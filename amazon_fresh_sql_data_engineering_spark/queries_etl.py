@@ -1450,6 +1450,96 @@ def q_compaction_roundtrip(spark, sf_dir):
 
 
 @register(
+    "q_pointer_publish_roundtrip",
+    oracle="""
+        SELECT 'latest_after_rollback' AS tier,
+               o_orderstatus,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS sum_price,
+               min(o_orderkey) AS min_okey,
+               max(o_orderkey) AS max_okey
+        FROM orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'time_travel_v2' AS tier,
+               o_orderstatus,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS sum_price,
+               min(o_orderkey) AS min_okey,
+               max(o_orderkey) AS max_okey
+        FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus
+    """,
+    doc="Pointer-publish (MVCC snapshot) round-trip (VERDICT r10 item 3; "
+    "the driver-checked face of sources/versioned.py — the mechanism "
+    "behind sinks.POINTER_PUBLISH, the per-bucket MVCC MV sink, and the "
+    "r11 pointer-mode minhash store, i.e. the package's object-store-safe "
+    "publish seam). Orders is published as immutable snapshot v=1 "
+    "(data/v=N directory behind one atomically-replaced _LATEST pointer), "
+    "then a DELETE-shaped v=2 (status 'F' dropped) supersedes it; the "
+    "query reads _LATEST (must observe v=2 — raises if the flip was a "
+    "no-op), TIME-TRAVELS back to v=1 (immutability: the superseded "
+    "snapshot is byte-stable on disk), ROLLS BACK the pointer to v=1 "
+    "(O(1), no data movement — raises if the rollback read still sees "
+    "the delete), and aggregates both the rolled-back _LATEST and the "
+    "time-travel v=2 read. The oracle states the same two aggregates "
+    "over the base table — snapshotting is pure physical publication, so "
+    "every read tier must be value-lossless. Crash-window semantics "
+    "(orphan generations pruned never restored, torn pointer writes, "
+    "vacuum retention) are pytest-asserted in test_sinks/test_streaming. "
+    "At 100 TB the pointer flip is what replaces the two-rename swap on "
+    "object stores, where rename is copy+delete; readers holding v=N "
+    "plans are isolated by immutability, and rollback is a pointer "
+    "write, not a restore job.",
+)
+def q_pointer_publish_roundtrip(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .sources import versioned as V
+
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_ptr_")
+    try:
+        table = f"{tmp}/orders_versioned"
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+
+        def agg(df, tier):
+            return df.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                fin(F.sum(dec("o_totalprice")), 2).alias("sum_price"),
+                F.min("o_orderkey").alias("min_okey"),
+                F.max("o_orderkey").alias("max_okey"),
+            ).select(F.lit(tier).alias("tier"), "*")
+
+        v1 = V.write_snapshot(o, table)
+        v2 = V.write_snapshot(o.filter(F.col("o_orderstatus") != "F"), table)
+        if (v1, v2) != (1, 2) or V.current_version(table) != 2:
+            raise RuntimeError(f"publish no-op: v1={v1} v2={v2}")
+        # _LATEST must observe the v2 delete — a stale pointer read here
+        # means the flip didn't happen
+        n_full = o.count()
+        if V.read_snapshot(spark, table).count() >= n_full:
+            raise RuntimeError("pointer flip was a no-op: _LATEST still at v=1")
+        # time-travel: the superseded snapshot is immutable and readable
+        tt_v2 = V.read_snapshot(spark, table, version=2)
+        # rollback: O(1) pointer write back to v=1, no data movement
+        V.rollback(table, 1)
+        if V.current_version(table) != 1:
+            raise RuntimeError("rollback did not move the pointer")
+        latest = V.read_snapshot(spark, table)
+        if latest.count() != n_full:
+            raise RuntimeError("rollback read still reflects the v=2 delete")
+        out = agg(latest, "latest_after_rollback").unionAll(
+            agg(tt_v2, "time_travel_v2")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "op_mv_incremental",
     oracle="""
         WITH eff AS (
