@@ -71,9 +71,21 @@ atomically-flipped ``_LATEST``). It needs NO filesystem renames of live
 data and NO JVM gateway, which makes it simultaneously the object-store
 form (rename-as-copy never touches published state; the flip maps to a
 conditional PUT) and the Spark-Connect-safe form of the scale sink; its
-crash windows are garbage to prune, never state to restore. The
-rename-swap sink above stays the default on POSIX/HDFS, where a two-file
-rename beats snapshot churn.
+crash windows are garbage to prune, never state to restore.
+
+Round 11 measured the two forms head-to-head (SCALE.md r11 A/B): the
+MVCC sink is FASTER at every tested bucket grain — 0.89x to 0.68x the
+rename sink's fold time, gap widening with touched buckets — because the
+rename sink's per-bucket exists/rename/delete calls each cross the py4j
+gateway (driver->NameNode RPCs on a cluster) while pointer flips are
+driver-side ``os.replace``. The MVCC form is therefore the DEFAULT
+recommendation at any grain; keep the rename form only when the
+read side requires it: its state is a plain hive-partitioned directory
+any ``spark.read.parquet`` consumer or external catalog reads directly,
+while the MVCC layout needs the pointer-resolving
+:func:`read_mv_state_mvcc`. Choose by read-side interop, not publish
+cost. Steady-state disk amplification of the MVCC sink is 1x
+(superseded snapshots pruned at the flip; pytest-locked).
 """
 
 from __future__ import annotations
