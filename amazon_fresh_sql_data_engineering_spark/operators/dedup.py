@@ -1131,12 +1131,19 @@ def heal_minhash_store(path: str) -> None:
     compaction crash between a swap's two renames leaves the only copy of
     a tree in a ``__old__`` sibling — restore it).
 
-    Pointer mode: prune generations the pointer does not name. There is
-    no restore arm at all — the pointed generation stayed live through
-    any crash; generations ABOVE the pointer are compactions that never
-    published, generations BELOW it are superseded trees whose vacuum
-    died post-flip. Both are garbage, never state (the crash algebra the
-    per-bucket MVCC MV sink established in r10, carried to the store)."""
+    Pointer mode: prune generations ABOVE the pointer — compactions that
+    never published, which would otherwise collide with the next
+    compaction's ``errorifexists`` generation write. There is no restore
+    arm at all: the pointed generation stayed live through any crash.
+    Generations BELOW the pointer are deliberately NOT heal's business
+    (r11 self-review): they are either retained reader-grace history
+    (``compact_minhash_store(keep_generations>1)`` — a concurrent
+    external probe may still hold a plan onto the superseded tree, the
+    versioned.py retention-window contract) or a post-flip vacuum
+    crash's leftovers, and the next compaction's own vacuum applies the
+    retention policy either way — a heal that pruned below the pointer
+    would silently undo the operator's retention choice on every
+    ingest-loop batch."""
     if _store_is_pointer(path):
         import shutil
 
@@ -1145,7 +1152,7 @@ def heal_minhash_store(path: str) -> None:
         root = _gen_root(path)
         cur = V.current_version(root)
         for v in V.list_versions(root):
-            if v != cur:
+            if cur is None or v > cur:
                 shutil.rmtree(V._data_dir(root, v), ignore_errors=True)
     else:
         from ..sources.sinks import recover_swap
@@ -1286,7 +1293,9 @@ def append_minhash_store(features: DataFrame, path: str, ingest_id: int) -> None
     )
 
 
-def compact_minhash_store(spark, path: str, upto_exclusive: int) -> tuple[int, int]:
+def compact_minhash_store(
+    spark, path: str, upto_exclusive: int, keep_generations: int = 1
+) -> tuple[int, int]:
     """Fold an append-layout store's accumulated ingest partitions together
     (the OPTIMIZE of the log-structured dedup store).
 
@@ -1327,6 +1336,17 @@ def compact_minhash_store(spark, path: str, upto_exclusive: int) -> tuple[int, i
       and features from different folds; harmless to probes, since both
       stampings agree below ``max_ingest_exclusive``, but a window the
       single flip simply does not have).
+
+    ``keep_generations`` (pointer mode only; r11) is the reader-grace
+    retention window: superseded generations up to this count stay on
+    disk after the flip, so an EXTERNAL probe that resolved its tree
+    paths just before the compaction finishes against the immutable old
+    generation instead of dying mid-plan — the same retention-window
+    contract every lakehouse vacuum has. The default 1 (latest only)
+    matches the single-writer ingest loop, where no concurrent reader
+    exists; multi-reader object-store deployments should keep >= 2 and
+    vacuum on their own probe-lifetime bound. Heal never prunes below
+    the pointer, so retention survives the loop's per-batch heals.
 
     Returns (files_before, files_after) over index + features.
     """
@@ -1381,7 +1401,7 @@ def compact_minhash_store(spark, path: str, upto_exclusive: int) -> tuple[int, i
             .parquet(f"{next_dir}/features")
         )
         V._publish(root, next_v)  # the one atomic operation
-        V.vacuum(root, keep_last=1)
+        V.vacuum(root, keep_last=max(1, keep_generations))
         return before, _nfiles(f"{next_dir}/features", f"{next_dir}/index")
     from ..sources.sinks import atomic_swap_write
 

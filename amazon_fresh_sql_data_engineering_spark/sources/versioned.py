@@ -109,4 +109,15 @@ def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
         if v not in keep:
             shutil.rmtree(_data_dir(table_dir, v))
             removed.append(v)
+    # orphaned pointer tmp files (a crash between _publish's write and
+    # its os.replace leaves one) are never read — pure litter; vacuum is
+    # the writer's own GC point, so the single-writer contract makes
+    # this race-free (r11)
+    import glob
+
+    for t in glob.glob(os.path.join(table_dir, f"{_POINTER}.tmp.*")):
+        try:
+            os.remove(t)
+        except OSError:
+            pass
     return removed

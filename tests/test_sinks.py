@@ -870,3 +870,70 @@ def test_recover_swap_prefers_monotonic_suffix_over_mtime(spark, tmp_path):
     row = spark.read.parquet(path).collect()[0]
     assert (row["id"], row["v"]) == (2, "live")
     assert not os.path.exists(older) and not os.path.exists(newer)
+
+
+def test_pointer_store_compaction_reader_grace(spark, sf_dir, tmp_path):
+    """r11 self-review: heal prunes only ABOVE the pointer, so the
+    reader-grace retention window (compact_minhash_store's
+    keep_generations) survives the ingest loop's per-batch heals — a
+    concurrent external probe holding the superseded generation finishes
+    against immutable data instead of dying mid-plan. The next
+    default-retention compaction (or an explicit vacuum) applies the
+    tighter policy; vacuum also clears orphaned pointer tmp files."""
+    from pyspark.sql import functions as F
+
+    from amazon_fresh_sql_data_engineering_spark.operators import dedup as D
+    from amazon_fresh_sql_data_engineering_spark.sources import versioned as V
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 20)
+    )
+    store = str(tmp_path / "store")
+    D.bootstrap_minhash_store(spark, store, num_prefixes=8, publish="pointer")
+    feats = D.minhash_features(docs, "doc_id", "text", 64, 3, 42)
+    D.append_minhash_store(feats, store, 0)
+    root = f"{store}/store"
+    old_feats_dir, _ = D._store_trees(store)
+    old_gen = V.current_version(root)
+    n_hist = spark.read.parquet(old_feats_dir).count()
+    assert n_hist > 0
+
+    # compact WITH reader grace: the superseded generation stays on disk
+    D.compact_minhash_store(spark, store, 1, keep_generations=2)
+    cur = V.current_version(root)
+    assert cur == old_gen + 1
+    assert V.list_versions(root) == [old_gen, cur]
+    # a reader that resolved its paths before the flip still reads the
+    # full immutable history
+    assert spark.read.parquet(old_feats_dir).count() == n_hist
+    # the loop's per-batch heal must NOT undo the retention
+    D.heal_minhash_store(store)
+    assert V.list_versions(root) == [old_gen, cur]
+    # but a torn (above-pointer) generation IS pruned by the same heal
+    import os
+
+    torn = f"{root}/data/v={cur + 1}"
+    os.makedirs(torn)
+    D.heal_minhash_store(store)
+    assert not os.path.exists(torn)
+
+    # default-retention compaction tightens to latest-only
+    D.compact_minhash_store(spark, store, 1)
+    newest = V.current_version(root)
+    assert V.list_versions(root) == [newest]
+    # vacuum clears an orphaned pointer tmp (torn _publish litter)
+    litter = f"{root}/_LATEST.tmp.999"
+    with open(litter, "w") as fh:
+        fh.write("{}")
+    V.vacuum(root, keep_last=1)
+    assert not os.path.exists(litter)
+    # store still probes correctly after all of it
+    wave = docs.withColumn("doc_id", F.col("doc_id") + 700_000)
+    pairs = D.minhash_store_probe(
+        wave, store, "doc_id", "text", threshold=0.6, max_ingest_exclusive=1
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    ids = {r.doc_id for r in docs.collect()}
+    assert all((i, i + 700_000) in got for i in ids)
