@@ -668,30 +668,50 @@ def op_item_cf_jaccard(spark, sf_dir, max_items_per_user: int = 64):
     sizes = baskets.select(F.explode("items").alias("item")).groupBy(
         "item"
     ).agg(F.count(F.lit(1)).alias("n"))
-    # Row-local unordered pair generation: for the i-th item (0-based),
-    # pair it with every later item in the ascending array. slice() is
-    # 1-based and clamps past the end, so a length of max_items_per_user
-    # always covers the tail.
+    # Row-local ORDERED pair generation, BOTH directions at once (r11 opt):
+    # for the i-th item (0-based), pair it with every later item in the
+    # ascending array and emit (x,y) AND (y,x). slice() is 1-based and
+    # clamps past the end, so a length of max_items_per_user always covers
+    # the tail. The r4-r10 form generated canonical ia<ib pairs, aggregated
+    # them, then UNIONED the mirrored projection — but the union's two
+    # branches are non-identical subplans (column renames), so ReuseExchange
+    # never fires and the explode+partial-agg chain (the query's heaviest
+    # stage) EXECUTED TWICE off the basket cache (plan-verified: two
+    # Generate + HashAggregate + Exchange chains under Union (32) in
+    # plans/r11/op_item_cf_jaccard_before.txt). Emitting both directions
+    # row-locally doubles the exploded rows but runs the chain ONCE with
+    # one exchange keyed directly on (item, nbr) — same total shuffled
+    # pair-rows, half the explode/aggregate passes, and the two pair-stream
+    # exchanges feeding the old SortMergeJoins disappear (guide §2.4).
     pairs = F.flatten(
-        F.transform(
-            "items",
-            lambda x, i: F.transform(
-                F.slice("items", i + F.lit(2), F.lit(max_items_per_user)),
-                lambda y: F.struct(x.alias("ia"), y.alias("ib")),
-            ),
+        F.flatten(
+            F.transform(
+                "items",
+                lambda x, i: F.transform(
+                    F.slice("items", i + F.lit(2), F.lit(max_items_per_user)),
+                    lambda y: F.array(
+                        F.struct(x.alias("item"), y.alias("nbr")),
+                        F.struct(y.alias("item"), x.alias("nbr")),
+                    ),
+                ),
+            )
         )
     )
-    co = (
+    both = (
         baskets.select(F.explode(pairs).alias("p"))
-        .select("p.ia", "p.ib")
-        .groupBy("ia", "ib")
+        .select("p.item", "p.nbr")
+        .groupBy("item", "nbr")
         .agg(F.count(F.lit(1)).alias("co"))
     )
-    both = co.select(
-        F.col("ia").alias("item"), F.col("ib").alias("nbr"), "co"
-    ).unionAll(co.select(F.col("ib").alias("item"), F.col("ia").alias("nbr"), "co"))
-    sa = sizes.select(F.col("item"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("item").alias("nbr"), F.col("n").alias("nb"))
+    # sizes is one row per distinct item (catalog-sized, ~2 MB at 10^5
+    # items x 12 bytes) — broadcast BOTH lookups so the pair stream is
+    # never re-shuffled on item/nbr just to attach the set sizes
+    # (guide §3.1; the pre-AQE plan chose SortMergeJoin from the cached
+    # aggregate's unknown stats, costing two full pair-stream exchanges).
+    sa = F.broadcast(sizes.select(F.col("item"), F.col("n").alias("na")))
+    sb = F.broadcast(
+        sizes.select(F.col("item").alias("nbr"), F.col("n").alias("nb"))
+    )
     scored = (
         both.join(sa, "item")
         .join(sb, "nbr")
