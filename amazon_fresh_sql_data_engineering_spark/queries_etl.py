@@ -1343,7 +1343,19 @@ def q_zorder_roundtrip(spark, sf_dir):
         # thousands, and its 255-literal trees cost real codegen + eval
         # time (measured: full round-trip 10.9 s at bits=8 vs 5.7 s at
         # bits=6, identical skipping quality at this file count)
-        ctas_zordered(li, path, ["l_shipdate", "l_partkey"], bits=6, num_files=16)
+        # file_split="fixed" (r11 opt): l_shipdate and l_partkey are
+        # independent, so fixed equal-width z-chunks are equi-mass and the
+        # sampled range partitioner's extra full pass (re-executes scan +
+        # rank trees just to pick bounds; measured ~2x the write at sf0.1)
+        # is pure overhead — same one-contiguous-z-range-per-file layout.
+        ctas_zordered(
+            li,
+            path,
+            ["l_shipdate", "l_partkey"],
+            bits=6,
+            num_files=16,
+            file_split="fixed",
+        )
         back = spark.read.parquet(path).filter(
             (F.col("l_shipdate") >= F.to_date(F.lit("1997-01-01")))
             & (F.col("l_shipdate") < F.to_date(F.lit("1997-07-01")))

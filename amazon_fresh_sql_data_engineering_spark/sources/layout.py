@@ -110,6 +110,25 @@ def zorder_frame(
     timestamp), ready to write: range-partitioned into ``num_files`` and
     sorted within each. The scratch key column is dropped; row content is
     unchanged (pure reordering — tests assert multiset equality)."""
+    n_files = num_files or df.sparkSession.sparkContext.defaultParallelism
+    keyed = _zorder_keyed(df, cols, bits, relative_error)
+    clustered = (
+        keyed.repartitionByRange(n_files, F.col(_Z))
+        .sortWithinPartitions(_Z)
+        .select(*df.columns)  # narrow projection: per-partition order kept
+    )
+    return clustered
+
+
+def _zorder_keyed(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """``df`` plus the Morton key column ``_Z`` (and the ``__zq_*`` cast
+    scratch columns): the shared quantile-ranks + fused-interleave front
+    half of every z-order write form (module doc, mechanics 1-2)."""
     if _Z in df.columns:
         raise ValueError(f"zorder: scratch column {_Z!r} already present")
     if not cols:
@@ -124,7 +143,6 @@ def zorder_frame(
     if len(cols) * bits > 63:
         # fail before the quantile job, not after it (self-review r9)
         raise ValueError(f"zorder: {len(cols)} cols x {bits} bits exceeds a long")
-    n_files = num_files or df.sparkSession.sparkContext.defaultParallelism
     nq = (1 << bits) - 1
     # one approxQuantile call handles all columns in a single pass;
     # date/timestamp go through the epoch (a DATE cannot cast to double);
@@ -200,13 +218,7 @@ def zorder_frame(
             dtype="long",
         )
         key = tree if key is None else key.bitwiseOR(tree)
-    keyed = casted.withColumn(_Z, key)
-    clustered = (
-        keyed.repartitionByRange(n_files, F.col(_Z))
-        .sortWithinPartitions(_Z)
-        .select(*df.columns)  # narrow projection: per-partition order kept
-    )
-    return clustered
+    return casted.withColumn(_Z, key)
 
 
 def zorder_write(
@@ -222,6 +234,79 @@ def zorder_write(
     zorder_frame(df, cols, bits, num_files, relative_error).write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def zorder_write_fixed(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+    relative_error: float = 0.001,
+) -> None:
+    """Z-order write with FIXED file boundaries instead of a sampled range
+    partition (r11 optimization, guide §2.4 "remove shuffles/passes
+    outright").
+
+    ``repartitionByRange`` runs a hidden extra job that re-executes the
+    whole child (scan + both rank trees) just to sample range bounds —
+    measured as ~2x the entire write at sf0.1 (A/B in OPTIMIZATION_r11.md)
+    and one extra full pass over the table at 100 TB. But the z-key is
+    built from equi-depth quantile ranks, so its value space is already
+    mass-calibrated: splitting it into ``num_files`` EQUAL-WIDTH contiguous
+    chunks (file = z * num_files / 2^(bits*ncols)) is the same contiguous-
+    range layout without the sampling pass. Each chunk is routed through a
+    plain hash shuffle on the file id and written via ``partitionBy`` so
+    hash collisions can never merge two chunks into one file (two ids in
+    one task still split into separate leaf directories); the leaf dirs
+    are then flattened to plain top-level part files, restoring the exact
+    directory contract of the sampled form.
+
+    Trade vs the sampled form, stated honestly: equal-width z-chunks are
+    equal-MASS only as far as the clustering columns are independent —
+    ranks are marginally equi-depth, so any skew comes solely from
+    inter-column dependence (worst case, perfectly rank-correlated columns
+    concentrate the mass in the diagonal cells: ~num_files^(1/ncols)
+    effective files). Callers clustering dependent columns should keep the
+    sampled form (:func:`zorder_write`); for independent columns this form
+    writes the identical layout one full pass cheaper. Per-file locality
+    (the point of z-ordering) is unchanged either way: files still cover
+    disjoint contiguous z-ranges.
+    """
+    import glob
+    import os
+    import shutil
+
+    n = len(cols)
+    n_files = num_files or df.sparkSession.sparkContext.defaultParallelism
+    if "__z_file" in df.columns:
+        raise ValueError("zorder: scratch column '__z_file' already present")
+    keyed = _zorder_keyed(df, cols, bits, relative_error)
+    k_span = 1 << (n * bits)
+    keyed = keyed.withColumn(
+        "__z_file",
+        ((F.col(_Z) * F.lit(n_files)) / F.lit(k_span)).cast("int"),
+    )
+    (
+        keyed.repartition(n_files, F.col("__z_file"))
+        .sortWithinPartitions("__z_file", _Z)
+        .select(*df.columns, "__z_file")
+        .write.mode(mode)
+        .partitionBy("__z_file")
+        .parquet(path)
+    )
+    # flatten: one leaf dir per non-empty chunk, each holding exactly one
+    # part file (a chunk lives wholly in one task); renumber to plain
+    # part-<chunk>-<i> names so readers and footer tooling see the same
+    # flat directory the sampled form produces, in z-range order
+    for d in sorted(glob.glob(os.path.join(path, "__z_file=*"))):
+        g = int(d.rsplit("=", 1)[1])
+        for i, f in enumerate(sorted(glob.glob(os.path.join(d, "*.parquet")))):
+            os.rename(
+                f, os.path.join(path, f"part-{g:05d}-{i}.snappy.parquet")
+            )
+        shutil.rmtree(d)
 
 
 def file_column_ranges(path: str, cols: list[str]) -> list[dict]:

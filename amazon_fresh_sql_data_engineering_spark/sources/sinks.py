@@ -61,6 +61,7 @@ def ctas_zordered(
     bits: int = 8,
     num_files: int | None = None,
     mode: str = "overwrite",
+    file_split: str = "sampled",
 ) -> None:
     """Z-order (Morton-curve) clustered CTAS: multi-dimensional data
     skipping for parquet min/max pruning.
@@ -83,9 +84,23 @@ def ctas_zordered(
     needs exactly ONE data shuffle (the clustering itself) regardless of
     k, with identical file-level locality (the same footer-stats and
     read-path-skipping tests pass unchanged). At 100 TB the difference is
-    k extra full passes over the table per OPTIMIZE."""
-    from .layout import zorder_frame
+    k extra full passes over the table per OPTIMIZE.
 
+    ``file_split`` (r11): ``"sampled"`` (default) range-partitions on the
+    z-key — robust to inter-column dependence, but ``repartitionByRange``'s
+    bounds-sampling job re-executes the scan + rank trees, a full extra
+    pass over the table. ``"fixed"`` splits the z-key space at fixed
+    equal-width boundaries instead (``layout.zorder_write_fixed``) — one
+    pass cheaper, same contiguous-range-per-file layout; choose it when
+    the clustering columns are (near-)independent, where equi-depth ranks
+    make fixed chunks equi-mass."""
+    from .layout import zorder_frame, zorder_write_fixed
+
+    if file_split == "fixed":
+        zorder_write_fixed(df, path, cols, bits=bits, num_files=num_files, mode=mode)
+        return
+    if file_split != "sampled":
+        raise ValueError(f"ctas_zordered: unknown file_split {file_split!r}")
     zorder_frame(df, cols, bits=bits, num_files=num_files).write.mode(mode).parquet(
         path
     )

@@ -432,6 +432,45 @@ def test_zorder_write_bounds_every_clustering_column(spark, sf_dir, tmp_path):
     assert rng(unclustered, "l_partkey") > 0.6
 
 
+def test_zorder_write_fixed_matches_sampled_layout(spark, sf_dir, tmp_path):
+    """r11 opt: the fixed-boundary z-order write (no range-sampling pass)
+    preserves row content, produces one file per non-empty z-chunk with no
+    leftover partition directories, and bounds BOTH clustering columns'
+    per-file footer ranges like the sampled form (the property the layout
+    exists for)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from amazon_fresh_sql_data_engineering_spark.sources import layout as L
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    cols = ["l_orderkey", "l_partkey"]
+    sampled = str(tmp_path / "sampled")
+    fixed = str(tmp_path / "fixed")
+    L.zorder_write(li, sampled, cols, bits=8, num_files=8)
+    L.zorder_write_fixed(li, fixed, cols, bits=8, num_files=8)
+
+    # content preserved: same multiset of rows as the sampled form
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in li.columns])
+    h = lambda p: (  # noqa: E731
+        spark.read.parquet(p).select(
+            F.sum(F.crc32(key)).alias("s"), F.count(F.lit(1)).alias("n")
+        ).first()
+    )
+    assert h(fixed) == h(sampled)
+
+    # flat layout restored: 8 plain part files, no __z_file= dirs left
+    assert len(glob.glob(f"{fixed}/part-*.parquet")) == 8
+    assert glob.glob(f"{fixed}/__z_file=*") == []
+
+    # locality: both columns bounded, same gate the sampled form passes
+    assert L.avg_normalized_range(fixed, "l_orderkey") < 0.6
+    assert L.avg_normalized_range(fixed, "l_partkey") < 0.6
+
+
 def test_compaction_zorder_mode(spark, sf_dir, tmp_path):
     """OPTIMIZE ... ZORDER BY: compaction re-clusters on the Morton curve,
     so the compacted files bound BOTH listed columns' footer stats."""
