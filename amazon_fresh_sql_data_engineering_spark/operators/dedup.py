@@ -822,9 +822,15 @@ def connected_components(
     # UDF pass + LSH joins + verify); this function fires 2+ actions on it
     # (size probe, collect/edge build), so persist once up front
     pairs = pairs.select("id_a", "id_b").persist()
-    n_edges = pairs.limit(driver_threshold + 1).count()
-    if n_edges <= driver_threshold:
-        edges_local = pairs.collect()
+    # ONE action decides the path AND fetches the edges (r11 opt: the old
+    # limit().count() + collect() pair cost two sequential jobs over the
+    # same cache): limit(threshold+1) returns EVERY edge when the graph is
+    # under the threshold, and one sacrificial row past it otherwise.
+    # Union-find labels are edge-order-insensitive (union-by-min keeps the
+    # component's min id as root under any order), so the limit's
+    # arbitrary order is harmless.
+    edges_local = pairs.limit(driver_threshold + 1).collect()
+    if len(edges_local) <= driver_threshold:
         pairs.unpersist()
         parent: dict = {}
 
