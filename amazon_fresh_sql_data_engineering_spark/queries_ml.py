@@ -738,35 +738,60 @@ def op_time_weighted_avg(spark, sf_dir):
     "per window stops fitting a shuffle partition.",
 )
 def events_sliding_distinct(spark, sf_dir):
+    # r11 opt (guide §2.3 "aggregate before you shuffle"): the r6-r10 form
+    # exploded every distinct (type, user, hour) presence row into its 24
+    # target hours and shuffled the whole fanned stream into a
+    # count_distinct (which expands to a two-round distinct aggregate over
+    # (type, target, user) — the fanned rows crossed the wire with the
+    # user id attached). Instead collect each (type, user)'s present hours
+    # into one array (single shuffle of PRESENCE-sized rows), expand to
+    # covered target hours ROW-LOCALLY with in-array dedup — after which
+    # each user contributes each target at most once, so the final count
+    # is a PLAIN count: map-side partial aggregation collapses the fanned
+    # rows to ~(type x hour) counts per task before the exchange, and the
+    # user id never rides the fanned shuffle at all. Same result by
+    # construction (user counted at target T iff present in some hour of
+    # (T-23h, T]); the NULL-user filter replicates count_distinct's NULL
+    # exclusion for arbitrary inputs.
     e = _t(spark, sf_dir, "events")
-    presence = e.select(
-        "event_type", "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).distinct()
-    observed = presence.select(
-        F.col("event_type").alias("o_type"), F.col("hour").alias("o_hour")
-    ).distinct()
-    contrib = (
-        presence.select(
-            "event_type",
-            "user_id",
-            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("i"),
-            "hour",
-        )
+    hours_per_user = (
+        e.filter(F.col("user_id").isNotNull())
         .select(
-            "event_type",
-            "user_id",
-            F.expr("timestampadd(HOUR, i, hour)").alias("target"),
+            "event_type", "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
         )
+        .groupBy("event_type", "user_id")
+        .agg(F.collect_set("hour").alias("hrs"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                "hrs",
+                lambda h: F.sequence(
+                    h,
+                    h + F.expr("INTERVAL 23 HOURS"),
+                    F.expr("INTERVAL 1 HOUR"),
+                ),
+            )
+        )
+    )
+    contrib = hours_per_user.select(
+        "event_type", F.explode(covered).alias("hour")
+    )
+    observed = (
+        e.select(
+            F.col("event_type").alias("o_type"),
+            F.date_trunc("hour", F.col("ts")).alias("o_hour"),
+        )
+        .distinct()
     )
     return (
         contrib.join(
-            observed,
+            F.broadcast(observed),
             (F.col("event_type") == F.col("o_type"))
-            & (F.col("target") == F.col("o_hour")),
+            & (F.col("hour") == F.col("o_hour")),
         )
-        .select("event_type", F.col("target").alias("hour"), "user_id")
         .groupBy("event_type", "hour")
-        .agg(F.count_distinct("user_id").cast("bigint").alias("distinct_users"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("distinct_users"))
     )
 
 
