@@ -858,6 +858,13 @@ def op_pca_power(spark, sf_dir):
         )
 
     def normalize(w):
+        # fence (r11 opt): ``w`` feeds both the norm aggregate and the
+        # output stream, and each power iteration nests the previous one —
+        # unfenced, iteration k's two branches re-run iteration k-1's two
+        # branches (2^k matvec subtrees; the before-plan carried 38
+        # exchanges for d=5). A lazy checkpoint of the d-row frame makes
+        # the plan linear in iterations.
+        w = w.localCheckpoint(eager=False)
         nrm = w.groupBy().agg(
             F.array_sort(
                 F.collect_list(
@@ -2166,6 +2173,11 @@ def op_gains_chart(spark, sf_dir):
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("y").alias("n_responders"),
     )
+    # fence (r11 opt): cells (10 rows) feeds both the totals aggregate and
+    # the output stream; unfenced, the whole spend-join + global_ntile
+    # two-phase pipeline executed TWICE (before-plan: 72 exchanges /
+    # 63 scans vs ~half after)
+    cells = cells.localCheckpoint(eager=False)
     tot = cells.agg(
         F.sum("n_customers").alias("nc"), F.sum("n_responders").alias("nr")
     )
