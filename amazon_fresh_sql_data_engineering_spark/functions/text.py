@@ -10,6 +10,10 @@ operators/dedup.py as Arrow-batched pandas UDFs.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
@@ -160,31 +164,58 @@ def winnow_fingerprint_array(
     """Row-local winnowing core: one row per document with the sorted
     distinct fingerprint array (see :func:`winnow_fingerprints`). Zero
     shuffles — callers that aggregate per document (count, digest) can
-    stay map-only end to end."""
-    toks = tokens(text_col)
-    keys = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: F.concat(
-            F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
-            # inverted 0-based position: plain min realizes rightmost-tie
-            F.lpad(
-                (F.lit(100000000) - i).cast("string"), 9, "0"
-            ),
-        ),
-    )
-    fps = F.array_sort(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(F.col("__keys")) - (w - 1)),
-                lambda j: F.array_min(F.slice(F.col("__keys"), j, w)),
+    stay map-only end to end.
+
+    r11 opt (guide §4.2): the r4-r10 form built the keys and window
+    minima with JVM higher-order functions — ``transform``'s per-element
+    lambda runs INTERPRETED, and md5-of-slice per gram plus array_min per
+    window measured ~2.7 s warm over the sf0.1 corpus, the whole query's
+    cost. One Arrow-batched pandas UDF computes the identical values
+    (same md5-hex + 9-digit inverted-position keys, same rightmost-tie
+    window minima via numpy sliding-window min, same distinct+sort via
+    np.unique; hex+digits are ASCII so numpy's code-point order equals
+    Spark's UTF8 binary order). Tokenization is Python ``str.split()`` —
+    the same whitespace-split-of-trimmed-text contract ``tokens()``
+    states, and the precedent every minhash/simhash UDF in
+    operators/dedup.py already uses. Still a pure map: the plan stays
+    zero-exchange (plan-asserted in tests/test_plans.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = t.split() if t else []
+            n = len(toks)
+            if n < k:
+                out.append(None)
+                continue
+            keys = np.array(
+                [
+                    hashlib.md5(
+                        " ".join(toks[i : i + k]).encode("utf-8")
+                    ).hexdigest()
+                    + str(100000000 - (i + 1)).zfill(9)
+                    for i in range(n - k + 1)
+                ],
+                dtype="U41",
             )
-        )
-    )
+            if keys.size < w:
+                out.append(None)
+                continue
+            # numpy has no minimum ufunc for string dtypes: rank the keys
+            # (np.unique sorts lexicographically = Spark's UTF8 order for
+            # this ASCII alphabet) and window-min the integer ranks
+            uniq, inv = np.unique(keys, return_inverse=True)
+            sel = np.unique(
+                np.lib.stride_tricks.sliding_window_view(inv, w).min(axis=1)
+            )
+            out.append(uniq[sel].tolist())
+        return pd.Series(out)
+
     return (
-        docs.where(F.size(toks) >= k)
-        .select(F.col(id_col).alias("doc_id"), keys.alias("__keys"))
-        .where(F.size(F.col("__keys")) >= w)
-        .select("doc_id", fps.alias("fps"))
+        docs.select(F.col(id_col).alias("doc_id"), _winnow(F.col(text_col)).alias("fps"))
+        .where(F.col("fps").isNotNull())
     )
 
 
