@@ -10,6 +10,7 @@ parity holds at any scale factor.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -295,29 +296,44 @@ _LM_KEEP_THRESHOLD = 7.5
     "sees narrow ops and ONE keyed aggregation only.",
 )
 def text_char_lm_score(spark, sf_dir):
+    # r11 opt (guide §4.2 + §2.3): the r9-r10 form exploded character
+    # bigrams through an interpreted transform(sequence, substring) lambda
+    # — thousands of per-character closure calls per document — and
+    # shuffled the RAW bigram stream into groupBy(doc_id, g). One Arrow
+    # UDF emits each document's bigram COUNT MAP instead (identical
+    # values: substring-by-codepoint == Python slicing), so the per-doc
+    # aggregation happens inside the map pass and only
+    # (doc, distinct-bigram, count) rows ever reach an exchange.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("map<string,long>")
+    def _bigram_counts(texts: pd.Series) -> pd.Series:
+        from collections import Counter
+
+        out = []
+        for t in texts:
+            if not t or len(t) < 2:
+                out.append(None)
+                continue
+            out.append(dict(Counter(map("".join, zip(t, t[1:])))))
+        return pd.Series(out)
+
     d = _t(spark, sf_dir, "documents")
     junk = (
         d.filter(F.col("doc_id") % 25 == 0)
         .withColumn("doc_id", F.col("doc_id") + 4000000)
         .withColumn("text", F.regexp_replace("text", "[aeiou]", "x"))
     )
-    bigrams = F.explode(
-        F.expr(
-            "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
-        )
-    ).alias("g")
     doc_counts = (
         d.unionByName(junk)
         .filter(F.length("text") >= 2)
-        .select("doc_id", bigrams)
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c_doc"))
+        .select("doc_id", F.explode(_bigram_counts(F.col("text"))).alias("g", "c_doc"))
     )
     model = (
         d.filter(F.length("text") >= 2)
-        .select(bigrams)
+        .select(F.explode(_bigram_counts(F.col("text"))).alias("g", "c_doc"))
         .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c_doc").alias("c"))
     )
     consts = model.agg(
         F.sum("c").cast("double").alias("t"),
