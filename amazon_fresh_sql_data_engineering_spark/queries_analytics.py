@@ -1389,17 +1389,32 @@ def op_percent_rank(spark, sf_dir):
     "ordering.",
 )
 def op_market_basket(spark, sf_dir):
+    # r11 opt (guide §2.4): the r1-r10 form shuffled lineitem into a
+    # DISTINCT, self-joined the result on the order key (second shuffle +
+    # join machinery), and aggregated the joined pairs. One groupBy
+    # collect_set builds each order's distinct sorted basket in a single
+    # shuffle; unordered pairs are generated ROW-LOCALLY from the
+    # ascending array (p1 < p2 by construction — the same canonical order
+    # the a.partkey < b.partkey join condition produced), so the
+    # distinct's exchange, both self-join inputs, and the join itself
+    # disappear from the plan.
     l = _t(spark, sf_dir, "lineitem")
-    items = l.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+    baskets = l.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    pairs = F.flatten(
+        F.transform(
+            "items",
+            lambda x, i: F.transform(
+                F.slice("items", i + F.lit(2), F.size("items")),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
     return (
-        pairs.groupBy("p1", "p2")
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.p1", "p.p2")
+        .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "p1", "p2")
         .limit(50)

@@ -837,28 +837,46 @@ def events_top_paths(spark, sf_dir):
     "grain; top-k is TakeOrderedAndProject (no global sort).",
 )
 def op_basket_lift(spark, sf_dir):
+    # r11 opt (guide §2.4, same rewrite as op_market_basket/item-CF): one
+    # collect_set shuffle builds each order's distinct sorted basket; the
+    # old form computed the (orderkey, partkey) DISTINCT subtree four
+    # times (n, support, both self-join sides) and paid the self-join's
+    # exchanges. Pairs are generated row-locally from the ascending array
+    # (p1 < p2 by construction); baskets is fenced because three branches
+    # (n, support, pair stream) consume it; the item-support lookup is
+    # catalog-sized, so both attachments broadcast instead of re-shuffling
+    # the pair stream (guide §3.1).
     l = _t(spark, sf_dir, "lineitem")  # noqa: E741
-    items = l.select("l_orderkey", "l_partkey").distinct()
-    n = items.agg(
-        F.countDistinct("l_orderkey").cast("double").alias("n")
+    baskets = l.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    ).localCheckpoint(eager=False)
+    n = baskets.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    supp = (
+        baskets.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("s"))
     )
-    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
-    a = items.alias("a")
-    b = items.alias("b")
+    pair_structs = F.flatten(
+        F.transform(
+            "items",
+            lambda x, i: F.transform(
+                F.slice("items", i + F.lit(2), F.size("items")),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
     co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.p1", "p.p2")
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n_co"))
     )
-    s1 = supp.select(F.col("l_partkey").alias("p1"), F.col("s").alias("s1"))
-    s2 = supp.select(F.col("l_partkey").alias("p2"), F.col("s").alias("s2"))
+    s1 = F.broadcast(
+        supp.select(F.col("l_partkey").alias("p1"), F.col("s").alias("s1"))
+    )
+    s2 = F.broadcast(
+        supp.select(F.col("l_partkey").alias("p2"), F.col("s").alias("s2"))
+    )
     nco = F.col("n_co").cast("double")
     return (
         co.join(s1, "p1")
