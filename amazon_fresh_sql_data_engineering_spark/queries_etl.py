@@ -1433,25 +1433,42 @@ def q_compaction_roundtrip(spark, sf_dir):
                 F.max("o_orderkey").alias("max_okey"),
             ).select(F.lit(tier).alias("tier"), "*")
 
-        # (a) partitioned: one HOT leaf fragmented into 24 files, the
-        # rest cold — compact_partitions must rewrite exactly the hot one
+        # The two tiers are INDEPENDENT write+compact chains over separate
+        # scratch directories — submit them from two driver threads so
+        # tier (b) back-fills tier (a)'s write/compact task tails (guide
+        # §2.6 overlap independent jobs); each chain is internally
+        # sequential and the raising guards are unchanged.
         part = f"{tmp}/orders_part"
-        hot = o.filter(F.col("o_orderstatus") == "F")
-        cold = o.filter(F.col("o_orderstatus") != "F")
-        cold.repartition(2).write.partitionBy("o_orderstatus").parquet(part)
-        hot.repartition(24).write.mode("append").partitionBy(
-            "o_orderstatus"
-        ).parquet(part)
-        res = compact_partitions(spark, part, min_files=8)
-        if not res["compacted"] or res["files_after"] >= res["files_before"]:
-            raise RuntimeError(f"compact_partitions was a no-op: {res}")
-
-        # (b) flat: 24 small files folded behind one atomic swap
         flat = f"{tmp}/orders_flat"
-        o.repartition(24).write.parquet(flat)
-        before, after = compact_files(spark, flat)
-        if after >= before:
-            raise RuntimeError(f"compact_files was a no-op: {before}->{after}")
+
+        def tier_partitioned() -> None:
+            # (a) partitioned: one HOT leaf fragmented into 24 files, the
+            # rest cold — compact_partitions must rewrite exactly the hot
+            # one
+            hot = o.filter(F.col("o_orderstatus") == "F")
+            cold = o.filter(F.col("o_orderstatus") != "F")
+            cold.repartition(2).write.partitionBy("o_orderstatus").parquet(part)
+            hot.repartition(24).write.mode("append").partitionBy(
+                "o_orderstatus"
+            ).parquet(part)
+            res = compact_partitions(spark, part, min_files=8)
+            if not res["compacted"] or res["files_after"] >= res["files_before"]:
+                raise RuntimeError(f"compact_partitions was a no-op: {res}")
+
+        def tier_flat() -> None:
+            # (b) flat: 24 small files folded behind one atomic swap
+            o.repartition(24).write.parquet(flat)
+            before, after = compact_files(spark, flat)
+            if after >= before:
+                raise RuntimeError(
+                    f"compact_files was a no-op: {before}->{after}"
+                )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa, fb = pool.submit(tier_partitioned), pool.submit(tier_flat)
+            fa.result(), fb.result()
 
         out = agg(spark.read.parquet(part).select(o.columns), "partitioned").unionAll(
             agg(spark.read.parquet(flat), "flat")

@@ -668,41 +668,50 @@ def op_item_cf_jaccard(spark, sf_dir, max_items_per_user: int = 64):
     sizes = baskets.select(F.explode("items").alias("item")).groupBy(
         "item"
     ).agg(F.count(F.lit(1)).alias("n"))
-    # Row-local ORDERED pair generation, BOTH directions at once (r11 opt):
-    # for the i-th item (0-based), pair it with every later item in the
-    # ascending array and emit (x,y) AND (y,x). slice() is 1-based and
-    # clamps past the end, so a length of max_items_per_user always covers
-    # the tail. The r4-r10 form generated canonical ia<ib pairs, aggregated
-    # them, then UNIONED the mirrored projection — but the union's two
-    # branches are non-identical subplans (column renames), so ReuseExchange
-    # never fires and the explode+partial-agg chain (the query's heaviest
-    # stage) EXECUTED TWICE off the basket cache (plan-verified: two
-    # Generate + HashAggregate + Exchange chains under Union (32) in
-    # plans/r11/op_item_cf_jaccard_before.txt). Emitting both directions
-    # row-locally doubles the exploded rows but runs the chain ONCE with
-    # one exchange keyed directly on (item, nbr) — same total shuffled
-    # pair-rows, half the explode/aggregate passes, and the two pair-stream
-    # exchanges feeding the old SortMergeJoins disappear (guide §2.4).
+    # Row-local unordered pair generation: for the i-th item (0-based),
+    # pair it with every later item in the ascending array. slice() is
+    # 1-based and clamps past the end, so a length of max_items_per_user
+    # always covers the tail.
     pairs = F.flatten(
-        F.flatten(
-            F.transform(
-                "items",
-                lambda x, i: F.transform(
-                    F.slice("items", i + F.lit(2), F.lit(max_items_per_user)),
-                    lambda y: F.array(
-                        F.struct(x.alias("item"), y.alias("nbr")),
-                        F.struct(y.alias("item"), x.alias("nbr")),
-                    ),
-                ),
-            )
+        F.transform(
+            "items",
+            lambda x, i: F.transform(
+                F.slice("items", i + F.lit(2), F.lit(max_items_per_user)),
+                lambda y: F.struct(x.alias("ia"), y.alias("ib")),
+            ),
         )
     )
-    both = (
+    co = (
         baskets.select(F.explode(pairs).alias("p"))
-        .select("p.item", "p.nbr")
-        .groupBy("item", "nbr")
+        .select("p.ia", "p.ib")
+        .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).alias("co"))
     )
+    # Mirror AFTER the aggregate by exploding each canonical pair row into
+    # its two directions (r11 opt). The r4-r10 form mirrored with a UNION
+    # of two renamed projections of ``co`` — non-identical subplans, so
+    # ReuseExchange never fired and the explode+partial-agg chain (the
+    # query's heaviest stage) EXECUTED TWICE off the basket cache
+    # (plan-verified: two Generate+HashAggregate+Exchange chains under
+    # Union (32) in plans/r11/op_item_cf_jaccard_before.txt). A row-local
+    # explode of the AGGREGATED frame keeps the chain single-pass and
+    # linear — no union, no fence, and the partial-aggregation hash maps
+    # stay canonical-pair-sized (an earlier attempt that exploded both
+    # directions BEFORE the aggregate doubled the per-task map cardinality
+    # and collapsed to sort-spill under late-session memory pressure:
+    # 6.0 -> 14.7 s warm in the full bench despite probing fine solo).
+    both = co.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ia").alias("item"), F.col("ib").alias("nbr"), F.col("co")
+                ),
+                F.struct(
+                    F.col("ib").alias("item"), F.col("ia").alias("nbr"), F.col("co")
+                ),
+            )
+        ).alias("p")
+    ).select("p.item", "p.nbr", "p.co")
     # sizes is one row per distinct item (catalog-sized, ~2 MB at 10^5
     # items x 12 bytes) — broadcast BOTH lookups so the pair stream is
     # never re-shuffled on item/nbr just to attach the set sizes
@@ -1967,8 +1976,15 @@ def op_join_size_estimate(spark, sf_dir):
     ll = hp.agg(F.sum(F.col("n") * F.col("n")).alias("est_rows")).select(
         F.lit("lineitem*lineitem@partkey").alias("join_name"), "est_rows"
     )
-    a1 = li.join(o, li["l_orderkey"] == o["o_orderkey"]).count()
-    a2 = o.join(c, o["o_custkey"] == c["c_custkey"]).count()
+    # the two cross-check counts are independent jobs — submit them from
+    # two driver threads so the second back-fills the first's task tail
+    # (guide §2.6 overlap independent jobs); results are unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(li.join(o, li["l_orderkey"] == o["o_orderkey"]).count)
+        f2 = pool.submit(o.join(c, o["o_custkey"] == c["c_custkey"]).count)
+        a1, a2 = f1.result(), f2.result()
     actuals = [
         ("lineitem*orders@orderkey", a1),
         ("orders*customer@custkey", a2),

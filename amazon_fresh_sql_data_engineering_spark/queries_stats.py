@@ -363,8 +363,12 @@ def op_rfm_segmentation(spark, sf_dir):
         )
         .select("o_custkey", "recency_days", "frequency", "monetary")
         # fence: see doc — the chained ntiles otherwise replay this subtree
-        # once per plan branch (9+ times by the third ntile)
-        .localCheckpoint(eager=True)
+        # once per plan branch (9+ times by the third ntile). LAZY (r11
+        # opt): the three fences' consumers are strictly sequential (each
+        # ntile's probe, then the next fence), so lazy checkpoints cut the
+        # same lineage while folding materialization into the consumer
+        # jobs — three fewer driver actions per execution than eager.
+        .localCheckpoint(eager=False)
     )
     # cache_key: the checkpoint fences give every execution fresh plan ids,
     # so the semantic-hash probe memo can never hit here — an explicit
@@ -375,11 +379,11 @@ def op_rfm_segmentation(spark, sf_dir):
     scored = global_ntile(
         base, 4, [F.col("recency_days").asc(), F.col("o_custkey").asc()], "r_score",
         cache_key=f"rfm:{sf_dir}:r",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     scored = global_ntile(
         scored, 4, [F.col("frequency").desc(), F.col("o_custkey").asc()], "f_score",
         cache_key=f"rfm:{sf_dir}:f",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     scored = global_ntile(
         scored, 4, [F.col("monetary").desc(), F.col("o_custkey").asc()], "m_score",
         cache_key=f"rfm:{sf_dir}:m",
