@@ -2,10 +2,13 @@
 (BASELINE.json scope: language-ID, quality scoring, token counting, document
 fingerprinting).
 
-Everything here is a native Column expression (JVM-side, codegen-eligible) —
-no Python UDFs in the hot path, so these run at full scan speed over a
-100 TB ``documents`` table. Heavier analyses (simhash bit-vote) live in
-operators/dedup.py as Arrow-batched pandas UDFs.
+Most functions here are native Column expressions (JVM-side,
+codegen-eligible) that run at full scan speed over a 100 TB ``documents``
+table. The exception is :func:`winnow_fingerprint_array`, which is an
+Arrow-batched pandas UDF (r11, guide §4.2 — the interpreted higher-order-
+function form was the hottest CPU path of its query); heavier analyses
+(simhash bit-vote, minhash) live in operators/dedup.py as Arrow-batched
+pandas UDFs too.
 """
 
 from __future__ import annotations
@@ -174,11 +177,18 @@ def winnow_fingerprint_array(
     (same md5-hex + 9-digit inverted-position keys, same rightmost-tie
     window minima via numpy sliding-window min, same distinct+sort via
     np.unique; hex+digits are ASCII so numpy's code-point order equals
-    Spark's UTF8 binary order). Tokenization is Python ``str.split()`` —
-    the same whitespace-split-of-trimmed-text contract ``tokens()``
-    states, and the precedent every minhash/simhash UDF in
-    operators/dedup.py already uses. Still a pure map: the plan stays
-    zero-exchange (plan-asserted in tests/test_plans.py)."""
+    Spark's UTF8 binary order). Tokenization is Python ``str.split()``,
+    the precedent every minhash/simhash UDF in operators/dedup.py uses.
+    EXACT divergence from the old ``tokens()`` expression
+    (``split(trim(x), '\\s+')``), for the record (ADVICE r11): Java
+    ``\\s`` is ASCII-only while ``str.split()`` also splits on Unicode
+    whitespace (NBSP, ideographic space, ...), and ``F.trim`` strips only
+    ' ' so text with a LEADING tab/newline previously produced an empty
+    first token (and thus different grams). Identical on any corpus whose
+    inter-token whitespace is ASCII and whose docs don't start with
+    non-space whitespace — true of this corpus (oracle hash parity at all
+    three SFs). Still a pure map: the plan stays zero-exchange
+    (plan-asserted in tests/test_plans.py)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")

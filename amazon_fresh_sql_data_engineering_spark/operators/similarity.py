@@ -14,8 +14,10 @@ Two tiers, as any production vector path:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.vectors import (
     cosine,
@@ -272,16 +274,30 @@ def pq_topk(
     error then only costs recall when a true neighbor misses the whole
     shortlist. ``dist`` in the output is the exact distance in that mode.
 
+    Execution (r12 rewrite, guide §2.4/§4.2 — same results, one fewer
+    corpus-sized shuffle class): codebooks and ADC tables are METADATA
+    (``n_subspaces * n_codes * sub_dim`` doubles, ~8 KB here), so they are
+    collected to the driver — the ``ivf_topk`` precedent — and applied
+    ROW-LOCALLY instead of through join+aggregate pipelines. The old form
+    exploded the corpus x16 through two broadcast-join/min-aggregate
+    assignment passes (two corpus-sized exchanges) and summed subspace
+    distances with a third exchange into collect_list; the new form runs
+    ONE Arrow-batched encode pass per assignment (numpy accumulates the
+    squared-L2 fold dim-by-dim, bit-identical to the engines' sequential
+    fold; ``np.argmin`` first-min tie-break == min cid) and scores each
+    query with four ``element_at`` lookups into literal lookup arrays.
+    Only the top-k window still shuffles — candidate-pair-sized rows.
+    Codebook refinement (the genuinely corpus-sized aggregation) stays
+    distributed: one groupBy over the assigned codes with map-side
+    partial avg (the exchange carries <= n_subspaces*n_codes rows per
+    task). All rounding stays in Spark expressions.
+
     Returns (query_id, neighbor_id, approx_dist, rank), self excluded.
     """
     e = corpus.select(
         F.col(corpus_id).alias("__id"), to_double(F.col(vec_col)).alias("__v")
     )
-    sub = e.select(
-        "__id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("s"),
-        F.expr(f"slice(__v, s * {sub_dim} + 1, {sub_dim})").alias("u"),
-    )
+    id_type = e.schema["__id"].dataType
 
     def dist(a, b):
         return F.aggregate(
@@ -290,78 +306,178 @@ def pq_topk(
             lambda acc, x: acc + x,
         )
 
-    def assign(cents):
-        d = sub.join(F.broadcast(cents), "s")
-        return (
-            d.select("__id", "s", "cid", "u", dist("u", "c").alias("d"))
-            .groupBy("__id", "s")
-            .agg(F.min(F.struct("d", "cid", "u")).alias("b"))
-            .select("__id", "s", F.col("b.cid").alias("cid"), F.col("b.u").alias("u"))
-        )
+    def enc_udf(books):
+        """argmin code POSITION per subspace, one Arrow batch at a time.
 
-    c0 = sub.where(F.col("__id") < n_codes).select(
-        "s", F.col("__id").alias("cid"), F.col("u").alias("c")
+        ``acc += d*d`` accumulates the squared-L2 fold in dim order —
+        per (row, code) the exact IEEE sequence of the engines' sequential
+        fold — and ``np.argmin`` returns the FIRST minimum, i.e. the
+        lowest position == lowest cid (books are cid-ascending)."""
+        mats = [np.asarray(b, dtype=np.float64) for b in books]
+
+        @pandas_udf("array<int>")
+        def enc(vs: pd.Series) -> pd.Series:
+            V = np.array(vs.tolist(), dtype=np.float64)
+            if V.size == 0:
+                return pd.Series([], dtype=object)
+            out = np.empty((V.shape[0], len(mats)), dtype=np.int32)
+            for s, C in enumerate(mats):
+                U = V[:, s * sub_dim : (s + 1) * sub_dim]
+                acc = np.zeros((V.shape[0], C.shape[0]))
+                for i in range(sub_dim):
+                    d = U[:, i : i + 1] - C[None, :, i]
+                    acc += d * d
+                out[:, s] = np.argmin(acc, axis=1)
+            return pd.Series([r.tolist() for r in out])
+
+        return enc
+
+    def sub_fold(q, C):
+        """Driver-side ADC row: squared-L2 of one query subvector against
+        every codebook row, same dim-order accumulation as ``enc_udf``."""
+        acc = np.zeros(C.shape[0])
+        for i in range(sub_dim):
+            d = q[i] - C[:, i]
+            acc += d * d
+        return acc
+
+    # --- init codebook + query vectors: metadata-sized collect (the PQ
+    # contract — a 4-byte-per-vector index only works because the model
+    # state is tiny), pushed-filter scan, one job for both ---
+    pred = query_pred(F.col("__id"))
+    meta_rows = (
+        e.where(pred | (F.col("__id") < n_codes))
+        .select("__id", "__v", pred.alias("__isq"))
+        .collect()
     )
-    c1 = (
-        assign(c0)
-        .select("s", "cid", F.posexplode("u").alias("pos", "x"))
-        .groupBy("s", "cid", "pos")
-        .agg(F.round(F.avg("x"), 6).alias("m"))
-        .groupBy("s", "cid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda st: st["m"],
-            ).alias("c")
+    init = sorted((r["__id"], r["__v"]) for r in meta_rows if r["__id"] < n_codes)
+    queries = sorted((r["__id"], r["__v"]) for r in meta_rows if r["__isq"])
+    if not init or not queries:
+        out_dist = "exact_dist" if rerank > 0 else "approx_dist"
+        return e.select(
+            F.col("__id").alias("query_id"),
+            F.col("__id").alias("neighbor_id"),
+            F.lit(0.0).alias(out_dist),
+            F.lit(1).alias("rank"),
+        ).where(F.lit(False))
+    c0_books = [
+        np.array(
+            [v[s * sub_dim : (s + 1) * sub_dim] for _, v in init], dtype=np.float64
         )
-        # feeds both the encode pass and every ADC table; m*k rows of
-        # metadata — fence with AQE-sized partitions (see graph.py note)
-        .localCheckpoint(eager=True)
-    )
-    codes = assign(c1).select("__id", "s", "cid")
-    qs = sub.where(query_pred(F.col("__id"))).select(
-        F.col("__id").alias("query_id"), "s", F.col("u").alias("qu")
-    )
-    dt = qs.join(F.broadcast(c1), "s").select(
-        "query_id", "s", "cid", dist("qu", "c").alias("d")
-    )
-    tot = (
-        codes.join(F.broadcast(dt), ["s", "cid"])
-        .groupBy("query_id", F.col("__id").alias("neighbor_id"))
+        for s in range(n_subspaces)
+    ]
+
+    # --- one Lloyd refinement: distributed avg over the assigned groups
+    # (identical operand multisets to the oracle's m1 CTE; round stays in
+    # Spark). posexplode yields (subspace, code position) pairs. ---
+    enc0 = enc_udf(c0_books)
+    assigned = e.select(
+        F.posexplode(enc0("__v")).alias("s", "cpos"), "__v"
+    ).select("s", "cpos", F.expr(f"slice(__v, s * {sub_dim} + 1, {sub_dim})").alias("u"))
+    c1_rows = (
+        assigned.groupBy("s", "cpos")
         .agg(
-            F.round(
-                F.aggregate(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("s", "d"))),
-                        lambda st: st["d"],
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("approx_dist")
+            *[
+                F.round(F.avg(F.element_at("u", i + 1)), 6).alias(f"m{i}")
+                for i in range(sub_dim)
+            ]
         )
-        .where(F.col("neighbor_id") != F.col("query_id"))
+        .collect()
+    )
+    means = {
+        (r["s"], r["cpos"]): [r[f"m{i}"] for i in range(sub_dim)] for r in c1_rows
+    }
+    c1_books = []
+    for s in range(n_subspaces):
+        poss = sorted(p for (ss, p) in means if ss == s)
+        c1_books.append(np.array([means[(s, p)] for p in poss], dtype=np.float64))
+
+    # --- per-query ADC lookup tables (driver, metadata-sized); one Arrow
+    # pass encodes AND sums the per-query lookups (D starts at 0.0 and adds
+    # in s order — bit-identical to the engines' s-ordered fold; the LUTs
+    # ride in the UDF closure, keeping the plan literal-free) ---
+    lut_by_s = [
+        np.stack(
+            [
+                sub_fold(
+                    np.asarray(qv, dtype=np.float64)[
+                        s * sub_dim : (s + 1) * sub_dim
+                    ],
+                    c1_books[s],
+                )
+                for _, qv in queries
+            ]
+        )
+        for s in range(n_subspaces)
+    ]
+    mats = [np.asarray(b, dtype=np.float64) for b in c1_books]
+    n_q = len(queries)
+
+    @pandas_udf("array<double>")
+    def adc_dists(vs: pd.Series) -> pd.Series:
+        V = np.array(vs.tolist(), dtype=np.float64)
+        if V.size == 0:
+            return pd.Series([], dtype=object)
+        D = np.zeros((V.shape[0], n_q))
+        for s, C in enumerate(mats):
+            U = V[:, s * sub_dim : (s + 1) * sub_dim]
+            acc = np.zeros((V.shape[0], C.shape[0]))
+            for i in range(sub_dim):
+                d = U[:, i : i + 1] - C[None, :, i]
+                acc += d * d
+            codes = np.argmin(acc, axis=1)
+            D += lut_by_s[s][:, codes].T
+        return pd.Series([r.tolist() for r in D])
+
+    # --- score every query row-locally (round stays in Spark), rank ---
+    entries = [
+        F.struct(
+            F.lit(qid).cast(id_type).alias("query_id"),
+            F.round(F.element_at("__d", qi + 1), 6).alias("approx_dist"),
+        )
+        for qi, (qid, _) in enumerate(queries)
+    ]
+    scored = (
+        e.select("__id", adc_dists("__v").alias("__d"))
+        .select("__id", F.explode(F.array(*entries)).alias("p"))
+        .where(F.col("p.query_id") != F.col("__id"))
+        .select(
+            F.col("p.query_id").alias("query_id"),
+            F.col("__id").alias("neighbor_id"),
+            F.col("p.approx_dist").alias("approx_dist"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
     adc = (
-        tot.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= (rerank if rerank > 0 else k))
         .select("query_id", "neighbor_id", "approx_dist", "rank")
     )
     if rerank <= 0:
         return adc
-    qv = e.where(query_pred(F.col("__id"))).select(
-        F.col("__id").alias("query_id"), F.col("__v").alias("__qv")
+    # shortlist fetch: queries x rerank rows — broadcast the SHORTLIST so
+    # the corpus streams through one BroadcastHashJoin (never shuffled by
+    # neighbor id); query vectors attach as literals (metadata), built as
+    # ONE SQL string (hundreds of F.lit py4j round trips measured as the
+    # dominant driver cost of this operator's first form).
+    def _sql_val(v):
+        return f"'{str(v).replace(chr(39), chr(39) * 2)}'" if isinstance(v, str) else str(v)
+
+    branches = " ".join(
+        f"WHEN query_id = {_sql_val(qid)} THEN "
+        f"array({', '.join(f'{float(x)!r}D' for x in qv)})"
+        for qid, qv in queries
     )
+    qv_expr = F.expr(f"CASE {branches} END")
     cand = (
-        adc.select("query_id", "neighbor_id")
-        .join(e, F.col("neighbor_id") == F.col("__id"))
-        .join(F.broadcast(qv), "query_id")
+        e.join(
+            F.broadcast(adc.select("query_id", "neighbor_id")),
+            F.col("__id") == F.col("neighbor_id"),
+        )
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dist("__qv", "__v"), 6).alias("exact_dist"),
+            F.round(dist(qv_expr, F.col("__v")), 6).alias("exact_dist"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy("exact_dist", "neighbor_id")

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
-"""Round-11 optimization probe: time a subset of catalog queries in isolation
+"""Round-12 optimization probe: time a subset of catalog queries in isolation
 (fresh session, bench-identical warm-up + timed() protocol) and optionally
-dump .explain("formatted") to plans/r11/<name>_<tag>.txt.
+dump .explain("formatted") to plans/r12/<name>_<tag>.txt.
 
 Usage:
     python scripts_opt_probe.py q1 q2 ...            # time only
@@ -87,9 +87,9 @@ def main() -> None:
         if tag is not None:
             from amazon_fresh_sql_data_engineering_spark.plans import physical_plan
 
-            os.makedirs("plans/r11", exist_ok=True)
+            os.makedirs("plans/r12", exist_ok=True)
             df = spec.fn(spark, sf_dir)
-            with open(f"plans/r11/{name}_{tag}.txt", "w") as fh:
+            with open(f"plans/r12/{name}_{tag}.txt", "w") as fh:
                 fh.write(physical_plan(df))
         spark.sparkContext.setJobDescription(None)
     print(json.dumps(out, indent=2))

@@ -215,14 +215,25 @@ def test_triangle_count_single_wedge_pass_no_cartesian(spark, sf_dir):
     assert wedge_joins <= 2, plan[:2000]
 
 
-def test_pq_adc_join_broadcasts_lookup_tables(spark, sf_dir):
-    """PQ search: codebook + per-query ADC tables are metadata — the
-    corpus side must never shuffle into a sort-merge join against them
-    and nothing may go cartesian."""
-    df = CATALOG["sim_ann_pq"].fn(spark, sf_dir)
-    plan = X.physical_plan(df)
+def test_pq_adc_is_rowlocal_arrow_pass(spark, sf_dir):
+    """PQ search (r12 form): codebook + ADC tables are metadata collected
+    to the driver and applied row-locally — the ADC pass is ONE Arrow UDF
+    over the corpus with NO join of any kind, and the only shuffle left is
+    the per-query top-k window. The rerank variant's shortlist fetch must
+    stream the corpus through broadcast joins (never an SMJ/cartesian on
+    the raw vectors)."""
+    import re
+
+    plan = X.physical_plan(CATALOG["sim_ann_pq"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "ArrowEvalPython" in plan, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan[:2000]
+
+    rplan = X.physical_plan(CATALOG["sim_ann_pq_rerank"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in rplan
+    assert "SortMergeJoin" not in rplan, rplan[:2000]
+    assert "BroadcastExchange" in rplan, rplan[:2000]
 
 
 def test_winnowing_is_window_over_single_doc_shuffle(spark, sf_dir):
