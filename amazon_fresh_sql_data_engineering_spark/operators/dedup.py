@@ -377,6 +377,14 @@ def minhash_incremental_pairs(
     every frame this call persists is appended) and ``unpersist()`` each
     after consuming the result (ADVICE r6 — the pin is evictable, so a
     leak degrades to recompute, never to wrong results, but it is a leak).
+
+    Broadcast hints were MEASURED AND DECLINED here (r12): unlike the
+    on-disk probe — whose store side is a pruned index SCAN that broadcast
+    hints keep exchange-free — this path's store bands are a computed
+    explode over the cached features, and pinning the batch side to three
+    broadcast builds plus the guarded pair count measured ~15% SLOWER in
+    an interleaved A/B at sf0.1 (med 3.6 -> 4.1 s). The shuffled joins
+    stay.
     """
     new_feats = minhash_features(batch_docs, id_col, text_col, num_hashes, k, seed).persist()
     if pins is not None:
@@ -1084,7 +1092,26 @@ def _write_manifest(
 def _manifest_layout(m) -> str:
     """Layout of a store manifest row; pre-r8 manifests lack the column
     and are by construction batch-layout."""
-    return m.asDict().get("layout") or "batch"
+    d = m.asDict() if hasattr(m, "asDict") else m
+    return d.get("layout") or "batch"
+
+
+def _read_manifest(spark, path: str) -> dict:
+    """One-row store manifest as a dict, read DRIVER-SIDE (r12, guide §1.2
+    fewer actions): the manifest is table-format metadata — Delta/Iceberg
+    read theirs without a cluster job, and so does this (a Spark read of a
+    one-row parquet costs a schema-inference job plus a collect job, two
+    of the probe's ~6 sequential driver actions). Falls back to the Spark
+    read for filesystems pyarrow cannot reach, preserving the original
+    error behavior for missing/corrupt manifests."""
+    mdir = f"{path}/manifest"
+    try:
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(mdir)
+        return {c: t.column(c)[0].as_py() for c in t.column_names}
+    except Exception:  # noqa: BLE001 — non-local path or unreadable: let Spark decide
+        return spark.read.parquet(mdir).collect()[0].asDict()
 
 
 #: versioned root of a POINTER-published append store (r11): the live
@@ -1256,7 +1283,7 @@ def append_minhash_store(features: DataFrame, path: str, ingest_id: int) -> None
     generations).
     """
     spark = features.sparkSession
-    m = spark.read.parquet(f"{path}/manifest").collect()[0]
+    m = _read_manifest(spark, path)
     # layout guard (self-review r8): the manifests are otherwise
     # identical, and appending __ingest leaves under a batch-layout
     # index makes partition discovery fail FAR from the cause
@@ -1366,7 +1393,7 @@ def compact_minhash_store(
             _glob.glob(_os.path.join(feats_dir, "**", "*.parquet"), recursive=True)
         )
 
-    m = spark.read.parquet(f"{path}/manifest").collect()[0]
+    m = _read_manifest(spark, path)
     if _manifest_layout(m) != "append":
         raise ValueError(
             f"compact_minhash_store: {path} is a batch-layout store — "
@@ -1477,7 +1504,7 @@ def minhash_store_probe(
     batch being folded, even if that batch's own rows already landed.
     """
     spark = batch_docs.sparkSession
-    m = spark.read.parquet(f"{path}/manifest").collect()[0]
+    m = _read_manifest(spark, path)
     num_hashes, bands, num_prefixes, k, seed = (
         m["num_hashes"], m["bands"], m["num_prefixes"], m["k"], m["seed"]
     )
@@ -1502,12 +1529,21 @@ def minhash_store_probe(
     ).withColumn("__pfx", F.pmod(F.xxhash64("bucket"), F.lit(num_prefixes))).persist()
     if pins is not None:
         pins.extend([new_feats, new_bands])
-    touched = [
-        (r["band"], r["__pfx"])
-        for r in new_bands.select("band", "__pfx").distinct().collect()
-    ]
+    # §2.6 overlap: the store-tree reads (schema-inference + partition
+    # discovery driver jobs) are independent of the batch's feature pass —
+    # submit them from a small pool so they run UNDER the touched-collect
+    # job instead of serially after it.
+    from concurrent.futures import ThreadPoolExecutor
+
     store_feats_dir, store_idx_dir = _store_trees(path)
-    idx = spark.read.parquet(store_idx_dir)
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fut_idx = _pool.submit(spark.read.parquet, store_idx_dir)
+        _fut_feats = _pool.submit(spark.read.parquet, store_feats_dir)
+        touched = [
+            (r["band"], r["__pfx"])
+            for r in new_bands.select("band", "__pfx").distinct().collect()
+        ]
+    idx = _fut_idx.result()
     # prune only when it can pay: past half the directory space the scan
     # reads most of the index anyway and the per-partition filter
     # evaluation is pure overhead (measured: a batch touching 64% of a
@@ -1525,7 +1561,7 @@ def minhash_store_probe(
         # an O(1)-lookup InSet.
         enc = F.col("band") * F.lit(num_prefixes) + F.col("__pfx")
         idx = idx.filter(enc.isin([b * num_prefixes + p for b, p in touched]))
-    store_features = spark.read.parquet(store_feats_dir)
+    store_features = _fut_feats.result()
     if max_ingest_exclusive is not None:
         # __ingest is a partition column in append-layout stores, so both
         # filters prune directories, composing with the (band, pfx) prune
