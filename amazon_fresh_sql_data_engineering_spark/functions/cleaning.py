@@ -63,6 +63,21 @@ def norm_uuid(c: Column | str) -> Column:
     return F.when(t.rlike(UUID_RE), F.lower(t)).otherwise(F.lit(None))
 
 
+def norm_uuid_prevalidated(c: Column | str) -> Column:
+    """``norm_uuid`` for columns a PRIOR filter already guarantees are
+    blank-or-valid-uuid — i.e. FK columns downstream of ``clean_entity``'s
+    quarantine step, whose predicate quarantines every row with non-blank
+    non-uuid FK text (r12, guide §1.2 per-task work: the uuid regex is the
+    costliest expression of the cleaning kit, and re-validating an
+    already-validated column pays it a second time per row). Equivalent to
+    ``norm_uuid`` exactly on rows satisfying
+    ``clean_text(c) IS NULL OR is_valid_uuid(clean_text(c))`` — pinned by
+    tests/test_pipelines.py; do NOT use on unvalidated text (a non-uuid
+    value would pass through lowercased instead of nulling)."""
+    t = F.trim(_c(c))
+    return F.when(t != "", F.lower(t))
+
+
 def parse_int(c: Column | str) -> Column:
     """Guarded ``NULLIF(trim(x),'')::int`` (T:146, T:169)."""
     t = F.trim(_c(c))

@@ -42,7 +42,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import clean_text, gen_uuid, is_valid_uuid, norm_uuid
+from ..functions.cleaning import UUID_RE, clean_text, gen_uuid, is_valid_uuid
 from ..operators.dml import upsert_ignore
 
 
@@ -105,13 +105,20 @@ def clean_entity(
     ok = kept.filter(~bad_fk)
 
     # 2. PK repair: garbage uuid -> fresh (content-addressed) uuid, row kept
-    #    (ref T:253-255); valid -> lowercase canonical.
+    #    (ref T:253-255); valid -> lowercase canonical. One trim+rlike per
+    #    row (r12): the old `when(is_valid_uuid(clean_text(pk)),
+    #    norm_uuid(pk))` evaluated the uuid regex twice and trim three
+    #    times per valid row — CASE branches are outside codegen's
+    #    common-subexpression elimination. Equivalent on `kept` rows
+    #    (blank PKs were already dropped, and trim is idempotent), and it
+    #    is literally the oracle's own CASE shape.
     fresh = (
         gen_uuid(_row_fingerprint(raw_cols, f"{spec.name}.pk"))
         if deterministic_ids
         else gen_uuid()
     )
-    repaired_pk = F.when(is_valid_uuid(clean_text(spec.pk)), norm_uuid(spec.pk)).otherwise(fresh)
+    pk_trimmed = F.trim(F.col(spec.pk))
+    repaired_pk = F.when(pk_trimmed.rlike(UUID_RE), F.lower(pk_trimmed)).otherwise(fresh)
 
     # 4. cast/clean all columns (§2.9 kit)
     cleaned = ok.select(

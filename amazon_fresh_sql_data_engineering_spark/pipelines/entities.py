@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions.cleaning import (
     clean_text,
-    norm_uuid,
+    norm_uuid_prevalidated,
     parse_bool,
     parse_date_mdy,
     parse_decimal,
@@ -21,6 +21,11 @@ from ..functions.cleaning import (
 from .cleaning import CleanResult, EntitySpec, FkSpec, clean_entity
 from ..operators.dml import upsert_ignore
 
+# FK columns use norm_uuid_prevalidated (r12): clean_entity's quarantine
+# step already filtered every row whose FK text is non-blank and non-uuid,
+# so the per-row uuid regex in the cleaned projection is redundant —
+# blank->NULL else lowercase(trim) is exactly norm_uuid on the surviving
+# rows (equivalence pinned in tests/test_pipelines.py).
 UNKNOWN_SUPPLIER = {"suppliername": "UNKNOWN SUPPLIER"}  # ref T:131-135
 UNKNOWN_CUSTOMER = {"name": "UNKNOWN CUSTOMER"}  # ref T:215-219
 UNKNOWN_PRODUCT = {"productname": "UNKNOWN PRODUCT"}  # ref T:862-869
@@ -53,7 +58,7 @@ def spec_products() -> EntitySpec:
             "subcategory": clean_text("subcategory"),
             "priceperunit": parse_decimal("priceperunit", 12, 2),
             "stockquantity": parse_int("stockquantity"),
-            "supplierid": norm_uuid("supplierid"),
+            "supplierid": norm_uuid_prevalidated("supplierid"),
         },
         fks=[FkSpec("supplierid", "suppliers", UNKNOWN_SUPPLIER)],
     )
@@ -83,7 +88,7 @@ def spec_orders() -> EntitySpec:
         name="orders",
         pk="orderid",
         clean_exprs={
-            "customerid": norm_uuid("customerid"),
+            "customerid": norm_uuid_prevalidated("customerid"),
             "orderdate": parse_date_mdy("orderdate"),
             "shipdate": parse_date_mdy("shipdate"),
             "shipmode": clean_text("shipmode"),
@@ -99,8 +104,8 @@ def spec_order_details() -> EntitySpec:
         name="order_details",
         pk="orderdetailid",
         clean_exprs={
-            "orderid": norm_uuid("orderid"),
-            "productid": norm_uuid("productid"),
+            "orderid": norm_uuid_prevalidated("orderid"),
+            "productid": norm_uuid_prevalidated("productid"),
             "quantity": parse_int("quantity"),
             "unitprice": parse_decimal("unitprice", 12, 2),
             "discount": parse_decimal("discount", 5, 2),
@@ -118,8 +123,8 @@ def spec_reviews() -> EntitySpec:
         name="reviews",
         pk="reviewid",
         clean_exprs={
-            "productid": norm_uuid("productid"),
-            "customerid": norm_uuid("customerid"),
+            "productid": norm_uuid_prevalidated("productid"),
+            "customerid": norm_uuid_prevalidated("customerid"),
             "rating": parse_int("rating"),
             "reviewtext": clean_text("reviewtext"),
         },

@@ -768,7 +768,14 @@ def events_sliding_distinct(spark, sf_dir):
     # user id never rides the fanned shuffle at all. Same result by
     # construction (user counted at target T iff present in some hour of
     # (T-23h, T]); the NULL-user filter replicates count_distinct's NULL
-    # exclusion for arbitrary inputs.
+    # exclusion — with ONE stated divergence (ADVICE r11): an observed
+    # (type, hour) whose ONLY covering events carry NULL user_id
+    # previously surfaced as a distinct_users=0 row, but now has no
+    # contrib rows at all (NULL users never enter hours_per_user), so the
+    # INNER join below drops the group entirely. events.user_id has zero
+    # NULLs at every SF (oracle-hash-proven), so no current row is
+    # affected; inputs with NULL-user-only hours would need a LEFT join
+    # from observed with a coalesce-to-0 count instead.
     e = _t(spark, sf_dir, "events")
     hours_per_user = (
         e.filter(F.col("user_id").isNotNull())

@@ -273,6 +273,14 @@ def zorder_write_fixed(
     writes the identical layout one full pass cheaper. Per-file locality
     (the point of z-ordering) is unchanged either way: files still cover
     disjoint contiguous z-ranges.
+
+    Path contract (ADVICE r11): the leaf flatten is driver-local
+    ``os.rename``/``shutil`` — correct on the POSIX/HDFS publish seam this
+    repo targets (the same seam as versioned.py); on an object store a
+    "rename" is a copy and the glob below would silently no-op, so the
+    flatten REQUIRES a locally-visible path and raises otherwise. Only
+    ``mode="overwrite"`` is supported: an append over an already-flattened
+    directory would collide with the prior run's fixed part names.
     """
     import glob
     import os
@@ -280,22 +288,49 @@ def zorder_write_fixed(
 
     n = len(cols)
     n_files = num_files or df.sparkSession.sparkContext.defaultParallelism
+    if mode != "overwrite":
+        raise ValueError(
+            f"zorder_write_fixed: mode={mode!r} unsupported — the flatten "
+            "step writes fixed part-<chunk> names, so anything but "
+            "'overwrite' would silently clobber a prior run's files"
+        )
     if "__z_file" in df.columns:
         raise ValueError("zorder: scratch column '__z_file' already present")
+    if n * bits + max(n_files - 1, 1).bit_length() >= 63:
+        raise ValueError(
+            f"zorder_write_fixed: bits={bits} x {n} cols with "
+            f"num_files={n_files} overflows the int64 chunk arithmetic — "
+            "lower bits or use the sampled zorder_write"
+        )
     keyed = _zorder_keyed(df, cols, bits, relative_error)
     k_span = 1 << (n * bits)
+    # pure integer chunk id (ADVICE r11): the double division lost exactness
+    # past 2^53 and the multiply could overflow at high bits x cols; integer
+    # `div` keeps the identical boundaries for every reachable config (the
+    # overflow guard above bounds the product below 2^63)
     keyed = keyed.withColumn(
         "__z_file",
-        ((F.col(_Z) * F.lit(n_files)) / F.lit(k_span)).cast("int"),
+        F.expr(f"CAST(({_Z} * {n_files}L) div {k_span}L AS INT)"),
     )
     (
-        keyed.repartition(n_files, F.col("__z_file"))
+        # 4x more buckets than chunk ids (ADVICE r11): hashing n ids into
+        # exactly n buckets leaves ~1/e of write tasks empty by
+        # balls-in-bins; 4n cuts the collision odds so chunks spread to
+        # distinct tasks (correctness never depends on it — partitionBy
+        # splits colliding chunks into their own leaf dirs either way)
+        keyed.repartition(4 * n_files, F.col("__z_file"))
         .sortWithinPartitions("__z_file", _Z)
         .select(*df.columns, "__z_file")
         .write.mode(mode)
         .partitionBy("__z_file")
         .parquet(path)
     )
+    if not os.path.isdir(path):
+        raise ValueError(
+            f"zorder_write_fixed: {path!r} is not visible as a local "
+            "directory after the write — the leaf flatten needs a "
+            "POSIX-visible path (object stores: use zorder_write)"
+        )
     # flatten: one leaf dir per non-empty chunk, each holding exactly one
     # part file (a chunk lives wholly in one task); renumber to plain
     # part-<chunk>-<i> names so readers and footer tooling see the same

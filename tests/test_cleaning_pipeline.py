@@ -237,3 +237,56 @@ def test_idremap_roundtrip_catalog_conservation(spark, sf_dir):
     from amazon_fresh_sql_data_engineering_spark.functions.cleaning import is_valid_uuid
 
     assert out.filter(~is_valid_uuid("customerid")).count() == 0
+
+
+def test_fk_fastpath_equals_norm_uuid_on_survivors(spark):
+    """r12: FK clean exprs use norm_uuid_prevalidated (blank->NULL else
+    lowercase-trim, no second uuid regex). Prove it equals norm_uuid on
+    every row clean_entity's quarantine lets through, across every dirt
+    class: valid lower/upper/mixed uuids, blanks, NULLs, whitespace-padded
+    uuids — and that garbage FK text never reaches the cleaned frame."""
+    from amazon_fresh_sql_data_engineering_spark.functions.cleaning import (
+        norm_uuid,
+        norm_uuid_prevalidated,
+    )
+    from amazon_fresh_sql_data_engineering_spark.pipelines.cleaning import (
+        clean_entity,
+    )
+
+    rows = [
+        {"productid": U[0], "supplierid": U[1]},
+        {"productid": U[2], "supplierid": UP},  # mixed-case uuid
+        {"productid": U[3], "supplierid": f"  {U[4]}  "},  # padded uuid
+        {"productid": U[5], "supplierid": ""},  # blank -> NULL
+        {"productid": U[6], "supplierid": None},  # NULL stays NULL
+        {"productid": U[7], "supplierid": "   "},  # whitespace -> NULL
+        {"productid": U[8], "supplierid": "not-a-uuid"},  # quarantined
+    ]
+    staging = _staging(spark, "products", rows)
+    res = clean_entity(staging, E.spec_products())
+    got = {
+        r["productid"]: r["supplierid"]
+        for r in res.final.select("productid", "supplierid").collect()
+    }
+    want = {
+        r["productid"]: r["supplierid"]
+        for r in staging.select(
+            F.lower(F.trim("productid")).alias("productid"),
+            norm_uuid("supplierid").alias("supplierid"),
+        ).collect()
+        if r["productid"] in got
+    }
+    assert got == want
+    assert U[8] not in got  # garbage FK row quarantined, not cleaned
+    assert res.quarantined.count() == 1
+    # the two expressions agree verbatim on any blank-or-valid input
+    probe = _staging(
+        spark,
+        "products",
+        [{"productid": U[9], "supplierid": v} for v in [U[0], UP, "", None, "  "]],
+    )
+    both = probe.select(
+        norm_uuid("supplierid").alias("a"),
+        norm_uuid_prevalidated("supplierid").alias("b"),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in both)
