@@ -590,13 +590,26 @@ def op_item_cf_jaccard(spark, sf_dir, max_items_per_user: int = 64):
     li, o = _t(spark, sf_dir, "lineitem", "orders")
     from pyspark.sql import Window
 
-    # Distinct (user, item, last purchase date) — one shuffle on (u, item)
-    # with map-side partial max.
+    # ONE user-keyed exchange feeds the whole basket build (r12, guide
+    # §2.4 "two operations keyed the same way can share one exchange"):
+    # hash(u) satisfies the clustered distribution of BOTH groupBy(u, item)
+    # and groupBy(u), so the explicit repartition below is the only
+    # shuffle between the join and the persisted baskets — the r4-r11 form
+    # paid three (hash(u, item) for the max, hash(u) for the collect, then
+    # a round-robin for explode parallelism). The explicit numPartitions
+    # keeps AQE from coalescing it (user-specified counts are preserved),
+    # which is exactly the guarantee the old round-robin repartition
+    # existed to provide; the foregone map-side partial max costs nothing
+    # here because (u, item) pairs are near-distinct in the join output.
     ui0 = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy(
-            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item")
+        .select(
+            F.col("o_custkey").alias("u"),
+            F.col("l_partkey").alias("item"),
+            F.col("o_orderdate"),
         )
+        .repartition(spark.sparkContext.defaultParallelism, "u")
+        .groupBy("u", "item")
         .agg(F.max("o_orderdate").alias("last_d"))
     )
     # Per-user basket as ONE array row (shuffle on u; collect_list runs
@@ -638,33 +651,20 @@ def op_item_cf_jaccard(spark, sf_dir, max_items_per_user: int = 64):
     )
     # baskets feeds both the pair stream and the buyer-set sizes; it is a
     # small frame (one row per user) — fence it so the join+agg above runs
-    # once. Then REPARTITION: AQE coalesces the tiny basket shuffle (~15k
-    # array rows at sf0.1 -> 6 partitions) because the ~200x pair-explode
-    # blowup downstream is invisible to its byte-based sizing, which would
-    # strand the heaviest stage (explode + partial pair agg) on a fraction
-    # of the cores. Round-robin over the full parallelism costs one shuffle
-    # of the small frame and measures 9.4 s -> 6.0 s warm at sf0.1; at
-    # 100 TB the same coalesce-before-explode trap is the difference
-    # between scan-rate pair generation and a handful of straggler tasks.
-    # The fence is a PERSIST pin (VERDICT r5 item 7), not a localCheckpoint:
-    # evictable, recomputable after executor loss (recompute is safe — the
-    # basket arrays are array_sort-normalized, so collect_list order can't
-    # leak), and both consumers (sizes, pair stream) share this exact
-    # DataFrame object so the cache lookup hits by plan identity. The pin
-    # sits ABOVE the repartition so each consumer reads the cache directly
-    # (A/B at sf0.1 warm: persist-after-repartition 6.3-7.5 s == the old
-    # localCheckpoint's 6.3 s; persist-below-repartition 8-9.5 s pays an
-    # extra exchange read per branch; NO fence is 25 s — column pruning
-    # makes the two branches' exchange subplans non-identical, so reuse
-    # never fires and the basket agg runs per branch). The explicit
-    # repartition(N) is immune to AQE coalescing — user-specified partition
-    # counts are preserved — so the explode keeps full parallelism without
-    # any lineage-truncating barrier.
+    # once. The fence is a PERSIST pin (VERDICT r5 item 7), not a
+    # localCheckpoint: evictable, recomputable after executor loss
+    # (recompute is safe — the basket arrays are array_sort-normalized, so
+    # collect_list order can't leak), and both consumers (sizes, pair
+    # stream) share this exact DataFrame object so the cache lookup hits
+    # by plan identity. Partitioning/parallelism note (r12): the persisted
+    # frame inherits the explicit repartition(N, u) above — N full-width
+    # partitions that AQE never coalesced — so the ~200x pair-explode
+    # below runs at full parallelism straight off the cache (the r4-r11
+    # form re-shuffled baskets round-robin here for the same guarantee;
+    # interleaved A/B at sf0.1: med 5.4 -> 4.7 s with the shared exchange).
     from pyspark.storagelevel import StorageLevel
 
-    baskets = baskets.repartition(spark.sparkContext.defaultParallelism).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    baskets = baskets.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = baskets.select(F.explode("items").alias("item")).groupBy(
         "item"
     ).agg(F.count(F.lit(1)).alias("n"))
