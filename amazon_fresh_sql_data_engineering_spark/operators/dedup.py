@@ -572,6 +572,7 @@ def ngram_inverted_index(
     k: int = 3,
     max_df: int | None = None,
     include_sizes: bool = True,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """The sparse inverted index behind ``ngram_jaccard_pairs``: one row per
     (block, shingle-hash, doc) with the doc's kept-shingle count ``__n``.
@@ -582,7 +583,15 @@ def ngram_inverted_index(
     the self-join's O(df²) row blow-up bounded under boilerplate-heavy
     corpora at 100 TB (tests/test_extensions.py asserts the bound on an
     adversarial corpus). Public so tests and capacity planning can inspect
-    list lengths directly."""
+    list lengths directly.
+
+    ``persist_shingles`` (r12) caches the PRE-explode per-doc shingle
+    frame: callers whose plan consumes the index through more than one
+    branch (the jaccard self-join reads it twice) otherwise re-run the
+    scan + Arrow shingle pass per branch — the fence is one row per doc
+    (array column), far smaller than the exploded index, and at 100 TB it
+    is the difference between one and two full corpus reads. The caller
+    owns the cache's lifetime (unpersist / clearCache when done)."""
 
     @pandas_udf(ArrayType(LongType()))
     def _shs(texts: pd.Series) -> pd.Series:
@@ -596,6 +605,8 @@ def ngram_inverted_index(
         F.col(id_col).alias("__id"),
         _shs(F.col(text_col)).alias("__sh"),
     ).filter(F.size("__sh") > 0)
+    if persist_shingles:
+        sh = sh.persist()
     inv = sh.select(
         *block_cols,
         F.col("__id"),
@@ -663,8 +674,16 @@ def ngram_jaccard_pairs(
 
     if max_df is None:
         # fast path: __n is computed in the pre-explode projection (free),
-        # so it rides the index rows through the self-join
-        inv = ngram_inverted_index(df, id_col, text_col, block_cols, k=k)
+        # so it rides the index rows through the self-join. The self-join
+        # consumes the index through TWO branches whose alias projections
+        # make the exchange subplans non-identical (no ReuseExchange), so
+        # persist the per-doc shingle frame (r12): one scan + one Arrow
+        # shingle pass instead of two — at 100 TB one fewer full corpus
+        # read. (Persisting the EXPLODED index instead was measured no
+        # better and caches |shingles| rows instead of |docs|.)
+        inv = ngram_inverted_index(
+            df, id_col, text_col, block_cols, k=k, persist_shingles=True
+        )
         a = inv.select(
             *block_cols,
             F.col("__s"),
@@ -691,6 +710,11 @@ def ngram_jaccard_pairs(
         # sides) and its lineage contains the Arrow shingle UDF — persist
         # so the shingling+cut runs once, not three times (SCALE.md
         # multi-branch lineage discipline; measured ~2x at sf0.1)
+        # (persist_shingles was measured a WASH here, r12: the cut's two
+        # consumers of the raw index — the df aggregate and the keep join —
+        # shuffle on the same (block, shingle) key, so the extra cache
+        # write buys nothing; only the fast path's alias-divergent
+        # self-join benefits from the doc-level fence)
         kept = ngram_inverted_index(
             df, id_col, text_col, block_cols, k=k, max_df=max_df, include_sizes=False
         ).persist()
